@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we'd set cluster-side: AQE on (runtime
+re-planning + skew-join splitting), Arrow on (all pandas UDF transfer is
+Arrow-batched), explicit shuffle partitioning. On a real 1000-executor
+cluster the same builder is used by spark-submit; only master/memory differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oplogtoredis-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("OTR_SPARK_MASTER", "local[*]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("OTR_SPARK_SHUFFLE_PARTITIONS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("OTR_SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
