@@ -1,0 +1,91 @@
+"""Transaction flattening T1 (SURVEY.md §2) — the one nested-data operator.
+
+Reference: ``admin.$cmd`` + ``applyOps: [...]`` commands expand recursively
+into a flat op list; every child inherits the transaction's ts/wall; tx_idx
+numbers the children 0,1,2,… in depth-first order to preserve intra-
+transaction ordering (/root/reference/lib/oplog/tail.go:680-766, golden test
+incl. a nested-txn-inside-txn tail_test.go:280-393).
+
+Spark-first implementation: raw entries carry their Mongo ``o`` document as a
+JSON string; ``applyOps`` elements are pulled out with
+``from_json(get_json_object(o,'$.applyOps'), 'array<string>')`` — each child
+is again a JSON string, so one ``posexplode`` per nesting level flattens the
+log with NO Python in the loop. Real oplogs bound nesting at one level of
+applyOps-in-applyOps; ``max_depth`` makes the bound explicit. tx_idx is the
+depth-first rank within the parent command, computed from the per-level
+positions — no window function, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RAW_COLS = ("ts", "wall", "op", "ns", "o", "o2")  # o/o2 as JSON strings
+
+
+def _apply_ops(o_col):
+    return F.from_json(F.get_json_object(o_col, "$.applyOps"), "array<string>")
+
+
+def _is_txn(op_col, ns_col, o_col):
+    # only admin.$cmd commands with an applyOps key are transactions
+    # (tail.go:714-732); any other command is dropped downstream by F3.
+    return (
+        (op_col == F.lit("c"))
+        & (ns_col == F.lit("admin.$cmd"))
+        & _apply_ops(o_col).isNotNull()
+    )
+
+
+def flatten_transactions(raw: DataFrame, max_depth: int = 2) -> DataFrame:
+    """raw entries (ts, wall, op, ns, o, o2 — o/o2 JSON) → flat op stream with
+    tx_idx. Non-transaction rows pass through with tx_idx=0.
+
+    Each level: split txn rows, posexplode their children (children inherit
+    ts/wall — tail.go:750-754), re-union with plain rows. Positions collected
+    per level give the depth-first tx_idx at the end.
+    """
+    # _txn_id identifies the originating command; _pos_i the explode positions.
+    # Prefer a caller-supplied stable id (seq) — monotonically_increasing_id is
+    # only deterministic when the two union branches rescan identically.
+    base_id = F.col("seq") if "seq" in raw.columns else F.monotonically_increasing_id()
+    df = raw.withColumn("_txn_id", F.struct(F.col("ts"), base_id.alias("id")))
+    pos_cols: list[str] = []
+    for level in range(max_depth):
+        pos = f"_pos{level}"
+        pos_cols.append(pos)
+        is_txn = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
+        plain = df.where(~is_txn).withColumn(pos, F.lit(-1))
+        txns = df.where(is_txn)
+        exploded = txns.select(
+            "_txn_id",
+            "ts",
+            "wall",
+            *[f"_pos{i}" for i in range(level)],
+            F.posexplode(_apply_ops(F.col("o"))).alias(pos, "_child"),
+        ).select(
+            "_txn_id",
+            "ts",
+            "wall",
+            F.get_json_object("_child", "$.op").alias("op"),
+            F.get_json_object("_child", "$.ns").alias("ns"),
+            F.get_json_object("_child", "$.o").alias("o"),
+            F.get_json_object("_child", "$.o2").alias("o2"),
+            *[f"_pos{i}" for i in range(level)],
+            pos,
+        )
+        df = plain.unionByName(exploded, allowMissingColumns=True)
+    # depth-first rank within the parent command = dense position ordering;
+    # levels are bounded (≤2), so rank = sum over levels of pos offsets is
+    # equivalent to row_number over the lexicographic (pos0, pos1) order.
+    # Real transactions are small (Mongo caps applyOps well below 2^16), so
+    # a per-command window over at most a few hundred rows is shuffle-local.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_txn_id").orderBy(*[F.col(c).asc() for c in pos_cols])
+    was_txn = F.greatest(*[F.col(c) for c in pos_cols]) >= 0
+    out = df.withColumn(
+        "tx_idx",
+        F.when(was_txn, F.row_number().over(w) - 1).otherwise(F.lit(0)).cast("int"),
+    )
+    return out.drop("_txn_id", *pos_cols)

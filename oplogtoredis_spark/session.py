@@ -9,8 +9,20 @@ cluster the same builder is used by spark-submit; only master/memory differ.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (pandas UDFs pickle by
+    module reference). Local equivalent of `spark-submit --py-files`."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(), "oplogtoredis_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=parent, base_dir="oplogtoredis_spark")
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -39,4 +51,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark

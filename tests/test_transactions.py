@@ -1,0 +1,93 @@
+"""Transaction flattening golden tests — mirror of
+/root/reference/lib/oplog/tail_test.go:207-404 (4-op txn + nested txn with
+TxIdx 0..3) and the acceptance transaction test
+(integration-tests/acceptance/transaction_test.go:19-96)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.transactions import flatten_transactions
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, ts long, wall timestamp, op string, ns string, o string, o2 string"
+    )
+
+
+def _txn_doc(ops):
+    return json.dumps({"applyOps": ops})
+
+
+def test_plain_ops_pass_through(spark):
+    rows = [
+        (0, 1 << 32, None, "i", "db.coll", json.dumps({"_id": "a", "x": 1}), None),
+        (1, 2 << 32, None, "u", "db.coll", json.dumps({"$set": {"x": 2}}),
+         json.dumps({"_id": "a"})),
+    ]
+    out = flatten_transactions(_raw(spark, rows)).orderBy("ts").collect()
+    assert [r.op for r in out] == ["i", "u"]
+    assert [r.tx_idx for r in out] == [0, 0]
+
+
+def test_four_op_transaction_txidx(spark):
+    # tail_test.go:280-393 — children inherit the txn ts; TxIdx 0..3
+    children = [
+        {"op": "i", "ns": "db.c1", "o": {"_id": "a", "v": 1}},
+        {"op": "u", "ns": "db.c1", "o": {"$set": {"v": 2}}, "o2": {"_id": "a"}},
+        {"op": "i", "ns": "db.c2", "o": {"_id": "b"}},
+        {"op": "d", "ns": "db.c1", "o": {"_id": "a"}},
+    ]
+    rows = [(0, 7 << 32, None, "c", "admin.$cmd", _txn_doc(children), None)]
+    out = flatten_transactions(_raw(spark, rows)).orderBy("tx_idx").collect()
+    assert len(out) == 4
+    assert [r.op for r in out] == ["i", "u", "i", "d"]
+    assert [r.tx_idx for r in out] == [0, 1, 2, 3]
+    assert all(r.ts == 7 << 32 for r in out)  # inherited
+    assert json.loads(out[1].o) == {"$set": {"v": 2}}
+    assert json.loads(out[1].o2) == {"_id": "a"}
+
+
+def test_nested_transaction_depth_first(spark):
+    # nested txn inside txn: [A, txn[b0, b1], C] → TxIdx A=0 b0=1 b1=2 C=3
+    inner = {"op": "c", "ns": "admin.$cmd",
+             "o": {"applyOps": [
+                 {"op": "i", "ns": "db.c", "o": {"_id": "b0"}},
+                 {"op": "i", "ns": "db.c", "o": {"_id": "b1"}},
+             ]}}
+    children = [
+        {"op": "i", "ns": "db.c", "o": {"_id": "A"}},
+        inner,
+        {"op": "i", "ns": "db.c", "o": {"_id": "C"}},
+    ]
+    rows = [(0, 9 << 32, None, "c", "admin.$cmd", _txn_doc(children), None)]
+    out = flatten_transactions(_raw(spark, rows)).orderBy("tx_idx").collect()
+    ids = [json.loads(r.o)["_id"] for r in out]
+    assert ids == ["A", "b0", "b1", "C"]
+    assert [r.tx_idx for r in out] == [0, 1, 2, 3]
+    assert all(r.ts == 9 << 32 for r in out)
+
+
+def test_non_admin_command_not_flattened(spark):
+    # tail.go:715-717: only admin.$cmd transactions expand; other commands
+    # pass through untouched (and die at the op filter later)
+    rows = [
+        (0, 1 << 32, None, "c", "db.$cmd", _txn_doc([{"op": "i", "ns": "db.c", "o": {}}]), None),
+        (1, 2 << 32, None, "c", "admin.$cmd", json.dumps({"drop": "coll"}), None),
+    ]
+    out = flatten_transactions(_raw(spark, rows)).collect()
+    assert sorted(r.op for r in out) == ["c", "c"]
+
+
+def test_mixed_stream(spark):
+    rows = [
+        (0, 1 << 32, None, "i", "db.c", json.dumps({"_id": "x"}), None),
+        (1, 2 << 32, None, "c", "admin.$cmd",
+         _txn_doc([{"op": "i", "ns": "db.c", "o": {"_id": "t0"}},
+                   {"op": "d", "ns": "db.c", "o": {"_id": "t0"}}]), None),
+        (2, 3 << 32, None, "c", "admin.$cmd", json.dumps({"other": 1}), None),
+    ]
+    out = flatten_transactions(_raw(spark, rows)).orderBy("ts", "tx_idx").collect()
+    got = [(r.op, r.tx_idx, r.ts >> 32) for r in out]
+    assert got == [("i", 0, 1), ("i", 0, 2), ("d", 1, 2), ("c", 0, 3)]
