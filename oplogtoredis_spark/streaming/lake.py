@@ -1,0 +1,357 @@
+"""A minimal snapshot-committed lake table (the Iceberg-analogue sink).
+
+No Iceberg/Delta jars ship in this environment, so the engine provides its own
+parquet-backed table format with the three properties the north_rule needs —
+the same properties Iceberg gives on a real cluster (swap `LakeTable` for
+`spark.table(...)` + `MERGE INTO` there; the sink interface is identical):
+
+  1. **Atomic snapshot commit**: a table version is a JSON manifest listing
+     one immutable parquet directory per hash bucket. Commit = write data,
+     write manifest vN+1, then atomically `os.replace` the CURRENT pointer.
+     Readers resolve CURRENT → manifest → file list; they never see a
+     half-written snapshot. (Analogue of Iceberg's snapshot commit; replaces
+     the reference's Lua-scripted atomic check-and-publish,
+     /root/reference/lib/redispub/publisher.go:41-62.)
+  2. **Idempotent batch replay**: the manifest records every applied
+     foreachBatch ``batch_id``; a replayed batch (restart, HA double-run) is
+     recognized and skipped, so the Iceberg-style contract "one commit per
+     epoch" holds. (Analogue of the reference's ``processed::<ts>::<txIdx>``
+     SETEX dedup keys, publisher.go:315-317.)
+  3. **Bucketed copy-on-write MERGE**: rows hash to ``pmod(xxhash64(repo,
+     path), n_buckets)``; a merge rewrites ONLY the buckets the batch touches
+     (manifest-level partition pruning). Deletes persist as tombstones so a
+     late-arriving older event can never resurrect a deleted row; the read
+     view filters them.
+
+Single-writer assumption: exactly one streaming query writes a table (true
+for Structured Streaming sinks; Iceberg would arbitrate concurrent writers
+with optimistic retry — out of scope here and unneeded by the design).
+
+Scale notes: the manifest is O(n_buckets) — thousands of entries, driver-side
+JSON, no data-plane cost. At 100 TB you size n_buckets so a bucket's live
+data is a few GB (e.g. 8192), keeping copy-on-write rewrite bounded and merge
+parallelism high; buckets also make the MERGE join co-partitioned by
+construction when the batch is repartitioned by the same function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions.routing import bucket_for
+from ..timestamps import total_order_col
+
+_CURRENT = "CURRENT"
+
+
+# --- schema evolution helpers (SURVEY.md §7.1 M5) ---------------------------
+_WIDENINGS = {
+    ("int", "bigint"): "bigint",
+    ("bigint", "int"): "bigint",
+    ("float", "double"): "double",
+    ("double", "float"): "double",
+    ("int", "double"): "double",
+    ("bigint", "double"): "double",
+}
+
+
+def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Iceberg-style additive evolution: new columns append (nullable); common
+    columns may widen (int→long, float→double); anything else must match."""
+    out = []
+    incoming_by_name = {f.name: f for f in incoming.fields}
+    for f in current.fields:
+        g = incoming_by_name.get(f.name)
+        if g is None or g.dataType == f.dataType:
+            out.append(f)
+            continue
+        widened = _WIDENINGS.get((f.dataType.simpleString(), g.dataType.simpleString()))
+        if widened is None:
+            raise ValueError(
+                f"incompatible type change for column {f.name}: "
+                f"{f.dataType.simpleString()} -> {g.dataType.simpleString()}"
+            )
+        out.append(T.StructField(f.name, T._parse_datatype_string(widened), True))
+    current_names = {f.name for f in current.fields}
+    for g in incoming.fields:
+        if g.name not in current_names:
+            out.append(T.StructField(g.name, g.dataType, True))
+    return T.StructType(out)
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema: missing columns → null, types cast."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class LakeTable:
+    """One upsert target table. See module docstring for the format."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._manifest_dir = os.path.join(path, "_manifests")
+        self._lineage_dir = os.path.join(path, "_lineage")
+
+    # ---------------- creation / metadata ----------------
+    @staticmethod
+    def create(
+        path: str, schema: T.StructType, n_buckets: int = 32
+    ) -> "LakeTable":
+        t = LakeTable(path)
+        os.makedirs(t._manifest_dir, exist_ok=True)
+        os.makedirs(t._lineage_dir, exist_ok=True)
+        if os.path.exists(os.path.join(t._manifest_dir, _CURRENT)):
+            return t  # already exists — idempotent create
+        manifest = {
+            "version": 0,
+            "schema": schema.json(),
+            "n_buckets": n_buckets,
+            "buckets": {},
+            "applied_batch_ids": [],
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_manifests", _CURRENT))
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        mpath = os.path.join(self._manifest_dir, f"v{v:08d}.json")
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        cur_tmp = os.path.join(self._manifest_dir, f".current-{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(str(v))
+        # the atomic commit point:
+        os.replace(cur_tmp, os.path.join(self._manifest_dir, _CURRENT))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self._manifest_dir, _CURRENT)) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._manifest_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
+
+    def applied_batch_ids(self) -> set:
+        return set(self.manifest()["applied_batch_ids"])
+
+    # ---------------- read ----------------
+    def read(
+        self,
+        spark: SparkSession,
+        include_deleted: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        m = self.manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        sel = m["buckets"]
+        if buckets is not None:
+            sel = {b: d for b, d in sel.items() if int(b) in set(buckets)}
+        dirs = [os.path.join(self.path, d) for d in sel.values()]
+        if not dirs:
+            df = spark.createDataFrame([], schema)
+        else:
+            # old snapshots may predate added columns → per-file schema union
+            df = conform_to_schema(
+                spark.read.option("mergeSchema", "true").parquet(*dirs), schema
+            )
+        if not include_deleted:
+            df = df.where(~F.col("deleted"))
+        return df
+
+    # ---------------- merge (the MERGE INTO analogue) ----------------
+    def merge_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        extra_payload_cols: tuple[str, ...] = (),
+        epoch_ns: str = "",
+    ) -> dict:
+        """Idempotent LWW upsert of a change batch.
+
+        ``batch``: event rows (repo, path, ts, tx_idx, op, commit, lang,
+        content, [extra...]) — NOT yet collapsed; collapse happens here so the
+        merge owns its correctness.
+
+        MERGE semantics (the predicate the north_star specifies):
+          WHEN MATCHED AND src.(ts,tx_idx) > tgt.(last_ts,last_tx_idx)
+            THEN UPDATE (or mark tombstone if op='d')
+          WHEN NOT MATCHED THEN INSERT
+        expressed as a full-outer join per key, which on a bucketed Iceberg
+        table is exactly what MERGE INTO plans.
+        """
+        t0 = time.time()
+        spark = batch.sparkSession
+        # Epoch identity = (stream namespace, batch id): Spark batch ids are
+        # only unique within one checkpoint lineage. A replay of the SAME
+        # epoch (foreachBatch re-invocation after restart) is skipped here;
+        # a DIFFERENT stream (e.g. lost checkpoint ⇒ full re-read) flows
+        # through the MERGE, where LWW + identity dedup make the effects
+        # exactly-once anyway (reference HA semantics, HA_test.go:12-41).
+        epoch_key = f"{epoch_ns}:{batch_id}"
+        if epoch_key in self.applied_batch_ids():
+            self._append_lineage(
+                epoch_key, {"batch_id": batch_id, "skipped_replay": True, "wall_secs": 0.0}
+            )
+            return {"skipped_replay": True}
+
+        m = self.manifest()
+        n_buckets = m["n_buckets"]
+        current_schema = T.StructType.fromJson(json.loads(m["schema"]))
+
+        # ---- in-batch LWW collapse (salted two-phase vs hot keys) ----
+        from ..operators.lww import lww_collapse_salted
+
+        payload = ["commit", "lang", "content", *extra_payload_cols]
+        ev = batch.select("repo", "path", "ts", "tx_idx", "op", *payload)
+        win = lww_collapse_salted(ev, key=("repo", "path"))
+        src = win.select(
+            "repo",
+            "path",
+            *payload,
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            F.col("ts").alias("last_ts"),
+            F.col("tx_idx").alias("last_tx_idx"),
+            (F.col("op") == F.lit("d")).alias("deleted"),
+            bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("bucket"),
+        )
+
+        # ---- schema evolution (added columns / widening) ----
+        new_schema = merge_schemas(current_schema, src.schema)
+        src = conform_to_schema(src, new_schema)
+
+        # ---- manifest-level partition pruning: touch only affected buckets
+        affected = sorted(
+            r.bucket for r in src.select("bucket").distinct().collect()
+        )
+        tgt = conform_to_schema(
+            self.read(spark, include_deleted=True, buckets=affected), new_schema
+        )
+
+        # ---- the LWW MERGE as a full-outer join ----
+        key = ["repo", "path"]
+        s = src.alias("s")
+        t = tgt.alias("t")
+        joined = t.join(s, on=key, how="full_outer")
+        src_order = total_order_col(F.col("s.last_ts"), F.col("s.last_tx_idx"))
+        tgt_order = total_order_col(F.col("t.last_ts"), F.col("t.last_tx_idx"))
+        src_wins = F.col("t.last_ts").isNull() | (
+            F.col("s.last_ts").isNotNull() & (src_order > tgt_order)
+        )
+        data_cols = [f.name for f in new_schema.fields if f.name not in key]
+        merged = joined.select(
+            *key,
+            *[
+                F.when(src_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in data_cols
+            ],
+            src_wins.alias("_applied"),
+            (F.col("s.last_ts").isNotNull() & ~src_wins).alias("_dedup_hit"),
+        )
+        # metrics ride the same pass via observe() — no second job
+        # (reference metrics analogue, SURVEY.md §2 M1; lib/redispub/publisher.go:64-114)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge_{batch_id}")
+        merged = merged.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum(F.col("_applied").cast("long")).alias("applied"),
+            F.sum(F.col("_dedup_hit").cast("long")).alias("dedup_hits"),
+            F.sum((F.col("_applied") & F.col("deleted")).cast("long")).alias("deletes"),
+        )
+        merged = merged.drop("_applied", "_dedup_hit")
+
+        # ---- write new snapshot dirs for affected buckets only ----
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        if affected:
+            (
+                merged.withColumn("pb", F.col("bucket"))
+                .repartition(len(affected), F.col("pb"))
+                .write.partitionBy("pb")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            metrics = obs.get
+        else:
+            # empty batch (everything filtered): no data change, but the
+            # batch id must still commit so replay recognizes the epoch
+            metrics = {"rows_out": 0, "applied": 0, "dedup_hits": 0, "deletes": 0}
+
+        buckets = dict(m["buckets"])
+        for b in affected:
+            bdir = os.path.join(out_dir, f"pb={b}")
+            if os.path.exists(bdir):
+                buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+            else:
+                buckets.pop(str(b), None)  # bucket emptied (all rows gone)
+
+        new_manifest = {
+            "version": new_version,
+            "schema": new_schema.json(),
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "applied_batch_ids": sorted(
+                {str(x) for x in m["applied_batch_ids"]} | {epoch_key}
+            ),
+        }
+        self._write_manifest(new_manifest)
+
+        stats = {
+            "batch_id": batch_id,
+            "epoch_key": epoch_key,
+            "version": new_version,
+            "affected_buckets": len(affected),
+            "schema_evolved": len(new_schema.fields) != len(current_schema.fields),
+            "rows_out": int(metrics.get("rows_out") or 0),
+            "applied": int(metrics.get("applied") or 0),
+            "dedup_hits": int(metrics.get("dedup_hits") or 0),
+            "deletes": int(metrics.get("deletes") or 0),
+            "wall_secs": round(time.time() - t0, 3),
+        }
+        self._append_lineage(epoch_key, stats)
+        return stats
+
+    # ---------------- lineage (per-partition/batch records) ----------------
+    def _append_lineage(self, epoch_key, stats: dict) -> None:
+        n = len(os.listdir(self._lineage_dir))  # single-writer: race-free
+        p = os.path.join(self._lineage_dir, f"rec-{n:08d}.json")
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"epoch_key": str(epoch_key), **stats}, f)
+        os.replace(tmp, p)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        if not os.path.isdir(self._lineage_dir):
+            return out
+        for name in sorted(os.listdir(self._lineage_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self._lineage_dir, name)) as f:
+                    out.append(json.load(f))
+        return out

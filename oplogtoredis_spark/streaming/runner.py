@@ -1,0 +1,119 @@
+"""Structured Streaming wiring: event log → filters/derive → foreachBatch MERGE.
+
+The streaming analogue of the reference's main loop (SURVEY.md §3.1):
+
+  reference                                this engine
+  ---------                                -----------
+  tailable cursor + re-query (S1/S2)       file/Iceberg stream source, micro-
+                                           batch re-poll, task retries
+  resume from lastProcessedEntry (S3)      checkpointLocation WAL offsets —
+                                           losing the checkpoint NEVER silently
+                                           skips (tail.go:552-576 policy):
+                                           a fresh checkpoint replays the log,
+                                           and replay is idempotent via the
+                                           sink's batch-id / LWW dedup
+  bounded buffer / batch fill (B1)         maxFilesPerTrigger admission control
+  Lua dedupe+publish (B2)                  LakeTable.merge_batch (exactly-once:
+                                           atomic snapshot commit per epoch)
+  throttled checkpoint flush (B4)          offset commit per micro-batch
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.filters import apply_all_filters
+from ..sources.schemas import EVENT_SCHEMA
+from .lake import LakeTable
+
+
+def make_batch_applier(
+    table_path: str,
+    extra_payload_cols: tuple[str, ...] = (),
+    fail_before_batch: int | None = None,
+    epoch_ns: str = "",
+):
+    """The foreachBatch function. ``fail_before_batch`` is a fault-injection
+    hook for restart tests (mirrors integration-tests/fault-injection/
+    restart_test.go): raise BEFORE applying batch N — the query dies after
+    N-1 commits, and a restarted query must replay batch N-1' safely."""
+    seen = {"n": 0}
+
+    def apply(batch_df, batch_id: int):
+        if fail_before_batch is not None and seen["n"] >= fail_before_batch:
+            raise RuntimeError(f"injected failure before batch {batch_id}")
+        seen["n"] += 1
+        table = LakeTable(table_path)
+        table.merge_batch(
+            batch_df, batch_id, extra_payload_cols=extra_payload_cols, epoch_ns=epoch_ns
+        )
+
+    return apply
+
+
+def start_stream(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    schema=EVENT_SCHEMA,
+    max_files_per_trigger: int = 2,
+    available_now: bool = True,
+    extra_payload_cols: tuple[str, ...] = (),
+    fail_before_batch: int | None = None,
+) -> StreamingQuery:
+    """Start (or resume, if the checkpoint exists) the CDC apply stream."""
+    from ..sources.schemas import TARGET_SCHEMA
+
+    if not LakeTable.exists(table_path):
+        LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    # filters + watermark run inside the micro-batch plan (pushed to the scan);
+    # the watermark bounds state for streaming dedup variants and is the
+    # MaxCatchUp analogue (lib/config/main.go:19,77-86)
+    events = apply_all_filters(stream, cfg.denylist).withWatermark(
+        "wall", f"{cfg.max_catch_up_seconds} seconds"
+    )
+    writer = events.writeStream.foreachBatch(
+        make_batch_applier(
+            table_path,
+            extra_payload_cols,
+            fail_before_batch,
+            # epoch namespace = checkpoint lineage: batch ids are only unique
+            # within one checkpoint; a new checkpoint is a new at-least-once
+            # read whose effects LWW dedup absorbs
+            epoch_ns=os.path.abspath(checkpoint_dir),
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
+
+
+def run_to_completion(
+    spark: SparkSession,
+    events_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    **kw,
+) -> LakeTable:
+    """Drain the whole log with availableNow and return the table."""
+    q = start_stream(
+        spark, events_dir, table_path, checkpoint_dir, cfg, available_now=True, **kw
+    )
+    q.awaitTermination()
+    return LakeTable(table_path)

@@ -1,0 +1,162 @@
+"""LakeTable unit tests: snapshot commits, idempotent batch replay, tombstones,
+manifest-level bucket pruning, schema evolution."""
+
+import pandas as pd
+import pytest
+
+from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+from oplogtoredis_spark.streaming.lake import LakeTable, conform_to_schema, merge_schemas
+
+
+def _batch(spark, rows):
+    cols = "repo string, path string, ts long, tx_idx int, op string, commit string, lang string, content string"
+    return spark.createDataFrame(rows, cols)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=8)
+
+
+def test_insert_then_read(spark, table):
+    b = _batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "hello")])
+    stats = table.merge_batch(b, batch_id=0)
+    assert stats["applied"] == 1
+    got = table.read(spark).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["content"] == "hello"
+    assert got.iloc[0]["last_ts"] == 1 << 32
+
+
+def test_batch_id_replay_is_noop(spark, table):
+    b = _batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")])
+    table.merge_batch(b, batch_id=0)
+    v1 = table.current_version()
+    # replaying the same epoch (HA double-run / post-restart re-send) is a no-op
+    b2 = _batch(spark, [("r/a", "f.py", 9 << 32, 0, "u", "c9", "py", "SHOULD NOT APPLY")])
+    stats = table.merge_batch(b2, batch_id=0)
+    assert stats.get("skipped_replay") is True
+    assert table.current_version() == v1
+    assert table.read(spark).toPandas().iloc[0]["content"] == "v1"
+
+
+def test_lww_merge_predicate(spark, table):
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 5 << 32, 0, "i", "c0", "py", "v5")]), 0
+    )
+    # older event in a later batch must NOT overwrite (WHEN MATCHED AND src>tgt)
+    stats = table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 3 << 32, 7, "u", "cX", "py", "OLD")]), 1
+    )
+    assert stats["applied"] == 0 and stats["dedup_hits"] == 1
+    assert table.read(spark).toPandas().iloc[0]["content"] == "v5"
+    # newer event applies
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 6 << 32, 0, "u", "c6", "py", "v6")]), 2
+    )
+    assert table.read(spark).toPandas().iloc[0]["content"] == "v6"
+
+
+def test_tombstone_blocks_late_update(spark, table):
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 5 << 32, 0, "i", "c0", "py", "v5")]), 0
+    )
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 8 << 32, 0, "d", None, None, None)]), 1
+    )
+    assert len(table.read(spark).toPandas()) == 0
+    # late event older than the delete: tombstone wins, row must NOT resurrect
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 6 << 32, 0, "u", "c6", "py", "ZOMBIE")]), 2
+    )
+    assert len(table.read(spark).toPandas()) == 0
+    # but a genuinely newer insert revives the key
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 9 << 32, 0, "i", "c9", "py", "alive")]), 3
+    )
+    got = table.read(spark).toPandas()
+    assert list(got["content"]) == ["alive"]
+
+
+def test_bucket_pruning(spark, table):
+    rows = [
+        (f"r/{i}", "f.py", 1 << 32, 0, "i", "c", "py", f"v{i}") for i in range(20)
+    ]
+    table.merge_batch(_batch(spark, rows), 0)
+    m0 = table.manifest()
+    # a single-key batch must rewrite only that key's bucket
+    stats = table.merge_batch(
+        _batch(spark, [("r/0", "f.py", 2 << 32, 0, "u", "c2", "py", "v0b")]), 1
+    )
+    assert stats["affected_buckets"] == 1
+    m1 = table.manifest()
+    changed = [b for b in m0["buckets"] if m0["buckets"][b] != m1["buckets"].get(b)]
+    assert len(changed) == 1
+    # untouched buckets still point at the old snapshot dirs
+    assert all(m1["buckets"][b] == m0["buckets"][b] for b in m0["buckets"] if b not in changed)
+    got = table.read(spark).toPandas()
+    assert len(got) == 20
+    assert got.set_index("repo").loc["r/0", "content"] == "v0b"
+
+
+def test_within_batch_duplicates_and_txn_order(spark, table):
+    # duplicates + tx_idx tie-break inside ONE batch
+    rows = [
+        ("r/a", "f.py", 5 << 32, 0, "i", "c0", "py", "t0"),
+        ("r/a", "f.py", 5 << 32, 1, "u", "c1", "py", "t1"),
+        ("r/a", "f.py", 5 << 32, 1, "u", "c1", "py", "t1"),  # exact dup
+        ("r/a", "f.py", 5 << 32, 2, "u", "c2", "py", "t2"),
+    ]
+    table.merge_batch(_batch(spark, rows), 0)
+    got = table.read(spark).toPandas()
+    assert list(got["content"]) == ["t2"]
+    assert got.iloc[0]["last_tx_idx"] == 2
+
+
+def test_schema_evolution_added_column(spark, table):
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")]), 0
+    )
+    # phase 2: events now carry `stars`
+    b2 = spark.createDataFrame(
+        [("r/b", "g.py", 2 << 32, 0, "i", "c1", "py", "v2", 777)],
+        "repo string, path string, ts long, tx_idx int, op string, commit string, lang string, content string, stars long",
+    )
+    stats = table.merge_batch(b2, 1, extra_payload_cols=("stars",))
+    assert stats["schema_evolved"] is True
+    got = table.read(spark).toPandas().set_index("repo")
+    # old rows read back with null stars; new rows carry the value
+    assert pd.isna(got.loc["r/a", "stars"])
+    assert got.loc["r/b", "stars"] == 777
+
+
+def test_merge_schemas_widening():
+    from pyspark.sql import types as T
+
+    cur = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
+    inc = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.DoubleType())])
+    out = merge_schemas(cur, inc)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.fields) == {
+        "a": "bigint", "b": "string", "c": "double"
+    }
+    with pytest.raises(ValueError):
+        merge_schemas(
+            T.StructType([T.StructField("a", T.StringType())]),
+            T.StructType([T.StructField("a", T.LongType())]),
+        )
+
+
+def test_atomic_commit_visibility(spark, table, tmp_path):
+    """A reader opened between commits sees a consistent snapshot version."""
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")]), 0
+    )
+    v_before = table.current_version()
+    df_before = table.read(spark)  # resolves manifest v_before's file list
+    table.merge_batch(
+        _batch(spark, [("r/a", "f.py", 2 << 32, 0, "u", "c1", "py", "v2")]), 1
+    )
+    # old snapshot files are immutable — the pre-commit reader still works
+    assert df_before.toPandas().iloc[0]["content"] == "v1"
+    assert table.current_version() == v_before + 1
+    assert table.read(spark).toPandas().iloc[0]["content"] == "v2"
