@@ -1,38 +1,676 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md §2 plus the
+training-data operators (dedup / similarity / text analysis / multimodal),
+each with a DuckDB ``oracle_sql()`` mirror wherever the semantics are
+SQL-expressible with exact value parity (portable sha256-based hashing,
+rounded doubles, integer arithmetic — see oplogtoredis_spark/functions/
+hashing.py). Only the multi-table LSH ANN omits its oracle (rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oplogtoredis_spark.functions.hashing import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    N_MINHASH,
+)
+from oplogtoredis_spark.functions.routing import assign_to_shard, sha256_le_int64
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _ts_ms():
+    """epoch millis of the NTZ event timestamp (session tz = UTC, so the
+    cast interprets naive values as UTC — matching DuckDB's epoch_ms)."""
+    return F.unix_millis(F.col("ts").cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+_LE_HEX = "concat(" + ",".join(f"substr(h,{63 - 2 * i},2)" for i in range(8)) + ")"
+_SQL_PKEY = (
+    "(CASE WHEN u >= 9223372036854775808::UBIGINT THEN "
+    "(u::HUGEINT - 18446744073709551616::HUGEINT) ELSE u::HUGEINT END)::BIGINT"
+)
+_H31 = "(('0x' || substr(sha256({x}),1,15))::BIGINT % 2147483647)"
+_TOKS = "string_split_regex(trim({x}), '\\s+')"
+_EN_STOP = "['the','a','of','and','to','in','is','it','for','on']"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC pipeline operators over `events` (SURVEY.md §2 S/F/T/R/B/M rows)
+# ---------------------------------------------------------------------------
+def q_cdc_final_state(spark, sf_dir):
+    """Flagship (B2 LWW + T9 + R1): events as a CDC stream keyed by user_id;
+    op 'error'→delete, else upsert; final live state per key."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        _ts_ms().alias("ts_ms"),
+    )
+    win = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value", "ts_ms"),
+            F.struct("ts_ms", "event_id"),
+        ).alias("w"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    live = win.where(F.col("w.event_type") != "error")
+    return live.select(
+        "user_id",
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_type"),
+        F.round(F.col("w.value"), 4).alias("last_value"),
+        "n_events",
+        sha256_le_int64(F.col("user_id").cast("string")).alias("pkey"),
+    ).withColumn("shard", assign_to_shard(F.col("pkey"), 8))
+
+
+SQL_CDC_FINAL_STATE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) ts_ms FROM events),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) rn,
+                   count(*) OVER (PARTITION BY user_id) n_events FROM e),
+ latest AS (SELECT user_id, event_id last_event_id, event_type last_type,
+                   round(value, 4) last_value, n_events FROM ranked WHERE rn = 1),
+ hashed AS (SELECT *, sha256(user_id::VARCHAR) h FROM latest),
+ u AS (SELECT *, ('0x' || {_LE_HEX})::UBIGINT u FROM hashed),
+ k AS (SELECT user_id, last_event_id, last_type, last_value, n_events, {_SQL_PKEY} pkey FROM u)
+SELECT *, ((pkey % 8) + 8) % 8 AS shard FROM k WHERE last_type != 'error'
+"""
+
+
+def q_source_scan_pushdown(spark, sf_dir):
+    """S1/S4: predicate + projection pushed into the parquet scan."""
+    return (
+        _ev(spark, sf_dir)
+        .where((F.col("value") > 50.0) & (F.col("event_type") == "click"))
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_SOURCE_SCAN = """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE value > 50.0 AND event_type = 'click'
+"""
+
+
+def q_op_filter(spark, sf_dir):
+    """F3: op-type allowlist."""
+    return (
+        _ev(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "view", "purchase"))
+        .select("event_id", "event_type")
+    )
+
+
+SQL_OP_FILTER = """
+SELECT event_id, event_type FROM events
+WHERE event_type IN ('click','view','purchase')
+"""
+
+
+def q_denylist_filter(spark, sf_dir):
+    """F1: denylist anti-filter (IN-list pushdown form)."""
+    return (
+        _ev(spark, sf_dir)
+        .where(~F.col("user_id").isin(1, 2, 3))
+        .select("event_id", "user_id")
+    )
+
+
+SQL_DENYLIST_FILTER = """
+SELECT event_id, user_id FROM events WHERE user_id NOT IN (1,2,3)
+"""
+
+
+def q_system_filter(spark, sf_dir):
+    """F2: system-namespace drop (prefix + exact-name predicates)."""
+    return (
+        _ev(spark, sf_dir)
+        .where(~F.col("event_type").startswith("sys") & (F.col("user_id") != 0))
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+SQL_SYSTEM_FILTER = """
+SELECT event_id, event_type, user_id FROM events
+WHERE NOT starts_with(event_type, 'sys') AND user_id != 0
+"""
+
+
+def q_txn_flatten(spark, sf_dir):
+    """T1: posexplode of per-key ordered op arrays → (key, tx_idx, op)."""
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.struct(_ts_ms().alias("ts_ms"), "event_id").alias("o")
+    )
+    packed = ev.groupBy("user_id").agg(
+        F.transform(F.array_sort(F.collect_list("o")), lambda s: s.event_id).alias("ops")
+    )
+    return packed.select(
+        "user_id", F.posexplode("ops").alias("tx_idx", "event_id")
+    )
+
+
+SQL_TXN_FLATTEN = """
+WITH packed AS (
+  SELECT user_id, list(event_id ORDER BY epoch_ms(ts), event_id) AS ops FROM events GROUP BY user_id)
+SELECT user_id, generate_subscripts(ops, 1) - 1 AS tx_idx, unnest(ops) AS event_id FROM packed
+"""
+
+
+def q_namespace_split(spark, sf_dir):
+    """T2: "db.coll" SplitN(2) semantics."""
+    from oplogtoredis_spark.functions.routing import split_namespace
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat("source", F.lit("."), "lang").alias("ns")
+    )
+    db, coll = split_namespace(F.col("ns"))
+    return d.select("doc_id", "ns", db.alias("db"), coll.alias("coll"))
+
+
+SQL_NAMESPACE_SPLIT = """
+SELECT doc_id, source || '.' || lang AS ns,
+       split_part(source || '.' || lang, '.', 1) AS db,
+       CASE WHEN strpos(source || '.' || lang, '.') > 0
+            THEN substr(source || '.' || lang, strpos(source || '.' || lang, '.') + 1)
+            ELSE '' END AS coll
+FROM documents
+"""
+
+
+def q_doc_id_extract(spark, sf_dir):
+    """T3: id from o2 for updates, from o otherwise (coalesce/when)."""
+    ev = _ev(spark, sf_dir)
+    doc_id = F.when(
+        F.col("event_type") == "purchase", F.get_json_object("props", "$.k")
+    ).otherwise(F.col("event_id").cast("string"))
+    return ev.select("event_id", doc_id.alias("doc_key"))
+
+
+SQL_DOC_ID_EXTRACT = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN json_extract_string(props, '$.k')
+            ELSE event_id::VARCHAR END AS doc_key
+FROM events
+"""
+
+
+def q_changed_fields_v1(spark, sf_dir):
+    """T4: v1 modifier update field extraction (native map/JSON exprs)."""
+    from oplogtoredis_spark.functions.changed_fields import changed_fields
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id", F.concat(F.lit('{"$v":1,"$set":'), "props", F.lit("}")).alias("o")
+    )
+    return ev.select(
+        "event_id",
+        F.explode(changed_fields(F.lit("u"), F.col("o"))).alias("field"),
+    )
+
+
+SQL_CHANGED_FIELDS_V1 = """
+SELECT event_id, unnest(json_keys(props)) AS field FROM events
+"""
+
+
+def q_changed_fields_v2_shallow(spark, sf_dir):
+    """T5: v2 shallow — i/u/d subtree keys + s-field names."""
+    from oplogtoredis_spark.functions.changed_fields import changed_fields
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit('{"$v":2,"diff":{"u":'), "props", F.lit(',"sfoo":{"a":true}}}')
+        ).alias("o"),
+    )
+    return ev.select(
+        "event_id",
+        F.explode(changed_fields(F.lit("u"), F.col("o"))).alias("field"),
+    )
+
+
+SQL_CHANGED_FIELDS_V2_SHALLOW = """
+SELECT event_id, unnest(list_concat(json_keys(props), ['foo'])) AS field FROM events
+"""
+
+
+def q_changed_fields_v2_deep(spark, sf_dir):
+    """T6: v2 deep dotted paths (Arrow-batched pandas UDF)."""
+    from oplogtoredis_spark.functions.changed_fields import changed_fields
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.concat(F.lit('{"$v":2,"diff":{"smeta":{"u":'), "props", F.lit("}}}")).alias("o"),
+    )
+    return ev.select(
+        "event_id",
+        F.explode(changed_fields(F.lit("u"), F.col("o"), deep=True)).alias("field"),
+    )
+
+
+SQL_CHANGED_FIELDS_V2_DEEP = """
+SELECT event_id, 'meta.' || unnest(json_keys(props)) AS field FROM events
+"""
+
+
+def q_message_json(spark, sf_dir):
+    """T7: the {"e","d","f"} wire message with d→r rename."""
+    from oplogtoredis_spark.functions.changed_fields import changed_fields
+    from oplogtoredis_spark.functions.messages import message_json
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "d").otherwise("i").alias("op"),
+        F.col("props").alias("o"),
+    )
+    fields = changed_fields(F.col("op"), F.col("o"))
+    return ev.select(
+        "event_id",
+        message_json(F.col("op"), F.col("event_id").cast("string"), fields).alias("msg"),
+    )
+
+
+SQL_MESSAGE_JSON = """
+SELECT event_id,
+  '{"e":"' || (CASE WHEN event_type='error' THEN 'r' ELSE 'i' END) ||
+  '","d":{"_id":"' || event_id::VARCHAR || '"},"f":' ||
+  (CASE WHEN event_type='error' THEN '[]'
+        ELSE '["' || list_aggregate(json_keys(props), 'string_agg', '","') || '"]' END) ||
+  '}' AS msg
+FROM events
+"""
+
+
+def q_channels(spark, sf_dir):
+    """T8/R2: collection-wide + doc-specific routing channels, exploded."""
+    from oplogtoredis_spark.functions.routing import channels
+
+    ev = _ev(spark, sf_dir).select(
+        "event_id", F.concat(F.lit("app."), "event_type").alias("ns")
+    )
+    return ev.select(
+        "event_id",
+        F.explode(channels(F.col("ns"), F.col("event_id").cast("string"))).alias(
+            "channel"
+        ),
+    )
+
+
+SQL_CHANNELS = """
+SELECT event_id, unnest(['app.' || event_type,
+                         'app.' || event_type || '::' || event_id::VARCHAR]) AS channel
+FROM events
+"""
+
+
+def q_parallelism_key(spark, sf_dir):
+    """T9 + R1: sha256-LE int64 ordering key + non-negative shard."""
+    ev = _ev(spark, sf_dir).select("event_id", "event_type")
+    return ev.select(
+        "event_id",
+        sha256_le_int64(F.col("event_type")).alias("pkey"),
+    ).withColumn("shard", assign_to_shard(F.col("pkey"), 8))
+
+
+SQL_PARALLELISM_KEY = f"""
+WITH x AS (SELECT event_id, sha256(event_type) h FROM events),
+ y AS (SELECT event_id, ('0x' || {_LE_HEX})::UBIGINT u FROM x),
+ k AS (SELECT event_id, {_SQL_PKEY} pkey FROM y)
+SELECT event_id, pkey, ((pkey % 8) + 8) % 8 AS shard FROM k
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """B2 (dedup half): at-most-once per identity (min event per key pair)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_lww_latest_per_user(spark, sf_dir):
+    """B2 (ordered-apply half): last-writer-wins state per key via max_by."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_id"), F.struct(_ts_ms(), F.col("event_id"))).alias(
+            "last_event_id"
+        ),
+        F.max_by(F.round("value", 4), F.struct(_ts_ms(), F.col("event_id"))).alias(
+            "last_value"
+        ),
+    )
+
+
+SQL_LWW_LATEST = """
+SELECT user_id, event_id AS last_event_id, round(value,4) AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+"""
+
+
+def q_metrics_counts(spark, sf_dir):
+    """M1: per-label counters + value stats (observe()-style aggregates)."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+    )
+
+
+SQL_METRICS_COUNTS = """
+SELECT event_type, count(*) AS n, round(avg(value),4) AS avg_value,
+       round(max(value),4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_interval_max(spark, sf_dir):
+    """M2: interval-max metric — tumbling 1-minute window max."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.unix_millis(F.date_trunc("minute", F.col("ts").cast("timestamp"))).alias("minute_ms"))
+        .agg(F.round(F.max("value"), 4).alias("max_value"))
+    )
+
+
+SQL_INTERVAL_MAX = """
+SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms, round(max(value),4) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over `documents` / `embeddings`
+# ---------------------------------------------------------------------------
+def q_dedup_exact_docs(spark, sf_dir):
+    from oplogtoredis_spark.operators.dedup import content_hash_dedup
+
+    return content_hash_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_profile(spark, sf_dir):
+    from oplogtoredis_spark.operators.text import text_profile
+
+    return text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+SQL_TEXT_PROFILE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
+ feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d+|[^\\sA-Za-z\\d]')) AS n_subword_tokens,
+    len(list_intersect(list_distinct({_TOKS.format(x='lower(text)')}), {_EN_STOP})) AS en_stopword_hits,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+    (list_sum(list_transform(toks, (w,i) -> ({_H31.format(x='w')} * i) % {MERSENNE31})) % {MERSENNE31})::BIGINT AS fingerprint
+  FROM t)
+SELECT doc_id, n_tokens, n_subword_tokens, en_stopword_hits,
+  CASE WHEN en_stopword_hits >= 2 THEN 'en' ELSE 'unk' END AS lang_guess,
+  alpha_ratio,
+  round(0.4 * least(n_tokens / 200.0, 1.0) + 0.4 * alpha_ratio
+        + 0.2 * least(en_stopword_hits / 5.0, 1.0), 4) AS quality,
+  fingerprint
+FROM feat
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.9,
+        max_shingle_freq=10**9,
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
+ sh AS (SELECT DISTINCT doc_id, {_H31.format(x='g')} AS gh FROM (
+   SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+     ELSE [] END) AS g FROM toks)),
+ sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+ common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+   FROM sh a JOIN sh b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.9
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from oplogtoredis_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(_docs(spark, sf_dir), "doc_id", "text", n=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_minhash_cols() -> str:
+    cols = []
+    for i in range(N_MINHASH):
+        perm = f"(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE31})"
+        cols.append(
+            f"list_min(list_transform(hs, h -> {perm})) AS m{i}"
+        )
+    return ",\n  ".join(cols)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
+ sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+     ELSE [] END) AS grams FROM toks),
+ hs AS (SELECT doc_id, list_transform(grams, g -> {_H31.format(x='g')}) AS hs FROM sh)
+SELECT doc_id, {_sql_minhash_cols()} FROM hs
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from oplogtoredis_spark.operators.dedup import simhash16
+
+    return simhash16(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _sql_simhash() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS.format(x='text')}) AS w FROM documents),
+ h AS (SELECT doc_id, {_H31.format(x='w')} AS h FROM tok),
+ bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    from oplogtoredis_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ s AS (SELECT a.vec_id id_a, b.vec_id id_b,
+   round(list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+   FROM v a, v b WHERE a.vec_id < b.vec_id)
+SELECT * FROM s WHERE cosine >= 0.4
+"""
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    from oplogtoredis_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ q AS (SELECT * FROM v WHERE vec_id < 3),
+ s AS (SELECT q.vec_id query_id, v.vec_id neighbor_id,
+   round(list_dot_product(q.e, v.e) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))), 4) cosine
+   FROM v, q WHERE v.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rank
+  FROM s) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table LSH ANN — the 100 TB scale path. No SQL oracle (the LCG
+    hyperplane arithmetic is Spark-side only); the driver records a
+    rows-only check, and tests/test_similarity.py pins recall vs brute force."""
+    from oplogtoredis_spark.operators.similarity import ann_lsh_bucketed
+
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_bucketed(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4, n_tables=8
+    )
+
+
+def q_multimodal_stats(spark, sf_dir):
+    """Binary-column plumbing: opaque bytes + typed metadata, no decode."""
+    from oplogtoredis_spark.operators.multimodal import asset_stats
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("data"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    return asset_stats(assets)
+
+
+SQL_MULTIMODAL_STATS = """
+SELECT doc_id AS asset_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS data_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the CDC final-state apply
+    (filters → LWW per key → routing hash/shard) — the batch expression of
+    the engine's streaming MERGE pipeline."""
+    return q_cdc_final_state(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "source_scan_pushdown": q_source_scan_pushdown,
+        "op_filter": q_op_filter,
+        "denylist_filter": q_denylist_filter,
+        "system_filter": q_system_filter,
+        "txn_flatten": q_txn_flatten,
+        "namespace_split": q_namespace_split,
+        "doc_id_extract": q_doc_id_extract,
+        "changed_fields_v1": q_changed_fields_v1,
+        "changed_fields_v2_shallow": q_changed_fields_v2_shallow,
+        "changed_fields_v2_deep": q_changed_fields_v2_deep,
+        "message_json": q_message_json,
+        "channels": q_channels,
+        "parallelism_key": q_parallelism_key,
+        "dedup_exact": q_dedup_exact,
+        "lww_latest_per_user": q_lww_latest_per_user,
+        "metrics_counts": q_metrics_counts,
+        "interval_max": q_interval_max,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_profile": q_text_profile,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_stats": q_multimodal_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": SQL_CDC_FINAL_STATE,
+        "source_scan_pushdown": SQL_SOURCE_SCAN,
+        "op_filter": SQL_OP_FILTER,
+        "denylist_filter": SQL_DENYLIST_FILTER,
+        "system_filter": SQL_SYSTEM_FILTER,
+        "txn_flatten": SQL_TXN_FLATTEN,
+        "namespace_split": SQL_NAMESPACE_SPLIT,
+        "doc_id_extract": SQL_DOC_ID_EXTRACT,
+        "changed_fields_v1": SQL_CHANGED_FIELDS_V1,
+        "changed_fields_v2_shallow": SQL_CHANGED_FIELDS_V2_SHALLOW,
+        "changed_fields_v2_deep": SQL_CHANGED_FIELDS_V2_DEEP,
+        "message_json": SQL_MESSAGE_JSON,
+        "channels": SQL_CHANNELS,
+        "parallelism_key": SQL_PARALLELISM_KEY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "lww_latest_per_user": SQL_LWW_LATEST,
+        "metrics_counts": SQL_METRICS_COUNTS,
+        "interval_max": SQL_INTERVAL_MAX,
+        "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "text_profile": SQL_TEXT_PROFILE,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "simhash": SQL_SIMHASH,
+        "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+        "multimodal_stats": SQL_MULTIMODAL_STATS,
+        # ann_lsh_topk intentionally omitted: Spark-only scale path
+    }

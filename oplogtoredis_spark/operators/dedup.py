@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all DataFrame-native, designed for 100 TB shapes:
+
+  exact         — sha256 groupBy (one shuffle on the content hash)
+  ngram-Jaccard — shingle explode → inverted-index self-join → exact Jaccard
+  MinHash+LSH   — shingle→minhash signature→band buckets→bucket join; the
+                  scale path: candidate generation never compares all pairs
+  SimHash       — 16-bit sign fingerprint; near-dup = equal fingerprints
+  embedding     — cosine ≥ τ pairs; brute-force (oracle-able) and
+                  LSH-bucketed (the scale path, see similarity.py)
+
+Every step uses the portable sha256-based hash (functions/hashing.py) so the
+DuckDB oracle reproduces values bit-for-bit.
+
+Scale notes: the shingle inverted index is the classic web-dedup layout —
+explode is map-side; the self-join shuffles on the shingle/band hash (small
+keys), never on full documents; hot shingles (stopword runs) are capped with
+a frequency filter exactly like production MinHash pipelines drop too-common
+shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import N_MINHASH, minhash_perm, portable_hash31
+from .text import tokens
+
+
+def content_hash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: survivor (min id) per sha256(content) + group size."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles (distinct). 0-based transform index internally;
+    DuckDB mirrors with 1-based list indexing."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle_hash) inverted index — one row per distinct doc-shingle."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    ).select("id", portable_hash31(F.col("sh")).alias("sh_h"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jac ≥ τ).
+
+    Inverted-index join; shingles occurring in > max_shingle_freq docs are
+    dropped from candidate generation (hot-key control) but still count in
+    the per-doc sizes, so Jaccard stays a lower bound for pruned pairs —
+    at the default corpus scale nothing is pruned.
+    """
+    idx = _shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = idx.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df_"))
+    idx_f = idx.join(freq.where(F.col("df_") <= max_shingle_freq), "sh_h")
+    common = (
+        idx_f.alias("a")
+        .join(idx_f.alias("b"), on="sh_h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, m0..m15) MinHash signature over shingle hashes — higher-order
+    functions only, no UDF: each m_i = min over shingles of the i-th affine
+    permutation."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), n), lambda s: portable_hash31(s)).alias(
+            "hs"
+        ),
+    )
+    cols = [
+        F.array_min(F.transform(F.col("hs"), lambda h: minhash_perm(h, i))).alias(
+            f"m{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+    return sh.select("id", *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 16 minhashes → `bands` bands of 4 → docs
+    sharing any band bucket become candidates → verified with exact Jaccard.
+
+    This is the 100 TB path: candidates come from equality joins on band
+    hashes (shuffle on small keys), never from an all-pairs comparison.
+    """
+    rows_per_band = N_MINHASH // bands
+    sig = minhash_signature(df, id_col, text_col, n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            portable_hash31(F.concat_ws("_", F.lit(str(b)), *[p.cast("string") for p in parts])).alias(
+                f"band{b}"
+            )
+        )
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.band_no").alias("band_no"), F.col("e.bh").alias("bh"))
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), on=["band_no", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # adversarial verify: exact Jaccard on the candidates only
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cand.join(exact, on=["id_a", "id_b"], how="inner")
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) 16-bit sign fingerprint over token hashes.
+
+    bit b of the fingerprint = 1 iff sum over tokens of ±1 (sign of bit b of
+    the token hash) is positive. Pure explode + conditional agg + bit math.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select("id", portable_hash31(F.col("w")).alias("h"))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs sharing an identical 16-bit simhash (near-dup buckets)."""
+    s = simhash16(df, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ τ — brute-force all-pairs
+    (the correctness baseline; the scale path is similarity.ann_lsh_bucketed).
+    Dot products via zip_with/aggregate in double precision, no UDF."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

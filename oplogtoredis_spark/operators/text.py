@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All four are pure Catalyst expressions (JVM-side, codegen, no UDFs):
+tokenization, language-ID heuristic, quality scoring, and an order-sensitive
+document fingerprint. Each has an exact DuckDB-oracle rendering (see
+__spark_entry__.py) — integer/rounded outputs so value-hash parity holds.
+
+Scale: every operator is a narrow projection — no shuffle, no state. At
+100 TB these run inside the scan stage; only downstream groupBys shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import MERSENNE31, portable_hash31
+
+# small fixed stopword inventory (language-ID heuristic).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB mirror: string_split_regex(trim(x),'\\s+')."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish count: word pieces + digit runs + punctuation marks, the
+    cheap regex stand-in for a BPE tokenizer's length estimate."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]"), 0)
+    return F.size(pieces)
+
+
+def en_stopword_hits(text: Column) -> Column:
+    """# of distinct English stopwords present (language-ID signal)."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+
+
+def lang_guess(text: Column, min_hits: int = 2) -> Column:
+    """'en' if ≥ min_hits distinct English stopwords appear, else 'unk'."""
+    return F.when(en_stopword_hits(text) >= F.lit(min_hits), F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """share of alphabetic characters, 4 decimals."""
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.round(alpha / F.length(text), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: token mass, alpha share,
+    stopword presence. Deterministic, rounded for oracle parity."""
+    n = token_count(text)
+    length_term = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(en_stopword_hits(text) / F.lit(5.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_term + 0.4 * alpha_ratio(text) + 0.2 * stop_term, 4
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    Position-weighted word-hash sum mod 2^31-1: reordering words changes the
+    value, identical content collides. Spark's 0-based transform index is
+    shifted to match DuckDB's 1-based lambda index.
+    """
+    toks = tokens(text)
+    weighted = F.transform(
+        toks, lambda w, i: (portable_hash31(w) * (i + F.lit(1))) % F.lit(MERSENNE31)
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: (acc + x) % F.lit(MERSENNE31)
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with all derived text features."""
+    t = F.col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        en_stopword_hits(t).alias("en_stopword_hits"),
+        lang_guess(t).alias("lang_guess"),
+        alpha_ratio(t).alias("alpha_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

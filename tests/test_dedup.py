@@ -1,0 +1,92 @@
+"""Dedup-family operator tests with planted duplicates/near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.dedup import (
+    content_hash_dedup,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash16,
+    simhash_dup_groups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "a sunny window sill and dreams of chasing birds in the garden"
+)
+NEAR = BASE.replace("sunny", "rainy")  # one token differs → high jaccard
+FAR = "completely different text about spark query engines and shuffle layout"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE), (4, "tiny")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = content_hash_dedup(docs, "doc_id", "text").toPandas()
+    dup_groups = out[out["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keep_id"] == 0  # min id survives
+    assert dup_groups.iloc[0]["n_dups"] == 2
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert sorted(got[0].s) == ["a b c", "b c d"]
+    assert got[1].s == []  # shorter than n → no shingles
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got          # near-dup found
+    assert (0, 3) in got          # exact dup found (jaccard 1.0)
+    assert (0, 2) not in got      # unrelated text not matched
+    exact = pairs.set_index(["id_a", "id_b"]).loc[(0, 3), "jaccard"]
+    assert exact == 1.0
+
+
+def test_minhash_signature_identical_for_identical_docs(spark, docs):
+    sig = minhash_signature(docs, "doc_id", "text").toPandas().set_index("id")
+    assert (sig.loc[0] == sig.loc[3]).all()
+    # near-dup shares most minhashes
+    agree = (sig.loc[0] == sig.loc[1]).sum()
+    assert agree >= 10  # of 16
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 3) in got and (0, 1) in got
+    # verified candidates are a subset of exact-jaccard pairs
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).toPandas()
+    exact_set = {tuple(r) for r in exact[["id_a", "id_b"]].itertuples(index=False)}
+    assert got <= exact_set
+
+
+def test_simhash(spark, docs):
+    s = simhash16(docs, "doc_id", "text").toPandas().set_index("id")
+    assert s.loc[0, "simhash"] == s.loc[3, "simhash"]
+    assert 0 <= s.loc[0, "simhash"] < 2**16
+    groups = simhash_dup_groups(docs, "doc_id", "text").toPandas()
+    assert (groups["n_docs"] >= 2).all()
+    assert len(groups) >= 1
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).toPandas()
+    assert list(pairs[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
+    assert pairs.iloc[0]["cosine"] > 0.99

@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched decode stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    asset_stats,
+    decode_assets,
+    frame_sample,
+    make_fake_header,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (0, "image", make_fake_header(640, 480, 1) + b"pixels", '{"src":"a"}'),
+        (1, "video", make_fake_header(1920, 1080, 300) + b"frames", None),
+        (2, "audio", make_fake_header(0, 0, 44100) + b"samples", None),
+        (3, "image", None, None),  # missing payload
+        (4, "image", b"short", None),  # truncated header
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_asset_stats_native(spark, assets):
+    out = asset_stats(assets).toPandas().set_index("asset_id")
+    assert out.loc[0, "n_bytes"] == 8 + len(b"pixels")
+    assert out.loc[3, "n_bytes"] != out.loc[3, "n_bytes"] or out.loc[3, "n_bytes"] is None or str(out.loc[3, "n_bytes"]) == "nan"
+    assert len(out.loc[0, "data_sha256"]) == 64
+
+
+def test_decode_fake_headers(spark, assets):
+    out = decode_assets(assets).toPandas().set_index("asset_id")
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (640, 480)
+    assert out.loc[1, "frames"] == 300
+    assert out.loc[2, "frames"] == 44100
+    # null / truncated payloads decode to nulls, never crash the batch
+    import pandas as pd
+
+    assert pd.isna(out.loc[3, "width"]) and pd.isna(out.loc[4, "width"])
+
+
+def test_strict_mode_marks_missing_codec(spark, assets):
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        decode_assets(assets, strict=True).collect()
+
+
+def test_frame_sample(spark, assets):
+    dec = decode_assets(assets)
+    frames = frame_sample(dec, every_n=100).toPandas()
+    vid = frames[frames["asset_id"] == 1]
+    assert list(vid["frame_idx"]) == [0, 100, 200]

@@ -1,0 +1,73 @@
+"""ANN similarity-search tests: brute-force exactness + LSH recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.similarity import (
+    ann_lsh_bucketed,
+    cosine_topk_bruteforce,
+    lsh_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_bruteforce_planted_neighbor(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    out = cosine_topk_bruteforce(df, q, k=2).toPandas()
+    assert list(out["neighbor_id"]) == [1, 2]
+    assert list(out["rank"]) == [1, 2]
+    assert out.iloc[0]["cosine"] > 0.99
+
+
+def test_bruteforce_on_fixture(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") < 3)
+    out = cosine_topk_bruteforce(embeddings, q, k=5).toPandas()
+    assert len(out) == 15  # 3 queries × 5
+    assert set(out["query_id"]) == {0, 1, 2}
+    # exact top-k: ranks are 1..5, scores non-increasing per query
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
+        sims = list(grp.sort_values("rank")["cosine"])
+        assert sims == sorted(sims, reverse=True)
+        assert qid not in set(grp["neighbor_id"])  # self excluded
+
+
+def test_lsh_bucket_deterministic(spark, embeddings):
+    b1 = embeddings.select(lsh_bucket(F.col("embedding").cast("array<double>")).alias("b")).toPandas()
+    b2 = embeddings.select(lsh_bucket(F.col("embedding").cast("array<double>")).alias("b")).toPandas()
+    assert b1.equals(b2)
+    assert b1["b"].between(0, 255).all()
+    assert b1["b"].nunique() > 1  # planes actually split the space
+
+
+def test_lsh_identical_vectors_same_bucket_rank1(spark):
+    rows = [(i, [float(i % 7 == j) for j in range(8)]) for i in range(7)]
+    rows.append((100, rows[0][1]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    out = ann_lsh_bucketed(df, q, k=3).toPandas()
+    assert out.iloc[0]["neighbor_id"] == 0
+    assert out.iloc[0]["cosine"] == 1.0
+
+
+def test_lsh_recall_vs_bruteforce(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, q, k=3).toPandas()
+    approx = ann_lsh_bucketed(embeddings, q, k=3, n_planes=4, n_tables=8).toPandas()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random 64-d vectors are the hardest case (weak neighbors); multi-table
+    # LSH must still recover a solid fraction of the true top-3
+    assert recall > 0.4, f"recall {recall}"

@@ -1,0 +1,62 @@
+"""Text-analysis operator tests (tokens, lang-id, quality, fingerprint)."""
+
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.text import (
+    bpe_ish_token_count,
+    en_stopword_hits,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    text_profile,
+    token_count,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col(F.col("text")).alias("v")).first().v
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "  leading and trailing  ", token_count) == 3
+
+
+def test_bpe_ish_count(spark):
+    # "hello" → hell+o (2 pieces), "x123!" → x,123,! (3)
+    assert _one(spark, "hello", bpe_ish_token_count) == 2
+    assert _one(spark, "x123!", bpe_ish_token_count) == 3
+
+
+def test_lang_guess(spark):
+    assert _one(spark, "the cat sat on a mat", lang_guess) == "en"
+    assert _one(spark, "zzz qqq www", lang_guess) == "unk"
+    assert _one(spark, "the the the", lang_guess) == "unk"  # distinct stopwords
+
+
+def test_stopword_hits_distinct(spark):
+    assert _one(spark, "the the a a of", en_stopword_hits) == 3
+
+
+def test_quality_bounds(spark):
+    q = _one(spark, "the quick brown fox and a dog in of to is it for on", quality_score)
+    assert 0.0 <= q <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    f1 = _one(spark, "alpha beta gamma", fingerprint)
+    f2 = _one(spark, "gamma beta alpha", fingerprint)
+    f3 = _one(spark, "alpha beta gamma", fingerprint)
+    assert f1 == f3 != f2
+    assert 0 <= f1 < 2**31
+
+
+def test_profile_on_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = text_profile(docs).limit(50).toPandas()
+    assert {"n_tokens", "lang_guess", "quality", "fingerprint"} <= set(prof.columns)
+    assert (prof["n_tokens"] > 0).all()
+    # fixture docs are SQL-keyword soup containing only 'a'/'the' as English
+    # stopwords — the heuristic should still tag a clear majority
+    assert (prof["lang_guess"] == "en").mean() > 0.5
