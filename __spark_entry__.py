@@ -48,12 +48,22 @@ _TOKS = "string_split_regex(trim({x}), '\\s+')"
 _EN_STOP = "['the','a','of','and','to','in','is','it','for','on']"
 
 
-def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small single-file input across all cores for CPU-heavy
+    per-row derivations (a one-row-group parquet file is otherwise ONE scan
+    task). At real scale inputs arrive in many splits and this is a no-op
+    decision; the repartition cost here is a few MB."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _ev(spark: SparkSession, sf_dir: str, par: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _par(spark, df) if par else df
+
+
+def _docs(spark: SparkSession, sf_dir: str, par: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _par(spark, df) if par else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +76,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_final_state(spark, sf_dir):
     """Flagship (B2 LWW + T9 + R1): events as a CDC stream keyed by user_id;
     op 'error'→delete, else upsert; final live state per key."""
-    ev = _ev(spark, sf_dir).select(
+    ev = _ev(spark, sf_dir, par=True).select(
         "user_id",
         "event_id",
         "event_type",
@@ -225,7 +235,7 @@ def q_changed_fields_v1(spark, sf_dir):
     """T4: v1 modifier update field extraction (native map/JSON exprs)."""
     from oplogtoredis_spark.functions.changed_fields import changed_fields
 
-    ev = _ev(spark, sf_dir).select(
+    ev = _ev(spark, sf_dir, par=True).select(
         "event_id", F.concat(F.lit('{"$v":1,"$set":'), "props", F.lit("}")).alias("o")
     )
     return ev.select(
@@ -243,7 +253,7 @@ def q_changed_fields_v2_shallow(spark, sf_dir):
     """T5: v2 shallow — i/u/d subtree keys + s-field names."""
     from oplogtoredis_spark.functions.changed_fields import changed_fields
 
-    ev = _ev(spark, sf_dir).select(
+    ev = _ev(spark, sf_dir, par=True).select(
         "event_id",
         F.concat(
             F.lit('{"$v":2,"diff":{"u":'), "props", F.lit(',"sfoo":{"a":true}}}')
@@ -264,7 +274,7 @@ def q_changed_fields_v2_deep(spark, sf_dir):
     """T6: v2 deep dotted paths (Arrow-batched pandas UDF)."""
     from oplogtoredis_spark.functions.changed_fields import changed_fields
 
-    ev = _ev(spark, sf_dir).select(
+    ev = _ev(spark, sf_dir, par=True).select(
         "event_id",
         F.concat(F.lit('{"$v":2,"diff":{"smeta":{"u":'), "props", F.lit("}}}")).alias("o"),
     )
@@ -284,7 +294,7 @@ def q_message_json(spark, sf_dir):
     from oplogtoredis_spark.functions.changed_fields import changed_fields
     from oplogtoredis_spark.functions.messages import message_json
 
-    ev = _ev(spark, sf_dir).select(
+    ev = _ev(spark, sf_dir, par=True).select(
         "event_id",
         F.when(F.col("event_type") == "error", "d").otherwise("i").alias("op"),
         F.col("props").alias("o"),
@@ -419,7 +429,7 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 # training-data operators over `documents` / `embeddings`
 # ---------------------------------------------------------------------------
-def q_dedup_exact_docs(spark, sf_dir):
+def q_dedup_exact_docs(spark, sf_dir, par=True):
     from oplogtoredis_spark.operators.dedup import content_hash_dedup
 
     return content_hash_dedup(_docs(spark, sf_dir), "doc_id", "text")
@@ -434,7 +444,7 @@ FROM documents GROUP BY 1
 def q_text_profile(spark, sf_dir):
     from oplogtoredis_spark.operators.text import text_profile
 
-    return text_profile(_docs(spark, sf_dir).select("doc_id", "text"))
+    return text_profile(_docs(spark, sf_dir, par=True).select("doc_id", "text"))
 
 
 SQL_TEXT_PROFILE = f"""
@@ -461,8 +471,8 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=2, threshold=0.9,
-        max_shingle_freq=10**9,
+        _docs(spark, sf_dir, par=True), "doc_id", "text", n=2, threshold=0.9,
+        max_shingle_freq=50,
     )
 
 
@@ -473,8 +483,12 @@ WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
      ELSE [] END) AS g FROM toks)),
  sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+ -- hot-shingle cap mirrors the Spark operator's max_shingle_freq=50:
+ -- shingles in >50 docs are dropped from candidate generation only
+ freq AS (SELECT gh FROM sh GROUP BY gh HAVING count(*) <= 50),
+ shf AS (SELECT sh.* FROM sh JOIN freq USING (gh)),
  common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-   FROM sh a JOIN sh b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+   FROM shf a JOIN shf b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
 FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.9
@@ -484,7 +498,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.9
 def q_minhash_signatures(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import minhash_signature
 
-    return minhash_signature(_docs(spark, sf_dir), "doc_id", "text", n=2).withColumnRenamed(
+    return minhash_signature(_docs(spark, sf_dir, par=True), "doc_id", "text", n=2).withColumnRenamed(
         "id", "doc_id"
     )
 
@@ -512,7 +526,7 @@ SELECT doc_id, {_sql_minhash_cols()} FROM hs
 def q_simhash(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import simhash16
 
-    return simhash16(_docs(spark, sf_dir), "doc_id", "text").withColumnRenamed(
+    return simhash16(_docs(spark, sf_dir, par=True), "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
 
@@ -586,7 +600,7 @@ def q_multimodal_stats(spark, sf_dir):
     """Binary-column plumbing: opaque bytes + typed metadata, no decode."""
     from oplogtoredis_spark.operators.multimodal import asset_stats
 
-    assets = _docs(spark, sf_dir).select(
+    assets = _docs(spark, sf_dir, par=True).select(
         F.col("doc_id").alias("asset_id"),
         F.lit("text").alias("kind"),
         F.col("text").cast("binary").alias("data"),

@@ -40,19 +40,21 @@ def content_hash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(text: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingles (distinct). 0-based transform index internally;
-    DuckDB mirrors with 1-based list indexing."""
+    """Word n-gram shingles (distinct).
+
+    Formulated as slice + zip_with so the token array is referenced a
+    CONSTANT number of times: an ``element_at(toks, i)`` inside a transform
+    lambda re-evaluates the underlying split() per element (no common-
+    subexpression elimination across lambda boundaries) — measured O(tokens²)
+    and ~10× slower at sf0.1.
+    """
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        nxt = F.slice(toks, 1 + j, length)
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(grams)
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -106,21 +108,26 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, m0..m15) MinHash signature over shingle hashes — higher-order
-    functions only, no UDF: each m_i = min over shingles of the i-th affine
-    permutation."""
-    sh = df.select(
+    functions only, no UDF.
+
+    Relational formulation: explode the (already distinct) shingle hashes to
+    rows, then ONE hash aggregate computes all 16 minima as scalar
+    ``min((a_i*h+b_i) % p)`` columns — whole-stage-codegen'd, map-side
+    partial agg, one small shuffle on the doc id. (Array-fold variants — 16×
+    ``array_min(transform(...))`` or a single ``aggregate`` with a 16-wide
+    zip_with — run interpreted per element and measured 10-16× slower at
+    sf0.1.) Docs with fewer than n tokens keep a row with null signature,
+    matching the SQL oracle's list_min([]) = NULL.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), n), lambda s: portable_hash31(s)).alias(
-            "hs"
-        ),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    ).select("id", portable_hash31(F.col("sh")).alias("h"))
+    sig = exploded.groupBy("id").agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}") for i in range(N_MINHASH)]
     )
-    cols = [
-        F.array_min(F.transform(F.col("hs"), lambda h: minhash_perm(h, i))).alias(
-            f"m{i}"
-        )
-        for i in range(N_MINHASH)
-    ]
-    return sh.select("id", *cols)
+    return ids.join(sig, on="id", how="left")
 
 
 def minhash_lsh_pairs(

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # small single-file inputs must still parallelize across all cores
+        # (one 5 MB parquet file would otherwise become ONE scan task)
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -62,11 +62,17 @@ _FILLER = (
 )
 
 
+# vectorized hex: a pre-built pool of 16-hex-char chunks indexed by random
+# ints — fancy indexing instead of per-row format() (10-50x faster at 10^7)
+_HEX_POOL = np.array([f"{i:04x}" for i in range(65536)])
+
+
 def _hex40(rng: np.random.Generator, n: int) -> np.ndarray:
-    a = rng.integers(0, 1 << 63, size=n, dtype=np.int64)
-    b = rng.integers(0, 1 << 63, size=n, dtype=np.int64)
-    c = rng.integers(0, 1 << 40, size=n, dtype=np.int64)
-    return np.array([f"{x:016x}{y:016x}{z:08x}" for x, y, z in zip(a, b, c)])
+    parts = [_HEX_POOL[rng.integers(0, 65536, size=n)] for _ in range(10)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.char.add(out, p)
+    return out
 
 
 def generate_events(
@@ -89,18 +95,16 @@ def generate_events(
     rng = np.random.default_rng(seed)
 
     # --- transaction grouping: group sizes 1 (1-txn_frac) or 2..5 ----------
-    sizes = []
-    total = 0
-    # draw group sizes in bulk until we cover n_events
-    while total < n_events:
-        chunk = rng.random(4096)
-        for r in chunk:
-            s = 1 if r >= txn_frac else int(2 + (r / txn_frac) * 4) % 4 + 2
-            sizes.append(s)
-            total += s
-            if total >= n_events:
-                break
-    sizes = np.array(sizes)
+    # vectorized: over-draw groups, then cut at the first cumsum ≥ n_events
+    r_all = rng.random(n_events + 8)
+    sizes_all = np.where(
+        r_all >= txn_frac,
+        1,
+        (2 + (np.minimum(r_all / max(txn_frac, 1e-12), 0.999999) * 4).astype(np.int64)) % 4 + 2,
+    )
+    cum = np.cumsum(sizes_all)
+    n_groups_needed = int(np.searchsorted(cum, n_events) + 1)
+    sizes = sizes_all[:n_groups_needed]
     n_groups = len(sizes)
     group_id = np.repeat(np.arange(n_groups), sizes)[:n_events]
     # tx_idx = position within group
@@ -127,10 +131,13 @@ def generate_events(
     )
     path_idx = rng.integers(0, paths_per_repo, n_events)
     lang_pick = _LANGS[(repo_idx * 7 + path_idx) % len(_LANGS)]
-    repo = pd.Series(repo_idx).map(lambda r: f"org{r % 17}/repo{r}").to_numpy()
-    path = np.array(
-        [f"src/m{p % 4}/file{p}.{l}" for p, l in zip(path_idx, lang_pick)]
-    )
+    repo = (
+        "org" + pd.Series(repo_idx % 17).astype(str) + "/repo" + pd.Series(repo_idx).astype(str)
+    ).to_numpy(dtype=object)
+    path = (
+        "src/m" + pd.Series(path_idx % 4).astype(str) + "/file"
+        + pd.Series(path_idx).astype(str) + "." + pd.Series(lang_pick).astype(str)
+    ).to_numpy(dtype=object)
 
     # --- ops ----------------------------------------------------------------
     r = rng.random(n_events)
@@ -139,18 +146,18 @@ def generate_events(
     op[(r >= 0.85) & (r < 0.95)] = "d"
     op[r >= 0.95] = "c"  # command rows → dropped by the op filter (F3)
 
-    # --- payload -------------------------------------------------------------
+    # --- payload (all vectorized: pandas str.cat / np.char) -----------------
     commit = _hex40(rng, n_events)
     rnd = rng.integers(0, 1 << 31, n_events)
     reps = max(1, content_chars // len(_FILLER) + 1)
-    body = _FILLER * reps
-    content = np.array(
-        [
-            f"# {rp}:{pt} commit {c[:12]} v{x}\n{body[: content_chars - 40]}"
-            for rp, pt, c, x in zip(repo, path, commit, rnd)
-        ],
-        dtype=object,
-    )
+    body = "\n" + (_FILLER * reps)[: content_chars - 40]
+    header = pd.Series(np.char.add("# ", repo.astype(str)))
+    content = (
+        header.str.cat(pd.Series(path).astype(str), sep=":")
+        .str.cat(pd.Series(np.char.add(np.char.ljust(commit.astype(str), 12), "")).str[:12], sep=" commit ")
+        .str.cat(pd.Series(rnd).astype(str), sep=" v")
+        + body
+    ).to_numpy(dtype=object)
     content[op == "d"] = None
     commit = commit.astype(object)
     commit[op == "d"] = None
@@ -217,6 +224,42 @@ def generate_events(
         df["stars"] = stars
 
     return df
+
+
+def write_events_chunked(
+    out_dir: str,
+    n_events: int,
+    n_chunks: int = 8,
+    files_per_chunk: int = 8,
+    seed: int = 42,
+    **gen_kwargs,
+) -> int:
+    """Large logs in bounded memory: n_chunks independent generator runs with
+    disjoint oplog-time ranges (chunk i is strictly later), each written as
+    its own parquet segments. Deterministic: chunk i uses seed+i.
+
+    Returns total event count. Keys overlap across chunks (same repo
+    namespace) so LWW work is realistic; exact-duplicate replays stay within
+    a chunk, mirroring a bounded replay window.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    per_chunk = n_events // n_chunks
+    for i in range(n_chunks):
+        df = generate_events(n_events=per_chunk, seed=seed + i, **gen_kwargs)
+        # shift chunk i's timestamps later than every prior chunk
+        df["ts"] = df["ts"] + (np.int64(i) * 10_000_000 << 32)
+        df["wall"] = df["wall"] + pd.Timedelta(seconds=10_000_000 * i)
+        df["seq"] = df["seq"] + total
+        df = df.assign(wall=df["wall"].astype("datetime64[us]"))
+        bounds = np.linspace(0, len(df), files_per_chunk + 1).astype(int)
+        for j in range(files_per_chunk):
+            part = df.iloc[bounds[j] : bounds[j + 1]]
+            part.to_parquet(
+                os.path.join(out_dir, f"events-{i:03d}-{j:03d}.parquet"), index=False
+            )
+        total += len(df)
+    return total
 
 
 def write_events(df: pd.DataFrame, out_dir: str, n_files: int = 8) -> list[str]:

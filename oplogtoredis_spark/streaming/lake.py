@@ -226,6 +226,20 @@ class LakeTable:
         from ..operators.lww import lww_collapse_salted
 
         payload = ["commit", "lang", "content", *extra_payload_cols]
+        # input-side metrics ride the batch's own pass (M1 analogues:
+        # received-by-op counters + read-side staleness gauge,
+        # lib/oplog/tail.go:71-137, lib/redispub/publisher.go:101-114)
+        in_obs = None
+        if "wall" in batch.columns:
+            from pyspark.sql import Observation as _Obs
+
+            in_obs = _Obs(f"in_{batch_id}")
+            batch = batch.observe(
+                in_obs,
+                F.count(F.lit(1)).alias("events_in"),
+                F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
+                F.max(F.col("wall")).alias("max_wall"),
+            )
         ev = batch.select("repo", "path", "ts", "tx_idx", "op", *payload)
         win = lww_collapse_salted(ev, key=("repo", "path"))
         src = win.select(
@@ -334,8 +348,80 @@ class LakeTable:
             "deletes": int(metrics.get("deletes") or 0),
             "wall_secs": round(time.time() - t0, 3),
         }
+        if in_obs is not None and affected:
+            im = in_obs.get
+            stats["events_in"] = int(im.get("events_in") or 0)
+            stats["deletes_in"] = int(im.get("deletes_in") or 0)
+            mw = im.get("max_wall")
+            if mw is not None:
+                # read-side staleness gauge (publish lag analogue)
+                stats["lag_secs"] = round(time.time() - mw.timestamp(), 3)
         self._append_lineage(epoch_key, stats)
         return stats
+
+    # ---------------- maintenance ----------------
+    def compact(self, spark: SparkSession, drop_tombstones_older_than_ts: int) -> dict:
+        """Rewrite every bucket, dropping tombstones whose total order is
+        older than the given encoded timestamp — the analogue of the
+        reference's dedup-key TTL expiry (SETEX, lib/redispub/publisher.go:
+        41-62 + lib/config/main.go:88-100): once the replay window has
+        passed, a delete's tombstone is no longer needed to fence late
+        older events and can be reclaimed.
+
+        Runs as its own snapshot commit; safe between streaming batches
+        (single-writer discipline: call it from the same control loop).
+        """
+        m = self.manifest()
+        live = self.read(spark, include_deleted=True)
+        kept = live.where(
+            (~F.col("deleted")) | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
+        )
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:08d}"
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            kept.withColumn("pb", F.col("bucket"))
+            .repartition(m["n_buckets"], F.col("pb"))
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets = {}
+        for b in range(m["n_buckets"]):
+            bdir = os.path.join(out_dir, f"pb={b}")
+            if os.path.exists(bdir):
+                buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+        new_manifest = {**m, "version": new_version, "buckets": buckets}
+        self._write_manifest(new_manifest)
+        stats = {"compacted": True, "version": new_version}
+        self._append_lineage(f"compact:{new_version}", stats)
+        return stats
+
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Delete data directories referenced only by manifests older than
+        the last ``keep_last`` versions (Iceberg's expire_snapshots
+        analogue). Returns the number of directories removed."""
+        import shutil as _sh
+
+        cur = self.current_version()
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                referenced |= set(self.manifest(v)["buckets"].values())
+            except FileNotFoundError:
+                continue
+        data_root = os.path.join(self.path, "data")
+        removed = 0
+        if not os.path.isdir(data_root):
+            return 0
+        for snap in sorted(os.listdir(data_root)):
+            for b in os.listdir(os.path.join(data_root, snap)):
+                rel = os.path.join("data", snap, b)
+                if rel not in referenced:
+                    _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                    removed += 1
+        return removed
 
     # ---------------- lineage (per-partition/batch records) ----------------
     def _append_lineage(self, epoch_key, stats: dict) -> None:

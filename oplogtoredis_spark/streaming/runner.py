@@ -56,6 +56,48 @@ def make_batch_applier(
     return apply
 
 
+def resolve_start_policy(
+    checkpoint_dir: str, events_dir: str, cfg: EngineConfig
+) -> dict:
+    """S3 resume-point resolution (lib/oplog/tail.go:514-588).
+
+    - checkpoint exists → resume from it (Spark WAL offsets; the reference's
+      min-across-shards lastProcessedEntry read).
+    - no checkpoint + skip_backlog policy → start from the end of the log,
+      bounded by MaxCatchUp: only files modified within the catch-up window
+      are admitted (`modifiedAfter`), mirroring "fresh start = end of log"
+      (integration-tests/fault-injection/resume_test.go:17-97).
+    - no checkpoint, full-replay policy (the default here, and the only safe
+      one for replay-to-parity) → read everything; idempotent apply absorbs
+      any overlap. The reference's never-silently-skip rule
+      (tail.go:552-576) holds: an unreadable checkpoint dir raises instead
+      of skipping unless cfg.resume_from_end_on_failure is set.
+    """
+    import datetime
+
+    has_ckpt = os.path.isdir(os.path.join(checkpoint_dir, "offsets")) and bool(
+        os.listdir(os.path.join(checkpoint_dir, "offsets"))
+    )
+    opts: dict = {}
+    if has_ckpt:
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                f.read()
+        except OSError:
+            if not cfg.resume_from_end_on_failure:
+                raise RuntimeError(
+                    "checkpoint exists but is unreadable; refusing to silently "
+                    "skip events (set OTR_SPARK_RESUME_FROM_END_ON_FAILURE to override)"
+                )
+        return opts
+    if cfg.resume_from_end_on_failure:
+        cutoff = datetime.datetime.utcnow() - datetime.timedelta(
+            seconds=cfg.max_catch_up_seconds
+        )
+        opts["modifiedAfter"] = cutoff.strftime("%Y-%m-%dT%H:%M:%S")
+    return opts
+
+
 def start_stream(
     spark: SparkSession,
     events_dir: str,
@@ -67,6 +109,7 @@ def start_stream(
     available_now: bool = True,
     extra_payload_cols: tuple[str, ...] = (),
     fail_before_batch: int | None = None,
+    dedup_within_watermark: bool = False,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream."""
     from ..sources.schemas import TARGET_SCHEMA
@@ -74,17 +117,26 @@ def start_stream(
     if not LakeTable.exists(table_path):
         LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    for k, v in resolve_start_policy(checkpoint_dir, events_dir, cfg).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(events_dir)
     # filters + watermark run inside the micro-batch plan (pushed to the scan);
     # the watermark bounds state for streaming dedup variants and is the
     # MaxCatchUp analogue (lib/config/main.go:19,77-86)
     events = apply_all_filters(stream, cfg.denylist).withWatermark(
         "wall", f"{cfg.max_catch_up_seconds} seconds"
     )
+    if dedup_within_watermark:
+        # Spark-native analogue of the dedup-TTL SETEX keys
+        # (lib/redispub/publisher.go:41-62): state-store dedup on the event
+        # identity, expiring with the watermark — optional because the MERGE
+        # is already idempotent; this just cuts shuffle volume upstream.
+        events = events.dropDuplicatesWithinWatermark(
+            ["repo", "path", "ts", "tx_idx"]
+        )
     writer = events.writeStream.foreachBatch(
         make_batch_applier(
             table_path,
@@ -101,6 +153,20 @@ def start_stream(
     else:
         writer = writer.trigger(processingTime="1 second")
     return writer.start()
+
+
+def health(query: StreamingQuery) -> dict:
+    """H1 healthz analogue (reference main.go:301-345): liveness + progress
+    of the streaming query, suitable for a /healthz endpoint."""
+    p = query.lastProgress or {}
+    return {
+        "healthy": query.isActive and query.exception() is None,
+        "active": query.isActive,
+        "status": query.status,
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "exception": str(query.exception()) if query.exception() else None,
+    }
 
 
 def run_to_completion(
