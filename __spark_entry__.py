@@ -48,6 +48,18 @@ _TOKS = "string_split_regex(trim({x}), '\\s+')"
 _EN_STOP = "['the','a','of','and','to','in','is','it','for','on']"
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The deep changed-fields pandas UDF pickles by module reference; ship
+    the package zip to this session's Python workers once (idempotent) so
+    the queries work under ANY SparkSession, not just ours."""
+    if getattr(spark, "_otr_pkg_shipped", False):
+        return
+    from oplogtoredis_spark.session import _ship_package
+
+    _ship_package(spark)
+    spark._otr_pkg_shipped = True
+
+
 def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Spread a small single-file input across all cores for CPU-heavy
     per-row derivations (a one-row-group parquet file is otherwise ONE scan
@@ -57,16 +69,19 @@ def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _ev(spark: SparkSession, sf_dir: str, par: bool = False) -> DataFrame:
+    _ensure_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return _par(spark, df) if par else df
 
 
 def _docs(spark: SparkSession, sf_dir: str, par: bool = False) -> DataFrame:
+    _ensure_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _par(spark, df) if par else df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -38,6 +38,15 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # shuffle/spill scratch: prefer tmpfs in this sandbox (shared slow
+        # disk); clusters point this at local NVMe via spark-defaults
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "OTR_SPARK_LOCAL_DIR",
+                "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

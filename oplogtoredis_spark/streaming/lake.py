@@ -257,9 +257,18 @@ class LakeTable:
         new_schema = merge_schemas(current_schema, src.schema)
         src = conform_to_schema(src, new_schema)
 
-        # ---- manifest-level partition pruning: touch only affected buckets
+        # ---- manifest-level partition pruning: touch only affected buckets.
+        # Derived from the RAW batch (cheap scan), not from src: every key's
+        # winner lives in the same bucket as its events, and computing it
+        # from src would run the whole LWW collapse once for this collect
+        # and again for the write (measured 2x batch cost).
         affected = sorted(
-            r.bucket for r in src.select("bucket").distinct().collect()
+            r.b
+            for r in batch.select(
+                bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
         tgt = conform_to_schema(
             self.read(spark, include_deleted=True, buckets=affected), new_schema

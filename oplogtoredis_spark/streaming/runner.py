@@ -155,6 +155,35 @@ def start_stream(
     return writer.start()
 
 
+def make_multi_sink_applier(
+    table_paths: list[str],
+    extra_payload_cols: tuple[str, ...] = (),
+    epoch_ns: str = "",
+):
+    """R2 multi-destination fan-out (SURVEY.md §2): the reference publishes
+    every message to EVERY Redis destination (lib/oplog/tail.go:143-147,
+    main.go:67-139); here one micro-batch merges into every target table.
+    Each table keeps its own epoch bookkeeping, so a crash between sink
+    commits replays the batch and the already-committed tables skip it —
+    per-destination exactly-once, like the reference's per-destination
+    dedup keys."""
+
+    def apply(batch_df, batch_id: int):
+        batch_df.persist()
+        try:
+            for path in table_paths:
+                LakeTable(path).merge_batch(
+                    batch_df,
+                    batch_id,
+                    extra_payload_cols=extra_payload_cols,
+                    epoch_ns=epoch_ns,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return apply
+
+
 def health(query: StreamingQuery) -> dict:
     """H1 healthz analogue (reference main.go:301-345): liveness + progress
     of the streaming query, suitable for a /healthz endpoint."""
