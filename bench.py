@@ -92,7 +92,8 @@ def main() -> None:
     spark = get_spark(
         "otr-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 16),
+        shuffle_partitions=128,  # sized so a reduce partition of the largest
+        # shuffle fits execution memory at 32 concurrent tasks (spill-free)
         extra_conf={
             # CPU-heavy derivations over small inputs parallelize via the
             # explicit _par() repartitions in __spark_entry__; AQE keeps its
