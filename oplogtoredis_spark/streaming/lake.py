@@ -222,9 +222,6 @@ class LakeTable:
         n_buckets = m["n_buckets"]
         current_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
-        # ---- in-batch LWW collapse (salted two-phase vs hot keys) ----
-        from ..operators.lww import lww_collapse_salted
-
         payload = ["commit", "lang", "content", *extra_payload_cols]
         # input-side metrics ride the batch's own pass (M1 analogues:
         # received-by-op counters + read-side staleness gauge,
@@ -240,15 +237,15 @@ class LakeTable:
                 F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
                 F.max(F.col("wall")).alias("max_wall"),
             )
-        ev = batch.select("repo", "path", "ts", "tx_idx", "op", *payload)
-        win = lww_collapse_salted(ev, key=("repo", "path"))
-        src = win.select(
+        # events mapped straight to the target row shape (sha256 is computed
+        # AFTER winner selection — never for losing duplicates)
+        src = batch.select(
             "repo",
             "path",
             *payload,
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            F.lit(None).cast("string").alias("content_sha256"),
             F.col("ts").alias("last_ts"),
-            F.col("tx_idx").alias("last_tx_idx"),
+            F.col("tx_idx").cast("int").alias("last_tx_idx"),
             (F.col("op") == F.lit("d")).alias("deleted"),
             bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("bucket"),
         )
@@ -274,25 +271,59 @@ class LakeTable:
             self.read(spark, include_deleted=True, buckets=affected), new_schema
         )
 
-        # ---- the LWW MERGE as a full-outer join ----
+        # ---- the LWW MERGE as ONE union + aggregate (single shuffle) ----
+        # Existing rows and batch events union into one stream of candidate
+        # rows; the winner per key is max_by total order, with existing rows
+        # preferred on exact (ts, tx_idx) ties (a replayed event must read as
+        # a dedup hit, not an apply). Equivalent to
+        #   WHEN MATCHED AND src > tgt THEN UPDATE / WHEN NOT MATCHED INSERT
+        # but with no join: one hash-shuffled aggregate with map-side partial
+        # reduction — the same shape as the in-batch collapse, so the merge
+        # costs ONE wide shuffle total instead of agg + join.
         key = ["repo", "path"]
-        s = src.alias("s")
-        t = tgt.alias("t")
-        joined = t.join(s, on=key, how="full_outer")
-        src_order = total_order_col(F.col("s.last_ts"), F.col("s.last_tx_idx"))
-        tgt_order = total_order_col(F.col("t.last_ts"), F.col("t.last_tx_idx"))
-        src_wins = F.col("t.last_ts").isNull() | (
-            F.col("s.last_ts").isNotNull() & (src_order > tgt_order)
-        )
         data_cols = [f.name for f in new_schema.fields if f.name not in key]
-        merged = joined.select(
+        u = src.withColumn("_is_tgt", F.lit(False)).unionByName(
+            tgt.withColumn("_is_tgt", F.lit(True))
+        )
+        # skew mitigation (north_rule): two-phase reduce — phase 1 spreads a
+        # hot key over salts derived from the event identity, phase 2 sees at
+        # most n_salts candidates per key. Map-side partial agg already
+        # bounds per-task fan-in; the salt bounds reducer fan-in.
+        n_salts = 16
+        order = F.struct(
+            F.col("last_ts"), F.col("last_tx_idx"), F.col("_is_tgt").cast("int")
+        )
+        pay = F.struct(*[F.col(c) for c in data_cols], F.col("_is_tgt"))
+        salted = u.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("last_ts"), F.col("last_tx_idx")), F.lit(n_salts)),
+        )
+        p1 = salted.groupBy(*key, "_salt").agg(
+            F.max_by(pay, order).alias("_w"),
+            F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
+        )
+        p2 = p1.groupBy(*key).agg(
+            F.max_by(
+                F.col("_w"),
+                F.struct(F.col("_w.last_ts"), F.col("_w.last_tx_idx"), F.col("_w._is_tgt").cast("int")),
+            ).alias("_w"),
+            F.max("_had_src").alias("_had_src"),
+        )
+        win_applied = ~F.col("_w._is_tgt")
+        merged = p2.select(
             *key,
             *[
-                F.when(src_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                (
+                    # winner sha256 computed once per surviving row; target
+                    # winners keep their stored hash
+                    F.coalesce(F.col("_w.content_sha256"), F.sha2(F.col("_w.content"), 256)).alias(c)
+                    if c == "content_sha256"
+                    else F.col(f"_w.{c}").alias(c)
+                )
                 for c in data_cols
             ],
-            src_wins.alias("_applied"),
-            (F.col("s.last_ts").isNotNull() & ~src_wins).alias("_dedup_hit"),
+            win_applied.alias("_applied"),
+            (F.col("_w._is_tgt") & (F.col("_had_src") == 1)).alias("_dedup_hit"),
         )
         # metrics ride the same pass via observe() — no second job
         # (reference metrics analogue, SURVEY.md §2 M1; lib/redispub/publisher.go:64-114)
