@@ -358,10 +358,24 @@ class LakeTable:
             metrics = {"rows_out": 0, "applied": 0, "dedup_hits": 0, "deletes": 0}
 
         buckets = dict(m["buckets"])
+        bucket_rows: dict[str, int] = {}
         for b in affected:
             bdir = os.path.join(out_dir, f"pb={b}")
             if os.path.exists(bdir):
                 buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+                # per-partition lineage (north_star): row count per rewritten
+                # bucket, read from the parquet footers just written —
+                # driver-side metadata only, no extra Spark job
+                try:
+                    import pyarrow.parquet as pq
+
+                    bucket_rows[str(b)] = sum(
+                        pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                        for f in os.listdir(bdir)
+                        if f.endswith(".parquet")
+                    )
+                except Exception:
+                    pass
             else:
                 buckets.pop(str(b), None)  # bucket emptied (all rows gone)
 
@@ -386,6 +400,7 @@ class LakeTable:
             "applied": int(metrics.get("applied") or 0),
             "dedup_hits": int(metrics.get("dedup_hits") or 0),
             "deletes": int(metrics.get("deletes") or 0),
+            "bucket_rows": bucket_rows,
             "wall_secs": round(time.time() - t0, 3),
         }
         if in_obs is not None and affected:

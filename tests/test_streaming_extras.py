@@ -99,3 +99,6 @@ def test_lineage_has_input_metrics(spark, tmp_path):
     assert rec, "no input metrics recorded"
     assert rec[0]["events_in"] > 0
     assert "lag_secs" in rec[0]
+    # per-partition lineage: per-bucket row counts for every rewritten bucket
+    assert rec[0]["bucket_rows"], "no per-bucket lineage"
+    assert sum(rec[0]["bucket_rows"].values()) == rec[0]["rows_out"]
