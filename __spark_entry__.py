@@ -600,15 +600,54 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Multi-table LSH ANN — the 100 TB scale path. No SQL oracle (the LCG
-    hyperplane arithmetic is Spark-side only); the driver records a
-    rows-only check, and tests/test_similarity.py pins recall vs brute force."""
+    """Multi-table LSH ANN — the 100 TB scale path. The LCG hyperplane
+    arithmetic (operators/similarity.py:21-24) is portable integer math, so
+    the DuckDB oracle below reproduces buckets, candidates, and the exact
+    re-rank bit-for-bit; tests/test_similarity.py additionally pins recall
+    vs brute force."""
     from oplogtoredis_spark.operators.similarity import ann_lsh_bucketed
 
     emb = _emb(spark, sf_dir)
     return ann_lsh_bucketed(
         emb, emb.where(F.col("vec_id") < 3), k=5, n_planes=4, n_tables=8
     )
+
+
+def _sql_ann_lsh(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    """DuckDB mirror of ann_lsh_bucketed: same LCG plane weights
+    w(p,d) = ((1103515245*(p*1024+d)+12345) % 2000)/1000.0 - 1.0 (all
+    operands positive, so BIGINT % matches Spark's long %), same sign-bit
+    bucket per table, same candidate equality-join + exact cosine re-rank.
+    DuckDB list_transform indices are 1-based → (i-1) is the Spark dim d;
+    list_sum folds left like F.aggregate, so the proj sign matches."""
+
+    def proj(p_expr: str) -> str:
+        w = f"((((1103515245::BIGINT * (({p_expr}) * 1024 + (i - 1)) + 12345) % 2000) / 1000.0) - 1.0)"
+        return f"list_sum(list_transform(e, (x, i) -> x * {w}))"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(f'tbl * {n_planes} + {p}')} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ tb AS (SELECT vec_id, e, unnest(range({n_tables})) AS tbl FROM v),
+ bk AS (SELECT vec_id, e, tbl, ({bucket})::BIGINT AS bkt FROM tb),
+ q AS (SELECT * FROM bk WHERE vec_id < 3),
+ cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid
+          FROM bk c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt
+          WHERE c.vec_id != q.vec_id),
+ scored AS (SELECT qid query_id, nid neighbor_id,
+    round(list_dot_product(qv.e, cv.e) /
+          (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))), 4) AS cosine
+   FROM cand JOIN v qv ON qv.vec_id = cand.qid JOIN v cv ON cv.vec_id = cand.nid)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_multimodal_stats(spark, sf_dir):
@@ -700,6 +739,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": SQL_ANN_LSH,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
-        # ann_lsh_topk intentionally omitted: Spark-only scale path
     }
