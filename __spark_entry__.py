@@ -564,19 +564,16 @@ SQL_SIMHASH = _sql_simhash()
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    from oplogtoredis_spark.operators.dedup import embedding_cosine_pairs
+    """Embedding near-dup pairs via the LSH-bucketed scale path (equality
+    joins on (table, sign-bucket), exact cosine verify on candidates only —
+    no all-pairs product; plan pinned in tests/test_dedup.py). Brute force
+    (embedding_cosine_pairs) remains the pytest recall baseline only."""
+    from oplogtoredis_spark.operators.dedup import embedding_dup_pairs_lsh
 
-    return embedding_cosine_pairs(_emb(spark, sf_dir), "vec_id", "embedding", threshold=0.4)
-
-
-SQL_EMBEDDING_DUP_PAIRS = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
- s AS (SELECT a.vec_id id_a, b.vec_id id_b,
-   round(list_dot_product(a.e, b.e) /
-         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
-   FROM v a, v b WHERE a.vec_id < b.vec_id)
-SELECT * FROM s WHERE cosine >= 0.4
-"""
+    return embedding_dup_pairs_lsh(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        threshold=0.4, n_planes=4, n_tables=8,
+    )
 
 
 def q_ann_bruteforce_topk(spark, sf_dir):
@@ -613,13 +610,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
-def _sql_ann_lsh(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
-    """DuckDB mirror of ann_lsh_bucketed: same LCG plane weights
-    w(p,d) = ((1103515245*(p*1024+d)+12345) % 2000)/1000.0 - 1.0 (all
-    operands positive, so BIGINT % matches Spark's long %), same sign-bit
-    bucket per table, same candidate equality-join + exact cosine re-rank.
-    DuckDB list_transform indices are 1-based → (i-1) is the Spark dim d;
-    list_sum folds left like F.aggregate, so the proj sign matches."""
+def _sql_lsh_buckets(n_planes: int, n_tables: int) -> str:
+    """Shared DuckDB CTEs (v, tb, bk) mirroring lsh_bucket: same LCG plane
+    weights w(p,d) = ((1103515245*(p*1024+d)+12345) % 2000)/1000.0 - 1.0
+    (all operands positive, so BIGINT % matches Spark's long %), same
+    sign-bit bucket per table. DuckDB list_transform indices are 1-based →
+    (i-1) is the Spark dim d; list_sum folds left like F.aggregate, so the
+    proj sign matches."""
 
     def proj(p_expr: str) -> str:
         w = f"((((1103515245::BIGINT * (({p_expr}) * 1024 + (i - 1)) + 12345) % 2000) / 1000.0) - 1.0)"
@@ -630,9 +627,29 @@ def _sql_ann_lsh(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
         for p in range(n_planes)
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
  tb AS (SELECT vec_id, e, unnest(range({n_tables})) AS tbl FROM v),
- bk AS (SELECT vec_id, e, tbl, ({bucket})::BIGINT AS bkt FROM tb),
+ bk AS (SELECT vec_id, e, tbl, ({bucket})::BIGINT AS bkt FROM tb)"""
+
+
+SQL_EMBEDDING_DUP_PAIRS = f"""
+WITH {_sql_lsh_buckets(n_planes=4, n_tables=8)},
+ cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+          FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+          WHERE a.vec_id < b.vec_id),
+ s AS (SELECT id_a, id_b,
+   round(list_dot_product(va.e, vb.e) /
+         (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
+   FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+SELECT * FROM s WHERE cosine >= 0.4
+"""
+
+
+def _sql_ann_lsh(n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    """DuckDB mirror of ann_lsh_bucketed: shared bucket CTEs + candidate
+    equality-join + exact cosine re-rank with (cosine DESC, id ASC) ties."""
+    return f"""
+WITH {_sql_lsh_buckets(n_planes, n_tables)},
  q AS (SELECT * FROM bk WHERE vec_id < 3),
  cand AS (SELECT DISTINCT q.vec_id qid, c.vec_id nid
           FROM bk c JOIN q ON c.tbl = q.tbl AND c.bkt = q.bkt

@@ -248,3 +248,65 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs — the 100 TB path. Candidates are pairs
+    sharing a random-hyperplane sign bucket in ANY of ``n_tables`` plane
+    sets (equality join on (table, bucket) — never an all-pairs product),
+    then exact cosine ≥ τ verify on candidates only. Deterministic LCG
+    hyperplanes (similarity.py:21-24) make the candidate set — and thus the
+    result — bit-reproducible in the DuckDB oracle and across cluster sizes.
+
+    Plan shape: explode(n_tables) → self equality join on small keys →
+    distinct pair ids → two hash joins back to vectors → scalar cosine.
+    No BroadcastNestedLoopJoin / CartesianProduct (pinned by pytest).
+    """
+    from .similarity import _dot, _norm, lsh_bucket
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", _norm(F.col("v")))
+    buckets = vecs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col("v"), n_planes, table=t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on=["tbl", "bkt"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = vecs.withColumnsRenamed({"id": "id_a", "v": "va", "norm": "na"})
+    b = vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "norm": "nb"})
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

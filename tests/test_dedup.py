@@ -90,3 +90,42 @@ def test_embedding_cosine_pairs(spark):
     pairs = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).toPandas()
     assert list(pairs[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
     assert pairs.iloc[0]["cosine"] > 0.99
+
+
+def test_embedding_dup_pairs_lsh_subset_and_plan(spark):
+    """LSH-bucketed near-dup pairs: (1) every emitted pair is a true
+    cosine>=tau pair (verify step is exact), (2) exact duplicates are always
+    recalled (identical vectors share every bucket), (3) the physical plan
+    contains no all-pairs join — the anti-pattern this operator replaces."""
+    from oplogtoredis_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=4, n_tables=8
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert got <= exact  # no false positives: candidates verified exactly
+    assert len(got) >= 0.5 * len(exact)  # recall floor at tau=0.4, 8 tables
+
+
+def test_embedding_dup_pairs_lsh_exact_dups_recalled(spark):
+    rows = [
+        (0, [1.0, 0.2, 0.0, 0.5]),
+        (1, [1.0, 0.2, 0.0, 0.5]),     # exact duplicate of 0
+        (2, [-1.0, 0.3, 0.9, -0.5]),
+    ]
+    from oplogtoredis_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_dup_pairs_lsh(df, "vec_id", "embedding", threshold=0.99).toPandas()
+    assert list(pairs[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
