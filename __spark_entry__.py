@@ -189,22 +189,73 @@ WHERE NOT starts_with(event_type, 'sys') AND user_id != 0
 
 
 def q_txn_flatten(spark, sf_dir):
-    """T1: posexplode of per-key ordered op arrays → (key, tx_idx, op)."""
-    ev = _ev(spark, sf_dir).select(
-        "user_id", F.struct(_ts_ms().alias("ts_ms"), "event_id").alias("o")
+    """T1: the REAL flatten_transactions operator (operators/transactions.py)
+    over applyOps-style command rows constructed deterministically from
+    events — event_id % 10: 0-6 plain op, 7-8 a 2-op transaction, 9 a
+    depth-2 NESTED transaction (ref golden lib/oplog/tail_test.go:280-393).
+    The oracle derives the expected flat stream analytically from the same
+    arithmetic. (The previous registration was a contrived collect_list
+    re-derivation that never exercised the operator and would OOM on a hot
+    key at scale.)"""
+    from oplogtoredis_spark.operators.transactions import flatten_transactions
+
+    eid = F.col("event_id").cast("long")
+    m = eid % 10
+    x = eid * 10
+    child = lambda op, ns, i: F.concat(  # noqa: E731
+        F.lit('{"op":"' + op + '","ns":"' + ns + '","o":{"_id":'),
+        i.cast("string"),
+        F.lit("}}"),
     )
-    packed = ev.groupBy("user_id").agg(
-        F.transform(F.array_sort(F.collect_list("o")), lambda s: s.event_id).alias("ops")
+    txn2_o = F.concat(
+        F.lit('{"applyOps":['),
+        child("i", "app.events", x),
+        F.lit(","),
+        child("u", "app.events", x + 1),
+        F.lit("]}"),
     )
-    return packed.select(
-        "user_id", F.posexplode("ops").alias("tx_idx", "event_id")
+    nested_o = F.concat(
+        F.lit('{"applyOps":['),
+        child("i", "app.events", x),
+        F.lit(',{"op":"c","ns":"admin.$cmd","o":{"applyOps":['),
+        child("i", "app.events", x + 1),
+        F.lit(","),
+        child("d", "app.events", x + 2),
+        F.lit("]}}]}"),
+    )
+    raw = _ev(spark, sf_dir, par=True).select(
+        eid.alias("seq"),
+        eid.alias("ts"),
+        F.lit(None).cast("timestamp").alias("wall"),
+        F.when(m <= 6, F.lit("i")).otherwise(F.lit("c")).alias("op"),
+        F.when(m <= 6, F.lit("app.events")).otherwise(F.lit("admin.$cmd")).alias("ns"),
+        F.when(m <= 6, F.concat(F.lit('{"_id":'), eid.cast("string"), F.lit("}")))
+        .when(m <= 8, txn2_o)
+        .otherwise(nested_o)
+        .alias("o"),
+        F.lit(None).cast("string").alias("o2"),
+    )
+    flat = flatten_transactions(raw)
+    return flat.select(
+        "ts",
+        "tx_idx",
+        "op",
+        "ns",
+        F.get_json_object("o", "$._id").cast("long").alias("doc_id"),
     )
 
 
 SQL_TXN_FLATTEN = """
-WITH packed AS (
-  SELECT user_id, list(event_id ORDER BY epoch_ms(ts), event_id) AS ops FROM events GROUP BY user_id)
-SELECT user_id, generate_subscripts(ops, 1) - 1 AS tx_idx, unnest(ops) AS event_id FROM packed
+WITH e AS (SELECT event_id::BIGINT eid, event_id % 10 AS m FROM events),
+ plain AS (SELECT eid AS ts, 0 AS tx_idx, 'i' AS op, 'app.events' AS ns, eid AS doc_id
+           FROM e WHERE m <= 6),
+ t2 AS (SELECT eid AS ts, k AS tx_idx, CASE WHEN k = 0 THEN 'i' ELSE 'u' END AS op,
+               'app.events' AS ns, eid * 10 + k AS doc_id
+        FROM (SELECT eid, unnest([0, 1]) AS k FROM e WHERE m IN (7, 8))),
+ t3 AS (SELECT eid AS ts, k AS tx_idx, CASE WHEN k = 2 THEN 'd' ELSE 'i' END AS op,
+               'app.events' AS ns, eid * 10 + k AS doc_id
+        FROM (SELECT eid, unnest([0, 1, 2]) AS k FROM e WHERE m = 9))
+SELECT * FROM plain UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
 """
 
 

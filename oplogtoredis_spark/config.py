@@ -54,6 +54,13 @@ class EngineConfig:
     # (lib/config/main.go:204-219): if the checkpoint is unreadable, never
     # silently skip unless this is set.
     resume_from_end_on_failure: bool = False
+    # Reference DEFAULT resume semantics (lib/oplog/tail.go:526-540, distinct
+    # from the escape hatch above): "latest" = fresh start begins at the end
+    # of the log and a checkpoint older than MaxCatchUp skips to the end,
+    # both bounded by max_catch_up_seconds. "replay" (engine default — the
+    # only safe mode for replay-to-parity) = fresh start reads everything
+    # and a checkpoint of any age resumes with full catch-up.
+    start_mode: str = "replay"
 
     # --- denylist (lib/denylist/) -------------------------------------------
     denylist: tuple[str, ...] = field(default_factory=tuple)
@@ -75,6 +82,7 @@ class EngineConfig:
             resume_from_end_on_failure=_env_bool(
                 "OTR_SPARK_RESUME_FROM_END_ON_FAILURE", False
             ),
+            start_mode=os.environ.get("OTR_SPARK_START_MODE", "replay"),
             denylist=deny,
         )
 

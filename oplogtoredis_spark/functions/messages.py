@@ -58,3 +58,34 @@ def message_json(
     return F.when(id_str.isNull(), F.lit(None)).otherwise(
         F.when(id_is_oid, oid).otherwise(plain)
     )
+
+
+_OID_SCHEMA = "OBJECT<`$oid`: STRING>"  # schema_of_variant of {"$oid": "..."}
+
+
+def classify_doc_id(doc_json: Column) -> tuple[Column, Column, Column]:
+    """Typed _id extraction with the reference's supported-type contract
+    (ErrUnsupportedDocIDType, processor.go:16,48-66): string ids and 12-byte
+    ObjectIDs (extended JSON ``{"$oid": hex24}``) are supported; any other
+    type (number, bool, array, other object) is unprocessable and must go to
+    the dead-letter side output, not vanish.
+
+    Returns ``(id_str, id_is_oid, reason)`` — ``reason`` is null for
+    supported ids, else 'missing_doc_id' / 'unsupported_doc_id_type'.
+    Implementation is variant-typed (parse_json + schema_of_variant) so a
+    JSON number 42 is distinguished from the string "42" — a plain
+    get_json_object would conflate them.
+    """
+    v = F.try_parse_json(doc_json)
+    idv = F.try_variant_get(v, "$._id", "variant")
+    sch = F.schema_of_variant(idv)
+    oid = F.try_variant_get(idv, '$["$oid"]', "string")
+    id_is_oid = (sch == F.lit(_OID_SCHEMA)) & oid.rlike("^[0-9a-fA-F]{24}$")
+    id_str = F.coalesce(
+        F.when(sch == F.lit("STRING"), F.try_variant_get(v, "$._id", "string")),
+        F.when(id_is_oid, oid),
+    )
+    reason = F.when(idv.isNull(), F.lit("missing_doc_id")).when(
+        id_str.isNull(), F.lit("unsupported_doc_id_type")
+    )
+    return id_str, F.coalesce(id_is_oid, F.lit(False)), reason

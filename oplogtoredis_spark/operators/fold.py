@@ -79,6 +79,8 @@ def _unset_dotted(doc: dict, dotted: str) -> None:
 
 
 def _apply_v2_diff(doc: dict, diff: dict) -> None:
+    from ..functions.changed_fields import _is_array_operator
+
     for key, op in diff.items():
         if key in ("i", "u") and isinstance(op, dict):
             for k, v in op.items():
@@ -86,6 +88,23 @@ def _apply_v2_diff(doc: dict, diff: dict) -> None:
         elif key == "d" and isinstance(op, dict):
             for k in op:
                 doc.pop(k, None)
+        elif key.startswith("s") and key not in ("s",) and _is_array_operator(op):
+            # array operator {"a": true, "u<idx>": value}: index-set on the
+            # list field — checked BEFORE the generic s-recursion, like the
+            # reference (oplog_v2_converter.go:97-111); recursing would drop
+            # the update (the u<idx> key matches no object-diff case)
+            field = key[1:]
+            arr = doc.get(field)
+            if not isinstance(arr, list):
+                arr = []
+                doc[field] = arr
+            for ak, av in op.items():
+                if ak == "a":
+                    continue
+                idx = int(ak[1:])
+                while len(arr) <= idx:
+                    arr.append(None)
+                arr[idx] = av
         elif key.startswith("s") and isinstance(op, dict) and key not in ("s",):
             field = key[1:]
             sub = doc.get(field)
@@ -93,7 +112,6 @@ def _apply_v2_diff(doc: dict, diff: dict) -> None:
                 sub = {}
                 doc[field] = sub
             _apply_v2_diff(sub, op)
-        # array operators ('a' + u<idx>) are index-sets on lists:
         elif key == "a":
             continue
 

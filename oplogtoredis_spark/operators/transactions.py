@@ -37,24 +37,40 @@ def _is_txn(op_col, ns_col, o_col):
     )
 
 
-def flatten_transactions(raw: DataFrame, max_depth: int = 2) -> DataFrame:
+#: hard bound for the data-driven depth loop — Mongo itself bounds nested
+#: applyOps far below this; a log "deeper" than this is corrupt
+_MAX_DEPTH_CAP = 16
+
+
+def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFrame:
     """raw entries (ts, wall, op, ns, o, o2 — o/o2 JSON) → flat op stream with
     tx_idx. Non-transaction rows pass through with tx_idx=0.
 
     Each level: split txn rows, posexplode their children (children inherit
     ts/wall — tail.go:750-754), re-union with plain rows. Positions collected
     per level give the depth-first tx_idx at the end.
+
+    ``max_depth=None`` (default) iterates until a level produces no
+    transaction rows (data-driven, capped at _MAX_DEPTH_CAP), matching the
+    reference's unbounded recursion (tail.go:747-759). With an explicit
+    ``max_depth``, any residual applyOps row past the bound raises at
+    execution time (fail loud, SURVEY §7.3) instead of leaking an unexploded
+    command row into the stream.
     """
     # _txn_id identifies the originating command; _pos_i the explode positions.
     # Prefer a caller-supplied stable id (seq) — monotonically_increasing_id is
     # only deterministic when the two union branches rescan identically.
     base_id = F.col("seq") if "seq" in raw.columns else F.monotonically_increasing_id()
     df = raw.withColumn("_txn_id", F.struct(F.col("ts"), base_id.alias("id")))
+    data_driven = max_depth is None
+    bound = _MAX_DEPTH_CAP if data_driven else max_depth
     pos_cols: list[str] = []
-    for level in range(max_depth):
+    for level in range(bound):
+        is_txn = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
+        if data_driven and level > 0 and df.where(is_txn).limit(1).isEmpty():
+            break  # no txn rows left — one cheap probe job per extra level
         pos = f"_pos{level}"
         pos_cols.append(pos)
-        is_txn = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
         plain = df.where(~is_txn).withColumn(pos, F.lit(-1))
         txns = df.where(is_txn)
         exploded = txns.select(
@@ -75,15 +91,35 @@ def flatten_transactions(raw: DataFrame, max_depth: int = 2) -> DataFrame:
             pos,
         )
         df = plain.unionByName(exploded, allowMissingColumns=True)
+    # residual applyOps row past the bound ⇒ corrupt/over-deep log: raise at
+    # execution (folded into `op` so column pruning can't drop the check)
+    residual = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
+    df = df.withColumn(
+        "op",
+        F.when(
+            residual,
+            F.raise_error(
+                F.lit(
+                    f"applyOps nested deeper than {bound} levels - raise "
+                    "max_depth or use max_depth=None (data-driven)"
+                )
+            ),
+        ).otherwise(F.col("op")),
+    )
     # depth-first rank within the parent command = dense position ordering;
-    # levels are bounded (≤2), so rank = sum over levels of pos offsets is
-    # equivalent to row_number over the lexicographic (pos0, pos1) order.
-    # Real transactions are small (Mongo caps applyOps well below 2^16), so
-    # a per-command window over at most a few hundred rows is shuffle-local.
+    # levels are bounded, so rank = row_number over the lexicographic
+    # (pos0, pos1, ...) order. Real transactions are small (Mongo caps
+    # applyOps well below 2^16), so a per-command window over at most a few
+    # hundred rows is shuffle-local.
     from pyspark.sql.window import Window
 
+    if not pos_cols:  # max_depth=0: pass-through with the residual guard
+        return df.withColumn("tx_idx", F.lit(0).cast("int")).drop("_txn_id")
     w = Window.partitionBy("_txn_id").orderBy(*[F.col(c).asc() for c in pos_cols])
-    was_txn = F.greatest(*[F.col(c) for c in pos_cols]) >= 0
+    was_txn = (
+        F.col(pos_cols[0]) if len(pos_cols) == 1
+        else F.greatest(*[F.col(c) for c in pos_cols])
+    ) >= 0
     out = df.withColumn(
         "tx_idx",
         F.when(was_txn, F.row_number().over(w) - 1).otherwise(F.lit(0)).cast("int"),

@@ -203,6 +203,15 @@ def generate_events(
         )
         df = pd.concat([df, junk_rows], ignore_index=True)
 
+    if evolve:
+        # assigned BEFORE duplicate sampling so an exact-duplicate replay row
+        # is byte-identical to its original — otherwise the LWW winner among
+        # identical (repo, path, ts, tx_idx) identities is payload-ambiguous
+        # (engine max_by arbitrary vs oracle keep-first)
+        stars = rng.integers(0, 10_000, len(df)).astype(object)
+        stars[df["op"].to_numpy() == "d"] = None
+        df["stars"] = stars
+
     # --- exact duplicates (HA replay) ----------------------------------------
     n_dup = int(len(df) * dup_frac)
     if n_dup:
@@ -210,18 +219,19 @@ def generate_events(
         df = pd.concat([df, dups], ignore_index=True)
 
     # --- arrival order: mostly ts order, bounded lateness ---------------------
-    order_key = df["ts"].to_numpy().astype(np.float64) * 64 + df["tx_idx"].to_numpy()
-    jitter = np.zeros(len(df))
+    # Integer sort key: dense-rank the encoded ts (raw ts*64 near 4.7e20
+    # exceeds float64 ulp 65536, which silently rounded ALL jitter away —
+    # arrival was exactly total order and lateness was never exercised).
+    # rank*64 + tx_idx leaves room for tx_idx (group sizes ≤ 5 << 64); a late
+    # event is displaced 1..late_window whole ts-steps, all in int64.
+    _, ts_rank = np.unique(df["ts"].to_numpy(), return_inverse=True)
+    order_key = ts_rank.astype(np.int64) * 64 + df["tx_idx"].to_numpy()
+    jitter = np.zeros(len(df), dtype=np.int64)
     late_mask = rng.random(len(df)) < late_frac
-    jitter[late_mask] = rng.integers(1, late_window, late_mask.sum()) * 64.0
+    jitter[late_mask] = rng.integers(1, late_window, late_mask.sum()) * 64
     arrival = np.argsort(order_key + jitter, kind="stable")
     df = df.iloc[arrival].reset_index(drop=True)
     df.insert(0, "seq", np.arange(len(df), dtype=np.int64))
-
-    if evolve:
-        stars = rng.integers(0, 10_000, len(df)).astype(object)
-        stars[df["op"].to_numpy() == "d"] = None
-        df["stars"] = stars
 
     return df
 

@@ -118,9 +118,20 @@ class LakeTable:
         manifest = {
             "version": 0,
             "schema": schema.json(),
+            # schema-id bookkeeping (Iceberg analogue: schema-id per data
+            # file): buckets written at the CURRENT schema id are read with
+            # an explicit schema — no per-epoch mergeSchema footer scan.
+            "schema_id": 0,
+            "schemas": {"0": schema.json()},
+            "bucket_schema_id": {},
             "n_buckets": n_buckets,
             "buckets": {},
             "applied_batch_ids": [],
+            # replay high-watermark per epoch namespace (checkpoint lineage):
+            # batch ids are monotonic within a lineage, so id <= watermark ⇒
+            # already applied. applied_batch_ids keeps only a recent window
+            # (commit cost stays O(1) over the stream's lifetime).
+            "applied_watermarks": {},
         }
         t._write_manifest(manifest)
         return t
@@ -155,8 +166,22 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
 
+    #: recent epoch keys kept verbatim in the manifest; older epochs are
+    #: covered by the per-namespace high-watermark (ADVICE: manifest size and
+    #: commit cost must not grow O(total batches) on a long-lived stream)
+    _REPLAY_WINDOW = 64
+
     def applied_batch_ids(self) -> set:
+        """Epoch keys in the recent replay window (older applied epochs are
+        summarized by ``applied_watermarks``; use :meth:`epoch_applied`)."""
         return set(self.manifest()["applied_batch_ids"])
+
+    def epoch_applied(self, epoch_ns: str, batch_id: int) -> bool:
+        m = self.manifest()
+        if f"{epoch_ns}:{batch_id}" in set(m["applied_batch_ids"]):
+            return True
+        wm = m.get("applied_watermarks", {}).get(epoch_ns)
+        return wm is not None and batch_id <= wm
 
     # ---------------- read ----------------
     def read(
@@ -173,6 +198,14 @@ class LakeTable:
         dirs = [os.path.join(self.path, d) for d in sel.values()]
         if not dirs:
             df = spark.createDataFrame([], schema)
+        elif all(
+            m.get("bucket_schema_id", {}).get(b) == m.get("schema_id", object())
+            for b in sel
+        ):
+            # fast path: every selected bucket was written at the current
+            # schema id — read with the explicit schema (no driver-side
+            # mergeSchema footer scan, measured 0.25-0.8 s per epoch)
+            df = spark.read.schema(schema).parquet(*dirs)
         else:
             # old snapshots may predate added columns → per-file schema union
             df = conform_to_schema(
@@ -189,6 +222,7 @@ class LakeTable:
         batch_id: int,
         extra_payload_cols: tuple[str, ...] = (),
         epoch_ns: str = "",
+        n_salts: int = 0,
     ) -> dict:
         """Idempotent LWW upsert of a change batch.
 
@@ -202,9 +236,13 @@ class LakeTable:
           WHEN NOT MATCHED THEN INSERT
         expressed as a full-outer join per key, which on a bucketed Iceberg
         table is exactly what MERGE INTO plans.
+
+        ``n_salts``: 0/1 = single-phase max_by — its map-side partial
+        aggregation already bounds a hot key's reducer fan-in to one partial
+        row per map task, which holds at any executor count. >1 enables the
+        two-phase salted reduce for merges whose combine step is NOT
+        algebraic (e.g. diff folding), where partial agg can't pre-collapse.
         """
-        t0 = time.time()
-        spark = batch.sparkSession
         # Epoch identity = (stream namespace, batch id): Spark batch ids are
         # only unique within one checkpoint lineage. A replay of the SAME
         # epoch (foreachBatch re-invocation after restart) is skipped here;
@@ -212,34 +250,67 @@ class LakeTable:
         # through the MERGE, where LWW + identity dedup make the effects
         # exactly-once anyway (reference HA semantics, HA_test.go:12-41).
         epoch_key = f"{epoch_ns}:{batch_id}"
-        if epoch_key in self.applied_batch_ids():
+        if self.epoch_applied(epoch_ns, batch_id):
             self._append_lineage(
                 epoch_key, {"batch_id": batch_id, "skipped_replay": True, "wall_secs": 0.0}
             )
             return {"skipped_replay": True}
+        # the batch feeds two jobs: affected-bucket discovery (column-pruned
+        # to repo/path — cheap) and the merge write. Caching the batch was
+        # measured SLOWER than the second scan (full-row materialization
+        # costs more than a pruned re-read) and would be memory-hostile for
+        # large micro-batches on a real cluster.
+        return self._apply_epoch(
+            batch, batch_id, epoch_key, epoch_ns, extra_payload_cols, n_salts
+        )
 
+    def _apply_epoch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        epoch_key: str,
+        epoch_ns: str,
+        extra_payload_cols: tuple[str, ...],
+        n_salts: int,
+    ) -> dict:
+        t0 = time.time()
+        spark = batch.sparkSession
         m = self.manifest()
         n_buckets = m["n_buckets"]
         current_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
         payload = ["commit", "lang", "content", *extra_payload_cols]
+        # unprocessable envelopes (reference metric lib/oplog/tail.go:109-114;
+        # fail-loud rule SURVEY §7.3): rows missing the identity the merge
+        # keys on can neither order nor route — they are COUNTED on the same
+        # pass (observe) and quarantined to the _deadletter side output after
+        # the commit, never silently dropped
+        dl_reason = (
+            F.when(F.col("repo").isNull(), F.lit("null_repo"))
+            .when(F.col("path").isNull(), F.lit("null_path"))
+            .when(F.col("ts").isNull(), F.lit("null_ts"))
+            .when(F.col("op").isNull(), F.lit("null_op"))
+        )
         # input-side metrics ride the batch's own pass (M1 analogues:
         # received-by-op counters + read-side staleness gauge,
         # lib/oplog/tail.go:71-137, lib/redispub/publisher.go:101-114)
-        in_obs = None
-        if "wall" in batch.columns:
-            from pyspark.sql import Observation as _Obs
+        from pyspark.sql import Observation as _Obs
 
-            in_obs = _Obs(f"in_{batch_id}")
-            batch = batch.observe(
-                in_obs,
-                F.count(F.lit(1)).alias("events_in"),
-                F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
-                F.max(F.col("wall")).alias("max_wall"),
-            )
+        in_obs = _Obs(f"in_{batch_id}")
+        in_aggs = [
+            F.count(F.lit(1)).alias("events_in"),
+            F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
+            F.sum(dl_reason.isNotNull().cast("long")).alias("unprocessable_in"),
+        ]
+        if "wall" in batch.columns:
+            in_aggs.append(F.max(F.col("wall")).alias("max_wall"))
+        batch = batch.observe(in_obs, *in_aggs)
+        from ..operators.deadletter import split_dead_letters
+
+        batch_ok, batch_dead = split_dead_letters(batch, dl_reason)
         # events mapped straight to the target row shape (sha256 is computed
         # AFTER winner selection — never for losing duplicates)
-        src = batch.select(
+        src = batch_ok.select(
             "repo",
             "path",
             *payload,
@@ -259,17 +330,20 @@ class LakeTable:
         # winner lives in the same bucket as its events, and computing it
         # from src would run the whole LWW collapse once for this collect
         # and again for the write (measured 2x batch cost).
+        t_plan = time.time()
         affected = sorted(
             r.b
-            for r in batch.select(
+            for r in batch_ok.select(
                 bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("b")
             )
             .distinct()
             .collect()
         )
+        t_affected = time.time()
         tgt = conform_to_schema(
             self.read(spark, include_deleted=True, buckets=affected), new_schema
         )
+        t_tgt = time.time()
 
         # ---- the LWW MERGE as ONE union + aggregate (single shuffle) ----
         # Existing rows and batch events union into one stream of candidate
@@ -285,30 +359,40 @@ class LakeTable:
         u = src.withColumn("_is_tgt", F.lit(False)).unionByName(
             tgt.withColumn("_is_tgt", F.lit(True))
         )
-        # skew mitigation (north_rule): two-phase reduce — phase 1 spreads a
-        # hot key over salts derived from the event identity, phase 2 sees at
-        # most n_salts candidates per key. Map-side partial agg already
-        # bounds per-task fan-in; the salt bounds reducer fan-in.
-        n_salts = 16
+        # skew mitigation (north_rule): max_by is algebraic, so map-side
+        # partial aggregation (partial_max_by, verified in BENCH/PLANS.md)
+        # already bounds a hot key's reducer fan-in to ONE partial row per
+        # map task — at 1000 executors a hot repo costs the reducer
+        # O(map tasks), not O(events). The optional two-phase salted reduce
+        # (n_salts > 1) spreads a hot key over n_salts reducers first; it is
+        # for merges whose combine step is not algebraic (diff folding) —
+        # for this LWW merge it adds a full extra exchange+sort (measured
+        # ~35% of epoch wall time) for no additional bound.
         order = F.struct(
             F.col("last_ts"), F.col("last_tx_idx"), F.col("_is_tgt").cast("int")
         )
         pay = F.struct(*[F.col(c) for c in data_cols], F.col("_is_tgt"))
-        salted = u.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("last_ts"), F.col("last_tx_idx")), F.lit(n_salts)),
-        )
-        p1 = salted.groupBy(*key, "_salt").agg(
-            F.max_by(pay, order).alias("_w"),
-            F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
-        )
-        p2 = p1.groupBy(*key).agg(
-            F.max_by(
-                F.col("_w"),
-                F.struct(F.col("_w.last_ts"), F.col("_w.last_tx_idx"), F.col("_w._is_tgt").cast("int")),
-            ).alias("_w"),
-            F.max("_had_src").alias("_had_src"),
-        )
+        if n_salts and n_salts > 1:
+            salted = u.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col("last_ts"), F.col("last_tx_idx")), F.lit(n_salts)),
+            )
+            p1 = salted.groupBy(*key, "_salt").agg(
+                F.max_by(pay, order).alias("_w"),
+                F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
+            )
+            p2 = p1.groupBy(*key).agg(
+                F.max_by(
+                    F.col("_w"),
+                    F.struct(F.col("_w.last_ts"), F.col("_w.last_tx_idx"), F.col("_w._is_tgt").cast("int")),
+                ).alias("_w"),
+                F.max("_had_src").alias("_had_src"),
+            )
+        else:
+            p2 = u.groupBy(*key).agg(
+                F.max_by(pay, order).alias("_w"),
+                F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
+            )
         win_applied = ~F.col("_w._is_tgt")
         merged = p2.select(
             *key,
@@ -343,6 +427,7 @@ class LakeTable:
         new_version = m["version"] + 1
         rel_dir = f"data/v{new_version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
+        t_write0 = time.time()
         if affected:
             (
                 merged.withColumn("pb", F.col("bucket"))
@@ -356,6 +441,17 @@ class LakeTable:
             # empty batch (everything filtered): no data change, but the
             # batch id must still commit so replay recognizes the epoch
             metrics = {"rows_out": 0, "applied": 0, "dedup_hits": 0, "deletes": 0}
+        t_written = time.time()
+
+        # schema-id bookkeeping: rewritten buckets carry the (possibly newly
+        # evolved) current schema id; untouched buckets keep their old id and
+        # read through the mergeSchema fallback until rewritten/compacted
+        schemas = dict(m.get("schemas", {"0": m["schema"]}))
+        schema_id = int(m.get("schema_id", 0))
+        if new_schema.json() != m["schema"]:
+            schema_id = max(int(k) for k in schemas) + 1
+            schemas[str(schema_id)] = new_schema.json()
+        bucket_schema_id = dict(m.get("bucket_schema_id", {}))
 
         buckets = dict(m["buckets"])
         bucket_rows: dict[str, int] = {}
@@ -363,6 +459,7 @@ class LakeTable:
             bdir = os.path.join(out_dir, f"pb={b}")
             if os.path.exists(bdir):
                 buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+                bucket_schema_id[str(b)] = schema_id
                 # per-partition lineage (north_star): row count per rewritten
                 # bucket, read from the parquet footers just written —
                 # driver-side metadata only, no extra Spark job
@@ -378,23 +475,49 @@ class LakeTable:
                     pass
             else:
                 buckets.pop(str(b), None)  # bucket emptied (all rows gone)
+                bucket_schema_id.pop(str(b), None)
+
+        # replay bookkeeping: recent epoch keys verbatim (bounded window) +
+        # per-namespace high-watermark covering everything older — manifest
+        # size and commit cost are O(1) over the stream's lifetime
+        recent = [str(x) for x in m["applied_batch_ids"]] + [epoch_key]
+        recent = recent[-self._REPLAY_WINDOW:]
+        watermarks = dict(m.get("applied_watermarks", {}))
+        prev_wm = watermarks.get(epoch_ns)
+        watermarks[epoch_ns] = batch_id if prev_wm is None else max(prev_wm, batch_id)
 
         new_manifest = {
             "version": new_version,
             "schema": new_schema.json(),
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "bucket_schema_id": bucket_schema_id,
             "n_buckets": n_buckets,
             "buckets": buckets,
-            "applied_batch_ids": sorted(
-                {str(x) for x in m["applied_batch_ids"]} | {epoch_key}
-            ),
+            "applied_batch_ids": recent,
+            "applied_watermarks": watermarks,
         }
         self._write_manifest(new_manifest)
+
+        # quarantine AFTER the commit, only when the observed count says the
+        # dead branch is non-empty (healthy logs pay zero extra jobs)
+        # the affected-bucket collect always ran over the observed plan, so
+        # the observation is complete even for an all-filtered batch
+        im = in_obs.get
+        n_dead = int(im.get("unprocessable_in") or 0)
+        if n_dead:
+            from ..operators.deadletter import quarantine
+
+            quarantine(
+                batch_dead, os.path.join(self.path, "_deadletter"), epoch_key
+            )
 
         stats = {
             "batch_id": batch_id,
             "epoch_key": epoch_key,
             "version": new_version,
             "affected_buckets": len(affected),
+            "unprocessable_in": n_dead,
             "schema_evolved": len(new_schema.fields) != len(current_schema.fields),
             "rows_out": int(metrics.get("rows_out") or 0),
             "applied": int(metrics.get("applied") or 0),
@@ -402,9 +525,18 @@ class LakeTable:
             "deletes": int(metrics.get("deletes") or 0),
             "bucket_rows": bucket_rows,
             "wall_secs": round(time.time() - t0, 3),
+            # per-phase breakdown (driver-observed): plan/setup, affected-
+            # bucket discovery job, target-read plan build, merge+write job,
+            # post-write bookkeeping (footers + manifest)
+            "phase_secs": {
+                "setup": round(t_plan - t0, 3),
+                "affected": round(t_affected - t_plan, 3),
+                "tgt_plan": round(t_tgt - t_affected, 3),
+                "merge_write": round(t_written - t_write0, 3),
+                "bookkeeping": round(time.time() - t_written, 3),
+            },
         }
-        if in_obs is not None and affected:
-            im = in_obs.get
+        if affected:
             stats["events_in"] = int(im.get("events_in") or 0)
             stats["deletes_in"] = int(im.get("deletes_in") or 0)
             mw = im.get("max_wall")
@@ -446,7 +578,14 @@ class LakeTable:
             bdir = os.path.join(out_dir, f"pb={b}")
             if os.path.exists(bdir):
                 buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
-        new_manifest = {**m, "version": new_version, "buckets": buckets}
+        # every surviving bucket is rewritten at the current schema
+        cur_sid = int(m.get("schema_id", 0))
+        new_manifest = {
+            **m,
+            "version": new_version,
+            "buckets": buckets,
+            "bucket_schema_id": {b: cur_sid for b in buckets},
+        }
         self._write_manifest(new_manifest)
         stats = {"compacted": True, "version": new_version}
         self._append_lineage(f"compact:{new_version}", stats)

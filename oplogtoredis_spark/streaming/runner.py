@@ -37,18 +37,22 @@ def make_batch_applier(
     extra_payload_cols: tuple[str, ...] = (),
     fail_before_batch: int | None = None,
     epoch_ns: str = "",
+    sink_factory=LakeTable,
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
     restart_test.go): raise BEFORE applying batch N — the query dies after
-    N-1 commits, and a restarted query must replay batch N-1' safely."""
+    N-1 commits, and a restarted query must replay batch N-1' safely.
+
+    ``sink_factory(path) -> UpsertSink`` (sink.py): the runner depends only
+    on the protocol — swap in an Iceberg-backed sink on a cluster."""
     seen = {"n": 0}
 
     def apply(batch_df, batch_id: int):
         if fail_before_batch is not None and seen["n"] >= fail_before_batch:
             raise RuntimeError(f"injected failure before batch {batch_id}")
         seen["n"] += 1
-        table = LakeTable(table_path)
+        table = sink_factory(table_path)
         table.merge_batch(
             batch_df, batch_id, extra_payload_cols=extra_payload_cols, epoch_ns=epoch_ns
         )
@@ -56,46 +60,86 @@ def make_batch_applier(
     return apply
 
 
+def _catch_up_cutoff_opts(cfg: EngineConfig) -> dict:
+    """Reader options for "start at the end of the log": admit only files
+    modified within the MaxCatchUp window (`modifiedAfter` on the file
+    source — the Spark-native expression of tail.go:526-540's bounded
+    catch-up)."""
+    import datetime
+
+    cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+        seconds=cfg.max_catch_up_seconds
+    )
+    return {"modifiedAfter": cutoff.strftime("%Y-%m-%dT%H:%M:%S")}
+
+
+def _archive_checkpoint(checkpoint_dir: str, reason: str) -> None:
+    """Move a checkpoint aside (never delete — auditable skip, the analogue
+    of the reference logging the skipped resume point, tail.go:536-539)."""
+    import time as _time
+
+    dst = f"{checkpoint_dir}.skipped-{reason}-{int(_time.time() * 1000)}"
+    os.replace(checkpoint_dir, dst)
+
+
 def resolve_start_policy(
     checkpoint_dir: str, events_dir: str, cfg: EngineConfig
 ) -> dict:
-    """S3 resume-point resolution (lib/oplog/tail.go:514-588).
+    """S3 resume-point resolution (lib/oplog/tail.go:514-588) — the full
+    decision matrix of tail_test.go:45-205, with the reference's TWO
+    independent knobs kept distinct:
 
-    - checkpoint exists → resume from it (Spark WAL offsets; the reference's
-      min-across-shards lastProcessedEntry read).
-    - no checkpoint + skip_backlog policy → start from the end of the log,
-      bounded by MaxCatchUp: only files modified within the catch-up window
-      are admitted (`modifiedAfter`), mirroring "fresh start = end of log"
-      (integration-tests/fault-injection/resume_test.go:17-97).
-    - no checkpoint, full-replay policy (the default here, and the only safe
-      one for replay-to-parity) → read everything; idempotent apply absorbs
-      any overlap. The reference's never-silently-skip rule
-      (tail.go:552-576) holds: an unreadable checkpoint dir raises instead
-      of skipping unless cfg.resume_from_end_on_failure is set.
+    * ``cfg.start_mode`` — the DEFAULT MaxCatchUp semantics
+      (lib/config/main.go:77-86, tail.go:526-540):
+        - "replay" (engine default; required for replay-to-parity): fresh
+          start reads the whole log; a checkpoint of ANY age resumes with
+          full catch-up. Nothing is ever skipped.
+        - "latest" (the reference's default): fresh start = end of log
+          (only files inside the MaxCatchUp window are admitted); a
+          checkpoint OLDER than MaxCatchUp is archived and the stream skips
+          to the recent window — the reference's "too far behind, jump to
+          end" rule (resume_test.go:17-97).
+    * ``cfg.resume_from_end_on_failure`` — the escape hatch
+      (lib/config/main.go:204-219): applies ONLY when the checkpoint is
+      UNREADABLE. Default off ⇒ raise (never silently skip,
+      tail.go:552-576); on ⇒ archive the corrupt checkpoint and start from
+      the end of the log.
+
+    Returns extra reader options; archiving the checkpoint (when the matrix
+    calls for it) happens here so `start_stream` stays declarative.
     """
-    import datetime
+    import time as _time
 
-    has_ckpt = os.path.isdir(os.path.join(checkpoint_dir, "offsets")) and bool(
-        os.listdir(os.path.join(checkpoint_dir, "offsets"))
-    )
-    opts: dict = {}
-    if has_ckpt:
-        try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                f.read()
-        except OSError:
-            if not cfg.resume_from_end_on_failure:
-                raise RuntimeError(
-                    "checkpoint exists but is unreadable; refusing to silently "
-                    "skip events (set OTR_SPARK_RESUME_FROM_END_ON_FAILURE to override)"
-                )
-        return opts
-    if cfg.resume_from_end_on_failure:
-        cutoff = datetime.datetime.utcnow() - datetime.timedelta(
-            seconds=cfg.max_catch_up_seconds
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    has_ckpt = os.path.isdir(offsets_dir) and bool(os.listdir(offsets_dir))
+    if not has_ckpt:
+        # fresh start: replay ⇒ everything; latest ⇒ end of log
+        return {} if cfg.start_mode == "replay" else _catch_up_cutoff_opts(cfg)
+
+    # checkpoint exists — is it readable?
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            f.read()
+    except OSError:
+        if not cfg.resume_from_end_on_failure:
+            raise RuntimeError(
+                "checkpoint exists but is unreadable; refusing to silently "
+                "skip events (set OTR_SPARK_RESUME_FROM_END_ON_FAILURE to override)"
+            )
+        _archive_checkpoint(checkpoint_dir, "unreadable")
+        return _catch_up_cutoff_opts(cfg)
+
+    if cfg.start_mode == "latest":
+        # checkpoint age = newest committed progress file; older than the
+        # MaxCatchUp window ⇒ too far behind, skip to the recent window
+        newest = max(
+            os.path.getmtime(os.path.join(offsets_dir, f))
+            for f in os.listdir(offsets_dir)
         )
-        opts["modifiedAfter"] = cutoff.strftime("%Y-%m-%dT%H:%M:%S")
-    return opts
+        if _time.time() - newest > cfg.max_catch_up_seconds:
+            _archive_checkpoint(checkpoint_dir, "stale")
+            return _catch_up_cutoff_opts(cfg)
+    return {}
 
 
 def start_stream(
@@ -110,12 +154,18 @@ def start_stream(
     extra_payload_cols: tuple[str, ...] = (),
     fail_before_batch: int | None = None,
     dedup_within_watermark: bool = False,
+    sink_factory=None,
 ) -> StreamingQuery:
-    """Start (or resume, if the checkpoint exists) the CDC apply stream."""
+    """Start (or resume, if the checkpoint exists) the CDC apply stream.
+
+    ``sink_factory``: UpsertSink constructor (sink.py protocol); default is
+    the built-in LakeTable (created here if absent)."""
     from ..sources.schemas import TARGET_SCHEMA
 
-    if not LakeTable.exists(table_path):
-        LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
+    if sink_factory is None:
+        sink_factory = LakeTable
+        if not LakeTable.exists(table_path):
+            LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
 
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
@@ -146,6 +196,7 @@ def start_stream(
             # within one checkpoint; a new checkpoint is a new at-least-once
             # read whose effects LWW dedup absorbs
             epoch_ns=os.path.abspath(checkpoint_dir),
+            sink_factory=sink_factory,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -205,10 +256,11 @@ def run_to_completion(
     checkpoint_dir: str,
     cfg: EngineConfig = DEFAULT_CONFIG,
     **kw,
-) -> LakeTable:
-    """Drain the whole log with availableNow and return the table."""
+):
+    """Drain the whole log with availableNow and return the sink (an
+    UpsertSink — LakeTable unless a sink_factory was given)."""
     q = start_stream(
         spark, events_dir, table_path, checkpoint_dir, cfg, available_now=True, **kw
     )
     q.awaitTermination()
-    return LakeTable(table_path)
+    return kw.get("sink_factory", LakeTable)(table_path)

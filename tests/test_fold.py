@@ -68,3 +68,34 @@ def test_parallel_across_keys(spark):
     assert len(out) == 50
     sample = next(r for r in out if r.path == "f7")
     assert json.loads(sample.doc_json) == {"k": 7, "k2": 14}
+
+
+def test_fold_v2_array_operator(spark):
+    """v2 array-index diff {"stags":{"a":true,"u2":"new"}} must SET index 2
+    of the list field, not vanish into the object-diff recursion
+    (oplog_v2_converter.go:97-111 checks isArrayOperator first)."""
+    rows = [
+        ("r", "p", 1, 0, "i", '{"tags": ["a", "b", "c"], "n": 1}'),
+        ("r", "p", 2, 0, "u", '{"$v": 2, "diff": {"stags": {"a": true, "u2": "new"}}}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, ts long, tx_idx int, op string, doc string"
+    )
+    out = fold_diff_events(df).collect()
+    assert len(out) == 1
+    doc = json.loads(out[0].doc_json)
+    assert doc["tags"] == ["a", "b", "new"]
+    assert doc["n"] == 1
+
+
+def test_fold_v2_array_operator_extends(spark):
+    # index past the current length null-fills, mirroring Mongo array set
+    rows = [
+        ("r", "p", 1, 0, "i", '{"tags": ["a"]}'),
+        ("r", "p", 2, 0, "u", '{"$v": 2, "diff": {"stags": {"a": true, "u3": "x"}}}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, ts long, tx_idx int, op string, doc string"
+    )
+    out = fold_diff_events(df).collect()
+    assert json.loads(out[0].doc_json)["tags"] == ["a", None, None, "x"]

@@ -160,3 +160,36 @@ def test_atomic_commit_visibility(spark, table, tmp_path):
     assert df_before.toPandas().iloc[0]["content"] == "v1"
     assert table.current_version() == v_before + 1
     assert table.read(spark).toPandas().iloc[0]["content"] == "v2"
+
+
+def test_merge_quarantines_unprocessable_rows(spark, tmp_path):
+    """Rows missing the merge identity (null repo/ts) are counted in lineage
+    and land in the _deadletter side output — never silently dropped
+    (reference unprocessable metric, lib/oplog/tail.go:109-114)."""
+    import os
+    from pyspark.sql import functions as F
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    rows = [
+        (0, 1 << 32, 0, "i", "r1", "p1", "c", "py", "body"),
+        (1, 2 << 32, 0, "i", None, "p2", "c", "py", "body"),   # null repo
+        (2, None, 0, "i", "r3", "p3", "c", "py", "body"),       # null ts
+        (3, 3 << 32, 0, "i", "r4", "p4", "c", "py", "body"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "seq long, ts long, tx_idx int, op string, repo string, path string,"
+        " commit string, lang string, content string",
+    )
+    stats = t.merge_batch(batch, 0, epoch_ns="dl")
+    assert stats["unprocessable_in"] == 2
+    assert stats["rows_out"] == 2  # only the processable rows merged
+    dl_dir = os.path.join(str(tmp_path / "t"), "_deadletter")
+    dead = spark.read.parquet(dl_dir)
+    assert dead.count() == 2
+    assert set(r.dl_reason for r in dead.collect()) == {"null_repo", "null_ts"}
+    assert dead.where(F.col("dl_epoch") == "dl:0").count() == 2
+    # lineage carries the counter
+    rec = [x for x in t.lineage() if x.get("unprocessable_in")]
+    assert rec and rec[0]["unprocessable_in"] == 2

@@ -20,19 +20,68 @@ DENY = ("denied_org/repo0", "denied_org/repo1")
 CFG = EngineConfig(denylist=DENY, target_buckets=8)
 
 
-def test_resume_policy_matrix(tmp_path):
+def _mk_ckpt(path: str, readable: bool = True, age_s: float = 0.0) -> None:
+    os.makedirs(os.path.join(path, "offsets"), exist_ok=True)
+    off = os.path.join(path, "offsets", "0")
+    open(off, "w").write("{}")
+    if age_s:
+        import time
+
+        old = time.time() - age_s
+        os.utime(off, (old, old))
+    if readable:
+        open(os.path.join(path, "metadata"), "w").write("{}")
+
+
+# Full decision matrix of lib/oplog/tail_test.go:45-205 — checkpoint state
+# (fresh / recent / stale / unreadable) × start_mode (replay=engine default,
+# latest=reference default MaxCatchUp) × escape hatch. Expected outcome:
+#   replay_all       — no source restriction
+#   resume           — no options, existing checkpoint drives the offsets
+#   skip_to_recent   — modifiedAfter cutoff (+ checkpoint archived if present)
+#   raise            — never silently skip (tail.go:552-576)
+_MATRIX = [
+    ("fresh", "replay", False, "replay_all"),
+    ("fresh", "latest", False, "skip_to_recent"),
+    ("recent", "replay", False, "resume"),
+    ("recent", "latest", False, "resume"),
+    ("stale", "replay", False, "resume"),  # replay mode never skips
+    ("stale", "latest", False, "skip_to_recent"),  # MaxCatchUp exceeded
+    ("unreadable", "replay", False, "raise"),
+    ("unreadable", "latest", False, "raise"),
+    ("unreadable", "replay", True, "skip_to_recent"),  # escape hatch
+    ("unreadable", "latest", True, "skip_to_recent"),
+]
+
+
+@pytest.mark.parametrize("ckpt_state,mode,escape,expect", _MATRIX)
+def test_resume_policy_matrix(tmp_path, ckpt_state, mode, escape, expect):
     ckpt = str(tmp_path / "ckpt")
-    # fresh start, full-replay default → no source restriction
-    assert resolve_start_policy(ckpt, "/x", CFG) == {}
-    # fresh start with skip-backlog policy → bounded catch-up window
-    skip_cfg = EngineConfig(resume_from_end_on_failure=True, max_catch_up_seconds=120)
-    opts = resolve_start_policy(ckpt, "/x", skip_cfg)
-    assert "modifiedAfter" in opts
-    # existing checkpoint → resume (no options)
-    os.makedirs(os.path.join(ckpt, "offsets"))
-    open(os.path.join(ckpt, "offsets", "0"), "w").write("{}")
-    open(os.path.join(ckpt, "metadata"), "w").write("{}")
-    assert resolve_start_policy(ckpt, "/x", CFG) == {}
+    if ckpt_state == "recent":
+        _mk_ckpt(ckpt)
+    elif ckpt_state == "stale":
+        _mk_ckpt(ckpt, age_s=9999)
+    elif ckpt_state == "unreadable":
+        _mk_ckpt(ckpt, readable=False)
+    cfg = EngineConfig(
+        start_mode=mode, resume_from_end_on_failure=escape, max_catch_up_seconds=120
+    )
+    if expect == "raise":
+        with pytest.raises(RuntimeError, match="refusing to silently skip"):
+            resolve_start_policy(ckpt, "/x", cfg)
+        assert os.path.isdir(ckpt)  # untouched
+        return
+    opts = resolve_start_policy(ckpt, "/x", cfg)
+    if expect in ("replay_all", "resume"):
+        assert opts == {}
+        if ckpt_state in ("recent", "stale"):
+            assert os.path.isdir(ckpt)  # resume keeps the checkpoint
+    else:  # skip_to_recent
+        assert "modifiedAfter" in opts
+        if ckpt_state in ("stale", "unreadable"):
+            # archived (audit trail), never deleted
+            assert not os.path.isdir(ckpt)
+            assert any(".skipped-" in d for d in os.listdir(tmp_path))
 
 
 def test_dedup_within_watermark_converges(spark, tmp_path):

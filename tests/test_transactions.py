@@ -91,3 +91,55 @@ def test_mixed_stream(spark):
     out = flatten_transactions(_raw(spark, rows)).orderBy("ts", "tx_idx").collect()
     got = [(r.op, r.tx_idx, r.ts >> 32) for r in out]
     assert got == [("i", 0, 1), ("i", 0, 2), ("d", 1, 2), ("c", 0, 3)]
+
+
+def test_depth3_nested_golden(spark):
+    # depth-3: txn[ A, txn[ b0, txn[c0, c1], b2 ], D ] — depth-first order
+    innermost = {"op": "c", "ns": "admin.$cmd",
+                 "o": {"applyOps": [
+                     {"op": "i", "ns": "db.c", "o": {"_id": "c0"}},
+                     {"op": "i", "ns": "db.c", "o": {"_id": "c1"}},
+                 ]}}
+    inner = {"op": "c", "ns": "admin.$cmd",
+             "o": {"applyOps": [
+                 {"op": "i", "ns": "db.c", "o": {"_id": "b0"}},
+                 innermost,
+                 {"op": "i", "ns": "db.c", "o": {"_id": "b2"}},
+             ]}}
+    children = [
+        {"op": "i", "ns": "db.c", "o": {"_id": "A"}},
+        inner,
+        {"op": "i", "ns": "db.c", "o": {"_id": "D"}},
+    ]
+    rows = [(0, 5 << 32, None, "c", "admin.$cmd", _txn_doc(children), None)]
+    # data-driven default handles depth 3 without a caller-tuned bound
+    out = flatten_transactions(_raw(spark, rows)).orderBy("tx_idx").collect()
+    ids = [json.loads(r.o)["_id"] for r in out]
+    assert ids == ["A", "b0", "c0", "c1", "b2", "D"]
+    assert [r.tx_idx for r in out] == [0, 1, 2, 3, 4, 5]
+
+
+def test_max_depth_1_single_level(spark):
+    # explicit max_depth=1 must work (regression: F.greatest needs 2+ cols)
+    children = [{"op": "i", "ns": "db.c", "o": {"_id": "a"}}]
+    rows = [
+        (0, 1 << 32, None, "c", "admin.$cmd", _txn_doc(children), None),
+        (1, 2 << 32, None, "i", "db.c", json.dumps({"_id": "p"}), None),
+    ]
+    out = flatten_transactions(_raw(spark, rows), max_depth=1).orderBy("ts").collect()
+    assert [(r.op, r.tx_idx) for r in out] == [("i", 0), ("i", 0)]
+
+
+def test_residual_depth_raises_loudly(spark):
+    # nesting deeper than an explicit bound must FAIL the job, not leak an
+    # unexploded command row into the stream (SURVEY §7.3 fail-loud)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    inner = {"op": "c", "ns": "admin.$cmd",
+             "o": {"applyOps": [{"op": "i", "ns": "db.c", "o": {"_id": "x"}}]}}
+    rows = [(0, 1 << 32, None, "c", "admin.$cmd", _txn_doc([inner]), None)]
+    flat = flatten_transactions(_raw(spark, rows), max_depth=1)
+    with pytest.raises(Exception) as exc:
+        flat.collect()
+    assert "nested deeper" in str(exc.value)
