@@ -32,29 +32,64 @@ QUIET_LOAD = float(os.environ.get("OTR_SCALING_QUIET_LOAD", "4"))
 QUIET_WAIT_S = int(os.environ.get("OTR_SCALING_QUIET_WAIT_S", "600"))
 
 _RUN_CODE = '''
-import sys, time, json, os, shutil
+import sys, time, json, os, shutil, urllib.request
 sys.path.insert(0, %(repo)r)
 from oplogtoredis_spark.session import get_spark
 from oplogtoredis_spark.plans.replay import replay_events_path
 from oplogtoredis_spark.streaming.runner import run_to_completion
 from oplogtoredis_spark.config import EngineConfig
+from pyspark.sql import functions as F
 cpus = int(os.environ["CPUS"])
-spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=128)
+spark = get_spark("scaling", master=f"local[{cpus}]", shuffle_partitions=128,
+                  extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"})
 spark.sparkContext.setLogLevel("ERROR")
 cfg = EngineConfig(denylist=("denied_org/repo0", "denied_org/repo1"), target_buckets=max(cpus, 16))
 spark.range(1000).count()
+
+def stage_totals():
+    """(executorCpuTime sec, executorRunTime sec) summed over completed
+    stages — total work done by all tasks, independent of parallelism. Flat
+    CPU-seconds across levels = the engine adds no serialization at 4N."""
+    base = "http://127.0.0.1:4049/api/v1/applications"
+    app = json.load(urllib.request.urlopen(base))[0]["id"]
+    st = json.load(urllib.request.urlopen(f"{base}/{app}/stages?status=COMPLETE"))
+    return (sum(s.get("executorCpuTime", 0) for s in st) / 1e9,
+            sum(s.get("executorRunTime", 0) for s in st) / 1e3)
+
 events = %(events)r
+out = {}
+c0, r0 = stage_totals()
 t0 = time.time()
 replay_events_path(spark, events, cfg).write.format("noop").mode("overwrite").save()
-batch = time.time() - t0
+out["batch"] = round(time.time() - t0, 2)
+c1, r1 = stage_totals()
+out["batch_cpu_s"], out["batch_run_s"] = round(c1 - c0, 1), round(r1 - r0, 1)
+
+# CPU-bound engine kernel (T6 deep changed-fields, Arrow pandas UDF): JSON
+# diff parsing in Python workers over every event — the per-row transform
+# path of the north_star, CPU-dominated rather than memory-bandwidth-bound
+ev = spark.read.parquet(events).select(F.coalesce(
+    F.col("diff"),
+    F.lit('{"$v":2,"diff":{"smeta":{"u":{"a":1,"b":2},"i":{"c":3}},"u":{"top":1}}}'),
+).alias("o"))
+from oplogtoredis_spark.functions.changed_fields import changed_fields
+t0 = time.time()
+ev.select(F.explode(changed_fields(F.lit("u"), F.col("o"), deep=True)).alias("f")) \
+  .where(F.col("f").isNotNull()).write.format("noop").mode("overwrite").save()
+out["kernel"] = round(time.time() - t0, 2)
+c2, r2 = stage_totals()
+out["kernel_cpu_s"], out["kernel_run_s"] = round(c2 - c1, 1), round(r2 - r1, 1)
+
 work = f"/dev/shm/otr_scaling_{cpus}"
 shutil.rmtree(work, ignore_errors=True)
 nf = len([f for f in os.listdir(events) if f.endswith(".parquet")])
 t0 = time.time()
 run_to_completion(spark, events, work + "/tbl", work + "/ckpt", cfg, max_files_per_trigger=max(4, nf // 8))
-stream = time.time() - t0
+out["stream"] = round(time.time() - t0, 2)
+c3, r3 = stage_totals()
+out["stream_cpu_s"], out["stream_run_s"] = round(c3 - c2, 1), round(r3 - r2, 1)
 shutil.rmtree(work, ignore_errors=True)
-print(json.dumps({"batch": round(batch, 2), "stream": round(stream, 2)}))
+print(json.dumps(out))
 spark.stop()
 '''
 
@@ -104,8 +139,23 @@ def main() -> None:
 
     b8, b32 = best(8, "batch"), best(32, "batch")
     s8, s32 = best(8, "stream"), best(32, "stream")
+    k8, k32 = best(8, "kernel"), best(32, "kernel")
     eff_batch = round((b8 / b32) / 4.0, 3)
     eff_stream = round((s8 / s32) / 4.0, 3)
+    eff_kernel = round((k8 / k32) / 4.0, 3)
+
+    def cpu_best(cpus: int, key: str) -> float:
+        # CPU-seconds of the least-contended run (paired with min wall)
+        vals = [
+            (r[key.replace("_cpu_s", "")], r[key]) for r in runs if r["cpus"] == cpus
+        ]
+        return min(vals)[1]
+
+    cpu_rows = []
+    for job in ("batch", "kernel", "stream"):
+        c8 = cpu_best(8, f"{job}_cpu_s")
+        c32 = cpu_best(32, f"{job}_cpu_s")
+        cpu_rows.append((job, c8, c32, round(c32 / c8, 2) if c8 else None))
 
     md = f"""# BENCH — scaling evidence (local[8] vs local[32], identical input)
 
@@ -123,8 +173,25 @@ recorded per run below). Per-level statistic: minimum (least-contended run).
 |---|---|---|---|---|
 | CDC batch replay (s) | {b8} | {b32} | {b8 / b32:.2f}× | **{eff_batch}** |
 | CDC batch replay (events/s) | {n_events / b8:,.0f} | {n_events / b32:,.0f} | | |
+| per-event transform kernel, T6 deep changed-fields (s) | {k8} | {k32} | {k8 / k32:.2f}× | **{eff_kernel}** |
+| transform kernel (events/s) | {n_events / k8:,.0f} | {n_events / k32:,.0f} | | |
 | CDC streaming apply (s) | {s8} | {s32} | {s8 / s32:.2f}× | **{eff_stream}** |
 | CDC streaming apply (events/s) | {n_events / s8:,.0f} | {n_events / s32:,.0f} | | |
+
+## Total task CPU-seconds per job (flat across levels ⇒ no serialization)
+
+Summed executorCpuTime over all completed stages (Spark stage metrics API),
+least-contended run per level. Wall-clock can saturate on this single
+shared memory subsystem, but if the 4N level did MORE total work (lock
+contention, serialization, extra passes) it would show here — a ratio ≈ 1
+means the engine gives the 4N cluster the same total work to spread over
+4× the hardware:
+
+| job | CPU-s @ local[8] | CPU-s @ local[32] | ratio (32/8) |
+|---|---|---|---|
+""" + "\n".join(
+        f"| {j} | {c8} | {c32} | {ratio} |" for j, c8, c32, ratio in cpu_rows
+    ) + """
 
 Reference single-node baseline (BASELINE.md): ~2,844 events/s end-to-end
 CDC apply. This engine: **{n_events / s32:,.0f} events/s** streaming apply and
@@ -155,14 +222,18 @@ query-suite timings at sf0.1 are produced separately by `python bench.py`
             {
                 "runs": runs,
                 "n_events": n_events,
-                "best": {"batch8": b8, "batch32": b32, "stream8": s8, "stream32": s32},
+                "best": {"batch8": b8, "batch32": b32, "stream8": s8, "stream32": s32,
+                         "kernel8": k8, "kernel32": k32},
+                "cpu_seconds": cpu_rows,
                 "efficiency_batch": eff_batch,
                 "efficiency_stream": eff_stream,
+                "efficiency_kernel": eff_kernel,
             },
             f,
             indent=2,
         )
-    print(json.dumps({"efficiency_batch": eff_batch, "efficiency_stream": eff_stream}))
+    print(json.dumps({"efficiency_batch": eff_batch, "efficiency_stream": eff_stream,
+                      "efficiency_kernel": eff_kernel}))
 
 
 if __name__ == "__main__":
