@@ -2,10 +2,12 @@
 
 One ``queries()`` entry per implemented operator from SURVEY.md §2 plus the
 training-data operators (dedup / similarity / text analysis / multimodal),
-each with a DuckDB ``oracle_sql()`` mirror wherever the semantics are
-SQL-expressible with exact value parity (portable sha256-based hashing,
-rounded doubles, integer arithmetic — see oplogtoredis_spark/functions/
-hashing.py). Only the multi-table LSH ANN omits its oracle (rows-only check).
+each with a DuckDB ``oracle_sql()`` mirror with exact value parity (portable
+sha256-based hashing, deterministic LCG hyperplanes, rounded doubles, integer
+arithmetic — see oplogtoredis_spark/functions/hashing.py and
+operators/similarity.py). EVERY registered query has an oracle — including
+the LSH ANN and LSH dedup scale paths, whose bucket arithmetic is mirrored
+bit-for-bit in SQL.
 """
 
 from __future__ import annotations
@@ -478,17 +480,33 @@ FROM events GROUP BY event_type
 
 
 def q_interval_max(spark, sf_dir):
-    """M2: interval-max metric — tumbling 1-minute window max."""
-    ev = _ev(spark, sf_dir)
+    """M2: interval-max metric with the reference's completed-interval
+    reporting discipline (interval_max_metric.go:18-315): per-minute maxima,
+    withholding the final PARTIAL interval (reporting clock = the log's max
+    ts). In streaming this discipline is a tumbling window in append mode
+    (operators/interval_max.py docstring)."""
+    from oplogtoredis_spark.operators.interval_max import interval_maxima
+
+    ev = _ev(spark, sf_dir).select(_ts_ms().alias("ts_ms"), F.col("value"))
+    per = interval_maxima(ev, F.col("ts_ms"), F.col("value"), 60_000)
+    now = ev.agg(F.max("ts_ms").alias("now_ms"))
     return (
-        ev.groupBy(F.unix_millis(F.date_trunc("minute", F.col("ts").cast("timestamp"))).alias("minute_ms"))
-        .agg(F.round(F.max("value"), 4).alias("max_value"))
+        per.join(F.broadcast(now))
+        .where(F.col("interval_start_ms") + 60_000 <= F.col("now_ms"))
+        .select(
+            "interval_start_ms", F.round(F.col("max_value"), 4).alias("max_value")
+        )
     )
 
 
 SQL_INTERVAL_MAX = """
-SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms, round(max(value),4) AS max_value
-FROM events GROUP BY 1
+WITH e AS (SELECT epoch_ms(ts) AS ts_ms, value FROM events),
+ per AS (SELECT (ts_ms // 60000) * 60000 AS interval_start_ms,
+                round(max(value), 4) AS max_value
+         FROM e GROUP BY 1),
+ n AS (SELECT max(ts_ms) AS now_ms FROM e)
+SELECT interval_start_ms, max_value FROM per, n
+WHERE interval_start_ms + 60000 <= now_ms
 """
 
 
@@ -587,6 +605,72 @@ WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
  hs AS (SELECT doc_id, list_transform(grams, g -> {_H31.format(x='g')}) AS hs FROM sh)
 SELECT doc_id, {_sql_minhash_cols()} FROM hs
 """
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — the scale path end-to-end: 16 minhashes
+    → 4 bands of 4 → band-bucket equality join → exact-Jaccard verify on
+    candidates only. Every hash is the portable sha256-based arithmetic, so
+    the oracle mirrors bands AND verify bit-for-bit."""
+    from oplogtoredis_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir, par=True), "doc_id", "text", n=2, bands=4,
+        verify_threshold=0.7,
+    )
+
+
+def _sql_minhash_lsh(bands: int = 4, verify_threshold: float = 0.7) -> str:
+    rows = N_MINHASH // bands
+    perms = [
+        f"list_min(list_transform(hs, h -> (({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MERSENNE31})))"
+        for i in range(N_MINHASH)
+    ]
+    sig_cols = ",\n   ".join(f"{p} AS m{i}" for i, p in enumerate(perms))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_no, {h} AS bh FROM sig".format(
+            b=b,
+            h=_H31.format(
+                x="'"
+                + str(b)
+                + "_' || "
+                + " || '_' || ".join(
+                    f"m{b * rows + r}::VARCHAR" for r in range(rows)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
+ grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+     ELSE [] END) AS g FROM toks),
+ hs AS (SELECT doc_id, list_transform(g, x -> {_H31.format(x='x')}) AS hs
+        FROM grams WHERE len(g) > 0),
+ sig AS (SELECT doc_id, {sig_cols} FROM hs),
+ bands AS ({band_rows}),
+ cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.bh = b.bh
+          WHERE a.doc_id < b.doc_id),
+ -- exact verify: n-gram Jaccard over the same shingle hashes (cap 100 =
+ -- ngram_jaccard_pairs' default inside minhash_lsh_pairs)
+ sh AS (SELECT doc_id, unnest(list_distinct(list_transform(g, x -> {_H31.format(x='x')}))) AS gh
+        FROM grams),
+ sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+ freq AS (SELECT gh FROM sh GROUP BY gh HAVING count(*) <= 100),
+ shf AS (SELECT sh.* FROM sh JOIN freq USING (gh)),
+ common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+   FROM shf a JOIN shf b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ exact AS (SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+   FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+SELECT c.id_a, c.id_b, e.jaccard
+FROM cand c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
+WHERE e.jaccard >= {verify_threshold}
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh()
 
 
 def q_simhash(spark, sf_dir):
@@ -772,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -804,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": SQL_TEXT_PROFILE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "simhash": SQL_SIMHASH,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
