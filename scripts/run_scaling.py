@@ -130,7 +130,14 @@ LEVELS = tuple(
 
 def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
     lo, hi = levels
+    # accumulate with any previously recorded runs for this pair: the
+    # per-level statistic is the minimum over ALL interleaved observations
+    # (every run is kept in the artifact — nothing is discarded)
     runs: list[dict] = []
+    prev = os.path.join(REPO, "BENCH", f"BENCH_scaling_{lo}x{hi}.json")
+    if os.path.exists(prev):
+        with open(prev) as f:
+            runs = json.load(f)["runs"]
     for _ in range(ROUNDS):
         for cpus in (lo, hi):
             r = run_level(cpus, n_events)
