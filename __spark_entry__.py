@@ -261,6 +261,47 @@ SELECT * FROM plain UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
 """
 
 
+def q_envelope_decode(spark, sf_dir):
+    """S4: raw JSON log lines → the 6-field envelope via parse_raw_envelope
+    (sources/envelope.py) — fixed-schema from_json, payload kept opaque,
+    encoded total-order ts = T<<32|I. Lines constructed deterministically
+    from events; malformed lines (every 13th) surface with null op rather
+    than failing the batch, mirroring tail.go:606-677's log-and-skip."""
+    from oplogtoredis_spark.sources.envelope import parse_raw_envelope
+
+    eid = F.col("event_id").cast("long")
+    line = F.concat(
+        F.lit('{"ts":{"t":'), eid.cast("string"),
+        F.lit(',"i":'), (eid % 4).cast("string"),
+        F.lit('},"op":"'),
+        F.when(eid % 3 == 0, F.lit("i")).when(eid % 3 == 1, F.lit("u")).otherwise(F.lit("d")),
+        F.lit('","ns":"app.'), F.col("event_type"),
+        F.lit('","o":{"_id":'), eid.cast("string"), F.lit("}}"),
+    )
+    raw = _ev(spark, sf_dir).select(
+        eid.alias("event_id"),
+        F.when(eid % 13 == 0, F.lit("not json")).otherwise(line).alias("raw"),
+    )
+    env = parse_raw_envelope(raw)
+    return env.select(
+        "event_id", "ts", "op", "ns",
+        F.get_json_object("o", "$._id").cast("long").alias("doc_id"),
+    )
+
+
+SQL_ENVELOPE_DECODE = """
+SELECT event_id,
+  CASE WHEN event_id % 13 = 0 THEN 0
+       ELSE (event_id::BIGINT << 32) | (event_id % 4) END AS ts,
+  CASE WHEN event_id % 13 = 0 THEN NULL
+       WHEN event_id % 3 = 0 THEN 'i'
+       WHEN event_id % 3 = 1 THEN 'u' ELSE 'd' END AS op,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE 'app.' || event_type END AS ns,
+  CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_id::BIGINT END AS doc_id
+FROM events
+"""
+
+
 def q_namespace_split(spark, sf_dir):
     """T2: "db.coll" SplitN(2) semantics."""
     from oplogtoredis_spark.functions.routing import split_namespace
@@ -840,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "denylist_filter": q_denylist_filter,
         "system_filter": q_system_filter,
         "txn_flatten": q_txn_flatten,
+        "envelope_decode": q_envelope_decode,
         "namespace_split": q_namespace_split,
         "doc_id_extract": q_doc_id_extract,
         "changed_fields_v1": q_changed_fields_v1,
@@ -873,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "denylist_filter": SQL_DENYLIST_FILTER,
         "system_filter": SQL_SYSTEM_FILTER,
         "txn_flatten": SQL_TXN_FLATTEN,
+        "envelope_decode": SQL_ENVELOPE_DECODE,
         "namespace_split": SQL_NAMESPACE_SPLIT,
         "doc_id_extract": SQL_DOC_ID_EXTRACT,
         "changed_fields_v1": SQL_CHANGED_FIELDS_V1,
