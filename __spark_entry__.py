@@ -237,7 +237,9 @@ def q_txn_flatten(spark, sf_dir):
         .alias("o"),
         F.lit(None).cast("string").alias("o2"),
     )
-    flat = flatten_transactions(raw)
+    # explicit bound (constructed data is depth-2): skips the data-driven
+    # per-level probe jobs; the residual guard still fails loud if wrong
+    flat = flatten_transactions(raw, max_depth=2)
     return flat.select(
         "ts",
         "tx_idx",
@@ -445,6 +447,70 @@ SQL_CHANNELS = """
 SELECT event_id, unnest(['app.' || event_type,
                          'app.' || event_type || '::' || event_id::VARCHAR]) AS channel
 FROM events
+"""
+
+
+def q_publications(spark, sf_dir):
+    """T2-T9 end-to-end (processOplogEntry golden path): raw entries →
+    namespace split → typed doc-id (updates read o2) → changed fields →
+    wire message → channel fan-out → sha256-LE pkey + shard, with
+    unsupported doc ids (every 11th: numeric) excluded to the dead-letter
+    side. Zero shuffles — the whole pipeline is one codegen'd map."""
+    from oplogtoredis_spark.operators.publications import derive_publications
+
+    eid = F.col("event_id").cast("long")
+    sid = F.concat(F.lit('"e'), eid.cast("string"), F.lit('"'))
+    oid = F.concat(
+        F.lit('{"$oid":"'), F.lpad(F.lower(F.hex(eid)), 24, "0"), F.lit('"}')
+    )
+    idj = (
+        F.when(eid % 11 == 0, eid.cast("string"))  # numeric → unsupported
+        .when(eid % 7 == 0, oid)
+        .otherwise(sid)
+    )
+    op = F.when(eid % 3 == 0, F.lit("i")).when(eid % 3 == 1, F.lit("u")).otherwise(F.lit("d"))
+    o = (
+        F.when(eid % 3 == 1, F.lit('{"$v":1,"$set":{"a":1,"c":3},"$unset":{"z":true}}'))
+        .otherwise(F.concat(F.lit('{"_id":'), idj, F.lit(',"a":1,"b":2}')))
+    )
+    o2 = F.when(eid % 3 == 1, F.concat(F.lit('{"_id":'), idj, F.lit("}")))
+    raw = _ev(spark, sf_dir, par=True).select(
+        eid.alias("event_id"),
+        op.alias("op"),
+        F.concat(F.col("event_type"), F.lit(".docs")).alias("ns"),
+        o.alias("o"),
+        o2.alias("o2"),
+    )
+    pubs, _dead = derive_publications(raw, n_shards=8)
+    return pubs.select("event_id", "channel", "msg", "pkey", "shard")
+
+
+SQL_PUBLICATIONS = f"""
+WITH e AS (SELECT event_id::BIGINT eid, event_type FROM events),
+ cls AS (SELECT eid, event_type,
+   CASE WHEN eid % 3 = 0 THEN 'i' WHEN eid % 3 = 1 THEN 'u' ELSE 'd' END AS op,
+   event_type || '.docs' AS ns,
+   CASE WHEN eid % 11 = 0 THEN NULL
+        WHEN eid % 7 = 0 THEN lpad(lower(hex(eid)), 24, '0') END AS oid_hex,
+   CASE WHEN eid % 11 = 0 THEN NULL
+        WHEN eid % 7 = 0 THEN NULL ELSE 'e' || eid::VARCHAR END AS sid
+   FROM e),
+ ok AS (SELECT * FROM cls WHERE oid_hex IS NOT NULL OR sid IS NOT NULL),
+ m AS (SELECT eid, op, ns,
+   coalesce(sid, oid_hex) AS id_str,
+   '{{"e":"' || (CASE WHEN op = 'd' THEN 'r' ELSE op END) || '","d":{{"_id":' ||
+   (CASE WHEN sid IS NOT NULL THEN '"' || sid || '"'
+         ELSE '{{"$type":"oid","$value":"' || oid_hex || '"}}' END) ||
+   '}},"f":' ||
+   (CASE WHEN op = 'i' THEN '["_id","a","b"]'
+         WHEN op = 'u' THEN '["a","c","z"]' ELSE '[]' END) || '}}' AS msg,
+   sha256(event_type) AS h
+   FROM ok),
+ k AS (SELECT eid, op, ns, id_str, msg, ('0x' || {_LE_HEX})::UBIGINT u FROM m),
+ p AS (SELECT eid AS event_id, ns, id_str, msg, {_SQL_PKEY} AS pkey FROM k)
+SELECT event_id, unnest([ns, ns || '::' || id_str]) AS channel, msg, pkey,
+       ((pkey % 8) + 8) % 8 AS shard
+FROM p
 """
 
 
@@ -890,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "message_json": q_message_json,
         "channels": q_channels,
         "parallelism_key": q_parallelism_key,
+        "publications": q_publications,
         "dedup_exact": q_dedup_exact,
         "lww_latest_per_user": q_lww_latest_per_user,
         "metrics_counts": q_metrics_counts,
@@ -924,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "message_json": SQL_MESSAGE_JSON,
         "channels": SQL_CHANNELS,
         "parallelism_key": SQL_PARALLELISM_KEY,
+        "publications": SQL_PUBLICATIONS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "lww_latest_per_user": SQL_LWW_LATEST,
         "metrics_counts": SQL_METRICS_COUNTS,
