@@ -780,6 +780,43 @@ WHERE e.jaccard >= {verify_threshold}
 SQL_MINHASH_LSH_PAIRS = _sql_minhash_lsh()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution: n-gram-Jaccard pairs (tau=0.9) resolved
+    into connected components by iterative min-label propagation — the
+    canonical post-pair dedup step (cluster_id = smallest member = the
+    survivor). Oracle: DuckDB recursive CTE transitive closure."""
+    from oplogtoredis_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir, par=True)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.9,
+                                max_shingle_freq=50)
+    return dedup_clusters(pairs, docs, id_col="doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
+ sh AS (SELECT DISTINCT doc_id, {_H31.format(x='g')} AS gh FROM (
+   SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+     THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+     ELSE [] END) AS g FROM toks)),
+ sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+ freq AS (SELECT gh FROM sh GROUP BY gh HAVING count(*) <= 50),
+ shf AS (SELECT sh.* FROM sh JOIN freq USING (gh)),
+ common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+   FROM shf a JOIN shf b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ pairs AS (SELECT id_a, id_b
+   FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+   WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.9),
+ edges AS (SELECT id_a s, id_b d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+ reach (id, label) AS (
+   SELECT doc_id, doc_id FROM documents
+   UNION
+   SELECT e.s, r.label FROM edges e JOIN reach r ON r.id = e.d
+ )
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import simhash16
 
@@ -966,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -1001,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,

@@ -250,6 +250,49 @@ def embedding_cosine_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    by iterative min-label propagation — (id, cluster_id) where cluster_id
+    is the smallest doc id in the component (the canonical survivor).
+    Singleton docs are their own cluster.
+
+    Plan shape per round: edges ⋈ labels (hash join on id) → min per node →
+    least(old, propagated). Convergence is checked with a cheap isEmpty
+    probe; rounds needed = graph diameter, which for near-dup clusters is
+    tiny (dup groups are dense cliques-ish). At web scale with adversarial
+    long chains, the large-star/small-star variant halves diameters per
+    round — same join primitives, noted here as the documented escalation.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new = labels.join(neigh, "id", "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+        )
+        new = new.localCheckpoint(eager=True)  # cut the iterative lineage
+        changed = new.alias("n").join(labels.alias("o"), "id").where(
+            F.col("n.label") != F.col("o.label")
+        )
+        labels = new
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,

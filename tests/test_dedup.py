@@ -129,3 +129,26 @@ def test_embedding_dup_pairs_lsh_exact_dups_recalled(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = embedding_dup_pairs_lsh(df, "vec_id", "embedding", threshold=0.99).toPandas()
     assert list(pairs[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Pairs (1-2), (2-3), (5-6) + singleton 4 → clusters {1,2,3}->1,
+    {5,6}->5, {4}->4 — transitive closure resolved by label propagation."""
+    from oplogtoredis_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 9-hop chain exercises multi-round propagation to convergence
+    from oplogtoredis_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, ids).collect()}
+    assert got == {i: 1 for i in range(1, 11)}
