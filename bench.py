@@ -40,15 +40,21 @@ HEADLINE = [
     "cdc_final_state",
     "lww_latest_per_user",
     "txn_flatten",
+    "envelope_decode",
     "parallelism_key",
     "message_json",
+    "publications",
     "changed_fields_v2_deep",
     "interval_max",
     "text_profile",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash",
+    "embedding_dup_pairs",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -312,26 +312,11 @@ def embedding_dup_pairs_lsh(
     distinct pair ids → two hash joins back to vectors → scalar cosine.
     No BroadcastNestedLoopJoin / CartesianProduct (pinned by pytest).
     """
-    from .similarity import _dot, _norm, lsh_bucket
+    from .similarity import _dot, _norm, lsh_bucket_tables
 
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("norm", _norm(F.col("v")))
-    buckets = vecs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("v"), n_planes, table=t).alias("bkt"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+    buckets = lsh_bucket_tables(df, id_col, vec_col, n_planes, n_tables).select(
+        F.col("_id").alias("id"), "tbl", "bkt"
+    )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), on=["tbl", "bkt"])
@@ -339,6 +324,10 @@ def embedding_dup_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", _norm(F.col("v")))
     a = vecs.withColumnsRenamed({"id": "id_a", "v": "va", "norm": "na"})
     b = vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "norm": "nb"})
     return (

@@ -94,6 +94,50 @@ def lsh_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
     return bucket
 
 
+def lsh_bucket_tables(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(_id, _norm, tbl, bkt) for every (vector, table) — the RELATIONAL
+    bucket formulation: posexplode the vector to (id, dim, x) rows, then ONE
+    codegen'd hash aggregate computes every plane's projection (plus the
+    norm) as scalar conditional sums. Replaces n_tables×n_planes interpreted
+    higher-order-lambda passes over the array (measured ~10× slower at
+    sf0.1 — same finding as minhash_signature's docstring; no CSE across
+    lambda boundaries). Bucket values are bit-identical to lsh_bucket()."""
+    n_p = n_planes * n_tables
+    ex = df.selectExpr(
+        f"{id_col} AS _id",
+        f"posexplode(CAST({vec_col} AS ARRAY<DOUBLE>)) AS (d, x)",
+    )
+    # expressions as SQL strings: ONE py4j call per aggregate instead of
+    # ~15 per plane — Python-side plan construction was the measured
+    # bottleneck (3+ s per call at 32 planes), not execution
+    def w(p: int) -> str:
+        return (
+            f"(((CAST({_LCG_A} AS BIGINT) * (({p}) * 1024 + d) + {_LCG_C}) % 2000)"
+            " / 1000.0 - 1.0)"
+        )
+
+    aggs = [F.expr(f"sum(x * {w(p)})").alias(f"_pr{p}") for p in range(n_p)]
+    aggs.append(F.expr("sqrt(sum(x * x))").alias("_norm"))
+    g = ex.groupBy("_id").agg(*aggs)
+    structs = ", ".join(
+        "named_struct('tbl', {t}, 'bkt', {b})".format(
+            t=t,
+            b=" + ".join(
+                f"IF(_pr{t * n_planes + p} > 0, {1 << p}, 0)"
+                for p in range(n_planes)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    return g.selectExpr("_id", "_norm", f"inline(array({structs}))")
+
+
 def ann_lsh_bucketed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,31 +152,11 @@ def ann_lsh_bucketed(
     The scale path — every join is an equality join on a bucket id; recall
     grows as 1-(1-p^planes)^tables, tuned without touching the plan shape.
     """
-    # one row per (vector, table) with that table's bucket — explode keeps a
-    # single pass over the corpus instead of n_tables scans
-    def with_buckets(df, idc, vc):
-        base = df.select(
-            F.col(idc).alias("_id"), F.col(vc).cast("array<double>").alias("_v")
-        ).withColumn("_norm", _norm(F.col("_v")))
-        return base.select(
-            "_id",
-            "_v",
-            "_norm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(F.col("_v"), n_planes, table=t).alias("bkt"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("e"),
-        ).select("_id", "_v", "_norm", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
-
-    c = with_buckets(corpus, id_col, vec_col)
-    q = with_buckets(queries, id_col, vec_col)
+    # one relational pass per side computes every table's bucket + the norm
+    # (lsh_bucket_tables); candidates join on (table, bucket); vectors are
+    # joined back only for the exact re-rank of surviving candidates
+    c = lsh_bucket_tables(corpus, id_col, vec_col, n_planes, n_tables)
+    q = lsh_bucket_tables(queries, id_col, vec_col, n_planes, n_tables)
     cand = (
         c.alias("c")
         .join(F.broadcast(q.alias("q")), on=["tbl", "bkt"])
@@ -140,14 +164,18 @@ def ann_lsh_bucketed(
         .select(
             F.col("q._id").alias("qid"),
             F.col("c._id").alias("nid"),
-            F.col("q._v").alias("qv"),
-            F.col("c._v").alias("cv"),
             F.col("q._norm").alias("qnorm"),
             F.col("c._norm").alias("cnorm"),
         )
         .dropDuplicates(["qid", "nid"])  # union of tables
     )
-    scored = cand.select(
+    cv = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv), "qid").join(cv, "nid").select(
         "qid",
         "nid",
         F.round(

@@ -120,8 +120,10 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
         F.col(pos_cols[0]) if len(pos_cols) == 1
         else F.greatest(*[F.col(c) for c in pos_cols])
     ) >= 0
-    out = df.withColumn(
-        "tx_idx",
-        F.when(was_txn, F.row_number().over(w) - 1).otherwise(F.lit(0)).cast("int"),
+    # only transaction descendants need the rank — plain rows (usually the
+    # vast majority) skip the window's exchange+sort entirely
+    plain = df.where(~was_txn).withColumn("tx_idx", F.lit(0).cast("int"))
+    ranked = df.where(was_txn).withColumn(
+        "tx_idx", (F.row_number().over(w) - 1).cast("int")
     )
-    return out.drop("_txn_id", *pos_cols)
+    return plain.unionByName(ranked).drop("_txn_id", *pos_cols)

@@ -184,13 +184,33 @@ class LakeTable:
         return wm is not None and batch_id <= wm
 
     # ---------------- read ----------------
+    def history(self) -> list[dict]:
+        """Snapshot history (Iceberg's snapshots metadata-table analogue):
+        one record per retained manifest version."""
+        out = []
+        for name in sorted(os.listdir(self._manifest_dir)):
+            if name.startswith("v") and name.endswith(".json"):
+                m = self.manifest(int(name[1:-5]))
+                out.append(
+                    {
+                        "version": m["version"],
+                        "n_buckets_live": len(m["buckets"]),
+                        "applied_watermarks": m.get("applied_watermarks", {}),
+                    }
+                )
+        return out
+
     def read(
         self,
         spark: SparkSession,
         include_deleted: bool = False,
         buckets: list[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        m = self.manifest()
+        """Read the table state. ``version`` time-travels to an older
+        snapshot (Iceberg's VERSION AS OF analogue) — valid while that
+        snapshot's data dirs are retained (see expire_snapshots)."""
+        m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         sel = m["buckets"]
         if buckets is not None:

@@ -51,3 +51,29 @@ def test_expire_snapshots_removes_unreferenced_dirs(spark, table):
     assert list(got["content"]) == ["v4"]
     # older snapshot reads (time travel) beyond the horizon are gone — that's
     # the documented trade, same as Iceberg expire_snapshots
+
+
+def test_time_travel_read(spark, tmp_path):
+    """VERSION AS OF analogue: an older snapshot reads back its exact state
+    while its data dirs are retained."""
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "seq long, ts long, tx_idx int, op string, repo string, path string,"
+            " commit string, lang string, content string",
+        )
+
+    t.merge_batch(batch([(0, 1 << 32, 0, "i", "r", "p", "c1", "py", "v1")]), 0, epoch_ns="tt")
+    v1 = t.current_version()
+    t.merge_batch(batch([(1, 2 << 32, 0, "i", "r", "p", "c2", "py", "v2")]), 1, epoch_ns="tt")
+
+    assert [r.content for r in t.read(spark).collect()] == ["v2"]
+    assert [r.content for r in t.read(spark, version=v1).collect()] == ["v1"]
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[-1]["applied_watermarks"] == {"tt": 1}
