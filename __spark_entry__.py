@@ -658,6 +658,43 @@ FROM feat
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composed corpus quality gate (operators/text.quality_filter): one
+    verdict per document — 'kept' or the FIRST failing rule (too_short →
+    low_alpha → low_quality → wrong_lang). The per-reason aggregability is
+    the production corpus-filter report shape."""
+    from oplogtoredis_spark.operators.text import quality_filter
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
+    kept, rejected = quality_filter(
+        docs, min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",)
+    )
+    return kept.select("doc_id", F.lit("kept").alias("verdict")).unionByName(
+        rejected.select("doc_id", F.col("reject_reason").alias("verdict"))
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
+ feat AS (SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_intersect(list_distinct({_TOKS.format(x='lower(text)')}), {_EN_STOP})) AS hits,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha
+  FROM t),
+ q AS (SELECT doc_id, n_tokens, hits, alpha,
+    round(0.4 * least(n_tokens / 200.0, 1.0) + 0.4 * alpha
+          + 0.2 * least(hits / 5.0, 1.0), 4) AS quality
+  FROM feat)
+SELECT doc_id,
+  CASE WHEN n_tokens < 20 THEN 'too_short'
+       WHEN alpha < 0.55 THEN 'low_alpha'
+       WHEN quality < 0.5 THEN 'low_quality'
+       WHEN (CASE WHEN hits >= 2 THEN 'en' ELSE 'unk' END) != 'en' THEN 'wrong_lang'
+       ELSE 'kept' END AS verdict
+FROM q
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1000,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_max": q_interval_max,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
+        "quality_filter": q_quality_filter,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1036,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_max": SQL_INTERVAL_MAX,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
+        "quality_filter": SQL_QUALITY_FILTER,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -81,6 +81,39 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """The composed training-data quality gate: ``(kept, rejected)``.
+
+    A document is rejected for the FIRST failing rule (reason precedence:
+    too_short → low_alpha → low_quality → wrong_lang) — one reason per doc
+    keeps the rejected side aggregable into per-reason drop counters, like
+    every production corpus-filter report. Pure narrow projection + two
+    filters over one shared plan; zero shuffles.
+    """
+    t = F.col(text_col)
+    reason = (
+        F.when(token_count(t) < F.lit(min_tokens), F.lit("too_short"))
+        .when(alpha_ratio(t) < F.lit(min_alpha_ratio), F.lit("low_alpha"))
+        .when(quality_score(t) < F.lit(min_quality), F.lit("low_quality"))
+    )
+    if langs:
+        reason = reason.when(
+            ~lang_guess(t).isin(*langs), F.lit("wrong_lang")
+        )
+    kept = df.where(reason.isNull())
+    rejected = df.withColumn("reject_reason", reason).where(
+        F.col("reject_reason").isNotNull()
+    )
+    return kept, rejected
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with all derived text features."""
     t = F.col(text_col)

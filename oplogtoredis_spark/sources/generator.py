@@ -290,3 +290,19 @@ def write_events(df: pd.DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
         part.to_parquet(p, index=False)
         paths.append(p)
     return paths
+
+
+def write_events_jsonl(df: pd.DataFrame, out_dir: str, n_files: int = 8) -> list[str]:
+    """Write the log as newline-delimited JSON segments (the raw-oplog-dump
+    source format; `start_stream(source_format="jsonl")` consumes these).
+    Same arrival-order slicing as write_events."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = df.assign(wall=df["wall"].astype("datetime64[us]"))
+    paths = []
+    bounds = np.linspace(0, len(df), n_files + 1).astype(int)
+    for i in range(n_files):
+        part = df.iloc[bounds[i] : bounds[i + 1]]
+        p = os.path.join(out_dir, f"events-{i:05d}.json")
+        part.to_json(p, orient="records", lines=True, date_format="iso")
+        paths.append(p)
+    return paths

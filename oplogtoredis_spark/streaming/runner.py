@@ -155,11 +155,17 @@ def start_stream(
     fail_before_batch: int | None = None,
     dedup_within_watermark: bool = False,
     sink_factory=None,
+    source_format: str = "parquet",
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
     ``sink_factory``: UpsertSink constructor (sink.py protocol); default is
-    the built-in LakeTable (created here if absent)."""
+    the built-in LakeTable (created here if absent).
+
+    ``source_format``: "parquet" (columnar log segments — the Iceberg
+    changelog analogue) or "jsonl" (newline-delimited JSON event lines —
+    the raw-oplog-dump analogue). Both present the same EVENT_SCHEMA to the
+    pipeline; everything downstream is format-agnostic."""
     from ..sources.schemas import TARGET_SCHEMA
 
     if sink_factory is None:
@@ -172,7 +178,12 @@ def start_stream(
     )
     for k, v in resolve_start_policy(checkpoint_dir, events_dir, cfg).items():
         reader = reader.option(k, v)
-    stream = reader.parquet(events_dir)
+    if source_format == "parquet":
+        stream = reader.parquet(events_dir)
+    elif source_format == "jsonl":
+        stream = reader.json(events_dir)
+    else:
+        raise ValueError(f"unsupported source_format: {source_format!r}")
     # filters + watermark run inside the micro-batch plan (pushed to the scan);
     # the watermark bounds state for streaming dedup variants and is the
     # MaxCatchUp analogue (lib/config/main.go:19,77-86)

@@ -151,3 +151,18 @@ def test_lineage_has_input_metrics(spark, tmp_path):
     # per-partition lineage: per-bucket row counts for every rewritten bucket
     assert rec[0]["bucket_rows"], "no per-bucket lineage"
     assert sum(rec[0]["bucket_rows"].values()) == rec[0]["rows_out"]
+
+def test_jsonl_source_parity(spark, tmp_path):
+    """The SAME log consumed as newline-JSON segments converges to the same
+    final state as the parquet source — the pipeline is format-agnostic."""
+    from oplogtoredis_spark.sources.generator import write_events_jsonl
+
+    ev = generate_events(n_events=800, n_repos=12, seed=44)
+    d = str(tmp_path / "jsonl")
+    write_events_jsonl(ev, d, n_files=3)
+    table = run_to_completion(
+        spark, d, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), CFG,
+        source_format="jsonl",
+    )
+    got = table.read(spark).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert_parity(got, replay_oracle(ev, DENY))

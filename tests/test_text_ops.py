@@ -60,3 +60,25 @@ def test_profile_on_documents_table(spark):
     # fixture docs are SQL-keyword soup containing only 'a'/'the' as English
     # stopwords — the heuristic should still tag a clear majority
     assert (prof["lang_guess"] == "en").mean() > 0.5
+
+
+def test_quality_filter_reasons_and_split(spark):
+    from oplogtoredis_spark.operators.text import quality_filter
+
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for walking outside"),
+        (2, "ok"),                                  # too_short
+        (3, "1234 5678 9012 3456 7890 1111 2222"),  # low_alpha
+        (4, "zxqj vbnk wplt mnbv qwer asdf zxcv"),  # no stopwords → low quality/lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, rejected = quality_filter(
+        df, min_tokens=5, min_alpha_ratio=0.5, min_quality=0.3, langs=("en",)
+    )
+    assert [r.doc_id for r in kept.collect()] == [1]
+    got = {r.doc_id: r.reject_reason for r in rejected.collect()}
+    assert got[2] == "too_short"
+    assert got[3] == "low_alpha"
+    assert got[4] in ("low_quality", "wrong_lang")
+    # one reason per doc; kept+rejected partition the input
+    assert set(got) | {1} == {1, 2, 3, 4}
