@@ -695,6 +695,32 @@ FROM q
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (100-token chunks, 10 overlap) — the standard
+    training-data chunking step; map-side explode, no shuffle."""
+    from oplogtoredis_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir, par=True).select("doc_id", "text"),
+        chunk_tokens=100, overlap=10,
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(x='text')} AS toks FROM documents),
+ n AS (SELECT doc_id, toks, len(toks) AS n,
+              greatest(CAST(ceil((len(toks) - 10) / 90.0) AS INT), 1) AS n_chunks
+       FROM t),
+ e AS (SELECT doc_id, toks, unnest(range(n_chunks))::INT AS chunk_idx FROM n),
+ c AS (SELECT doc_id, chunk_idx,
+              toks[chunk_idx * 90 + 1 : chunk_idx * 90 + 100] AS piece
+       FROM e)
+SELECT doc_id, chunk_idx, array_to_string(piece, ' ') AS chunk_text,
+       len(piece) AS n_tokens
+FROM c
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1038,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
         "quality_filter": q_quality_filter,
+        "chunk_documents": q_chunk_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1075,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
         "quality_filter": SQL_QUALITY_FILTER,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -81,6 +81,43 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Fixed-size token windows with overlap — the standard LLM
+    training-data chunking step: (id, chunk_idx, chunk_text, n_tokens).
+
+    chunk i covers tokens [i*(chunk_tokens-overlap), +chunk_tokens); every
+    document yields ≥1 chunk (short docs → one whole-doc chunk). Pure
+    sequence+slice expressions: the explode is map-side, no shuffle, and at
+    100 TB the fan-out streams through the scan stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int"), F.lit(1)
+    )
+    base = df.select(
+        F.col(id_col),
+        t.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",

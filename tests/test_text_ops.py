@@ -82,3 +82,25 @@ def test_quality_filter_reasons_and_split(spark):
     assert got[4] in ("low_quality", "wrong_lang")
     # one reason per doc; kept+rejected partition the input
     assert set(got) | {1} == {1, 2, 3, 4}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from oplogtoredis_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 25 tokens, step 8 → ceil((25-2)/8) = 3 chunks
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert c1[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    assert c1[1].chunk_text.split() == [f"w{i}" for i in range(8, 18)]
+    assert c1[2].chunk_text.split() == [f"w{i}" for i in range(16, 25)]
+    assert [r.n_tokens for r in c1] == [10, 10, 9]
+    # overlap: last 2 tokens of chunk 0 open chunk 1
+    assert c1[0].chunk_text.split()[-2:] == c1[1].chunk_text.split()[:2]
+    # short doc → exactly one whole-doc chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
