@@ -696,24 +696,25 @@ FROM q
 
 
 def q_chunk_documents(spark, sf_dir):
-    """Token-window chunking (100-token chunks, 10 overlap) — the standard
-    training-data chunking step; map-side explode, no shuffle."""
+    """Token-window chunking (40-token chunks, 8 overlap — sized so the
+    fixture corpus actually fans out) — the standard training-data chunking
+    step; map-side explode, no shuffle."""
     from oplogtoredis_spark.operators.text import chunk_documents
 
     return chunk_documents(
         _docs(spark, sf_dir, par=True).select("doc_id", "text"),
-        chunk_tokens=100, overlap=10,
+        chunk_tokens=40, overlap=8,
     )
 
 
 SQL_CHUNK_DOCUMENTS = f"""
 WITH t AS (SELECT doc_id, {_TOKS.format(x='text')} AS toks FROM documents),
  n AS (SELECT doc_id, toks, len(toks) AS n,
-              greatest(CAST(ceil((len(toks) - 10) / 90.0) AS INT), 1) AS n_chunks
+              greatest(CAST(ceil((len(toks) - 8) / 32.0) AS INT), 1) AS n_chunks
        FROM t),
  e AS (SELECT doc_id, toks, unnest(range(n_chunks))::INT AS chunk_idx FROM n),
  c AS (SELECT doc_id, chunk_idx,
-              toks[chunk_idx * 90 + 1 : chunk_idx * 90 + 100] AS piece
+              toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40] AS piece
        FROM e)
 SELECT doc_id, chunk_idx, array_to_string(piece, ' ') AS chunk_text,
        len(piece) AS n_tokens
