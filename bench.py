@@ -47,6 +47,8 @@ HEADLINE = [
     "changed_fields_v2_deep",
     "interval_max",
     "text_profile",
+    "quality_filter",
+    "chunk_documents",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
