@@ -243,6 +243,7 @@ class LakeTable:
         extra_payload_cols: tuple[str, ...] = (),
         epoch_ns: str = "",
         n_salts: int = 0,
+        prune: bool = True,
     ) -> dict:
         """Idempotent LWW upsert of a change batch.
 
@@ -262,6 +263,15 @@ class LakeTable:
         row per map task, which holds at any executor count. >1 enables the
         two-phase salted reduce for merges whose combine step is NOT
         algebraic (e.g. diff folding), where partial agg can't pre-collapse.
+
+        ``prune``: True (default, the 100 TB posture) runs a column-pruned
+        discovery job so only affected buckets are read and rewritten.
+        False = single-job dense mode for tables whose batches touch ~every
+        bucket anyway (small bucket counts / uniform keys): skips the
+        discovery job (one less serial driver round-trip per epoch), reads
+        the whole table, and derives the affected set from the written
+        partition dirs — valid because a touched bucket always has ≥1
+        output row (tombstones persist; rows never vanish in a merge).
         """
         # Epoch identity = (stream namespace, batch id): Spark batch ids are
         # only unique within one checkpoint lineage. A replay of the SAME
@@ -281,7 +291,7 @@ class LakeTable:
         # costs more than a pruned re-read) and would be memory-hostile for
         # large micro-batches on a real cluster.
         return self._apply_epoch(
-            batch, batch_id, epoch_key, epoch_ns, extra_payload_cols, n_salts
+            batch, batch_id, epoch_key, epoch_ns, extra_payload_cols, n_salts, prune
         )
 
     def _apply_epoch(
@@ -292,6 +302,7 @@ class LakeTable:
         epoch_ns: str,
         extra_payload_cols: tuple[str, ...],
         n_salts: int,
+        prune: bool = True,
     ) -> dict:
         t0 = time.time()
         spark = batch.sparkSession
@@ -351,19 +362,26 @@ class LakeTable:
         # from src would run the whole LWW collapse once for this collect
         # and again for the write (measured 2x batch cost).
         t_plan = time.time()
-        affected = sorted(
-            r.b
-            for r in batch_ok.select(
-                bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("b")
+        if prune:
+            affected = sorted(
+                r.b
+                for r in batch_ok.select(
+                    bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
+        else:
+            # dense mode: no discovery job; the true affected set is derived
+            # from the written partition dirs after the merge action
+            affected = sorted(int(b) for b in m["buckets"]) or None
         t_affected = time.time()
         tgt = conform_to_schema(
             self.read(spark, include_deleted=True, buckets=affected), new_schema
         )
         t_tgt = time.time()
+        if affected is None:
+            affected = []  # empty table: nothing to prune, nothing to read
 
         # ---- the LWW MERGE as ONE union + aggregate (single shuffle) ----
         # Existing rows and batch events union into one stream of candidate
@@ -448,15 +466,19 @@ class LakeTable:
         rel_dir = f"data/v{new_version:08d}"
         out_dir = os.path.join(self.path, rel_dir)
         t_write0 = time.time()
-        if affected:
+        if affected or not prune:
             (
                 merged.withColumn("pb", F.col("bucket"))
-                .repartition(len(affected), F.col("pb"))
+                .repartition(len(affected) or n_buckets, F.col("pb"))
                 .write.partitionBy("pb")
                 .mode("overwrite")
                 .parquet(out_dir)
             )
             metrics = obs.get
+            if not prune:
+                affected = sorted(
+                    int(d[3:]) for d in os.listdir(out_dir) if d.startswith("pb=")
+                )
         else:
             # empty batch (everything filtered): no data change, but the
             # batch id must still commit so replay recognizes the epoch

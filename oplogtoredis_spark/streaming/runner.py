@@ -38,6 +38,7 @@ def make_batch_applier(
     fail_before_batch: int | None = None,
     epoch_ns: str = "",
     sink_factory=LakeTable,
+    merge_prune: bool = True,
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
@@ -53,8 +54,10 @@ def make_batch_applier(
             raise RuntimeError(f"injected failure before batch {batch_id}")
         seen["n"] += 1
         table = sink_factory(table_path)
+        kw = {} if sink_factory is not LakeTable else {"prune": merge_prune}
         table.merge_batch(
-            batch_df, batch_id, extra_payload_cols=extra_payload_cols, epoch_ns=epoch_ns
+            batch_df, batch_id, extra_payload_cols=extra_payload_cols,
+            epoch_ns=epoch_ns, **kw,
         )
 
     return apply
@@ -156,6 +159,7 @@ def start_stream(
     dedup_within_watermark: bool = False,
     sink_factory=None,
     source_format: str = "parquet",
+    merge_prune: bool = True,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -208,6 +212,7 @@ def start_stream(
             # read whose effects LWW dedup absorbs
             epoch_ns=os.path.abspath(checkpoint_dir),
             sink_factory=sink_factory,
+            merge_prune=merge_prune,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -263,6 +263,19 @@ ratio for reasons outside the engine (the pure-CPU 32-process control and
 the flat CPU-seconds below isolate this).
 """ + "\n\n".join(sections) + tail + """
 
+Why the streaming pair trails the kernel: per-epoch driver-serial work
+(micro-batch planning, snapshot commit, offset WAL — ~1.3 s/epoch here,
+visible as executor utilization 0.84 at the narrow level vs 0.66 at the
+wide level on task-seconds/wall) is an Amdahl term that a fixed-size test
+log cannot amortize — at 8 epochs x 1.3 s over a 40 s job it caps the
+speedup near 3x regardless of executor count. Production epochs are
+orders of magnitude larger (the serial term stays constant while compute
+grows), and the driver is a dedicated node. The engine-side serial cost
+has already been minimized (single-phase merge, schema-id fast-path read,
+no second batch scan, O(1) manifest commit; `merge_batch(prune=False)`
+additionally drops the bucket-discovery job for dense tables — measured
+-10% wall at the wide level).
+
 Caveats: single shared machine — no network shuffle, shared memory
 bandwidth/page cache, foreign tenant load. Discrete executors on a real
 cluster share none of these; every stage of every job runs >= 128 tasks, so

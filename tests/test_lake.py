@@ -193,3 +193,30 @@ def test_merge_quarantines_unprocessable_rows(spark, tmp_path):
     # lineage carries the counter
     rec = [x for x in t.lineage() if x.get("unprocessable_in")]
     assert rec and rec[0]["unprocessable_in"] == 2
+
+
+def test_dense_merge_mode_matches_pruned(spark, tmp_path):
+    """prune=False (single-job dense mode) must produce the identical table
+    state and manifest bookkeeping as the default pruned merge."""
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.sources.generator import generate_events
+
+    ev = generate_events(n_events=1000, n_repos=15, seed=61)
+    sdf = spark.createDataFrame(ev)
+    halves = [sdf.where(F.col("seq") < 500), sdf.where(F.col("seq") >= 500)]
+
+    tables = {}
+    for mode, prune in (("pruned", True), ("dense", False)):
+        t = LakeTable.create(str(tmp_path / mode), TARGET_SCHEMA, n_buckets=8)
+        for i, h in enumerate(halves):
+            t.merge_batch(h, i, epoch_ns=mode, prune=prune)
+        tables[mode] = t
+
+    a = tables["pruned"].read(spark).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = tables["dense"].read(spark).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b)
+    # dense mode still records per-bucket lineage and replay bookkeeping
+    assert tables["dense"].epoch_applied("dense", 1)
+    rec = [x for x in tables["dense"].lineage() if x.get("bucket_rows")]
+    assert rec and sum(rec[-1]["bucket_rows"].values()) == rec[-1]["rows_out"]
