@@ -50,6 +50,11 @@ from ..timestamps import total_order_col
 _CURRENT = "CURRENT"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the snapshot version this writer was about
+    to claim (optimistic-concurrency loss — re-read and retry)."""
+
+
 # --- schema evolution helpers (SURVEY.md §7.1 M5) ---------------------------
 _WIDENINGS = {
     ("int", "bigint"): "bigint",
@@ -141,16 +146,35 @@ class LakeTable:
         return os.path.exists(os.path.join(path, "_manifests", _CURRENT))
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Optimistic snapshot commit (Iceberg's commit-conflict analogue):
+        version vN+1 is claimed by creating its manifest file with
+        O_CREAT|O_EXCL — atomic on POSIX, so of two concurrent writers that
+        both read vN, exactly one wins; the loser gets
+        ConcurrentCommitError and must re-read + re-apply (its epoch check
+        then sees the winner's commit). Structured Streaming runs a single
+        writer per table so this never fires in normal operation — it is
+        the safety net the reference gets from Redis' single-threaded Lua."""
         v = manifest["version"]
         mpath = os.path.join(self._manifest_dir, f"v{v:08d}.json")
-        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, mpath)
+        if v > 0:
+            try:
+                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {v} was already committed by another writer "
+                    f"({mpath} exists); re-read the table and retry"
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+        else:
+            tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, mpath)
         cur_tmp = os.path.join(self._manifest_dir, f".current-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(v))
-        # the atomic commit point:
+        # the readers' atomic visibility point:
         os.replace(cur_tmp, os.path.join(self._manifest_dir, _CURRENT))
 
     def current_version(self) -> int:

@@ -220,3 +220,20 @@ def test_dense_merge_mode_matches_pruned(spark, tmp_path):
     assert tables["dense"].epoch_applied("dense", 1)
     rec = [x for x in tables["dense"].lineage() if x.get("bucket_rows")]
     assert rec and sum(rec[-1]["bucket_rows"].values()) == rec[-1]["rows_out"]
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Optimistic concurrency: two writers claiming the same snapshot
+    version — exactly one wins; the loser raises ConcurrentCommitError
+    instead of silently clobbering the winner's commit."""
+    from oplogtoredis_spark.streaming.lake import ConcurrentCommitError
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    m = t.manifest()
+    winner = {**m, "version": m["version"] + 1}
+    t._write_manifest(winner)
+    loser = {**m, "version": m["version"] + 1}  # same base version
+    with pytest.raises(ConcurrentCommitError, match="already committed"):
+        t._write_manifest(loser)
+    # the winner's commit is intact and current
+    assert t.current_version() == winner["version"]
