@@ -43,3 +43,41 @@ def test_empty_interval_skipped(spark):
     df = _df(spark, [(10, 1.0), (250, 2.0)])
     out = interval_maxima(df, F.col("ts_ms"), F.col("v"), 100, now_ms=400).collect()
     assert sorted(r.interval_start_ms for r in out) == [0, 200]
+
+
+def test_streaming_append_mode_is_completed_interval_discipline(spark, tmp_path):
+    """The streaming mapping claimed in operators/interval_max.py: a
+    tumbling-window aggregate with a watermark in APPEND output mode emits
+    only windows the watermark has closed — the current (partial) interval
+    is withheld, exactly the reference gauge's reporting rule."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.sources.generator import generate_events, write_events
+    from oplogtoredis_spark.sources.schemas import EVENT_SCHEMA
+
+    ev = generate_events(n_events=2000, n_repos=10, seed=77)
+    d = str(tmp_path / "ev")
+    write_events(ev, d, n_files=4)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    agg = (
+        stream.withWatermark("wall", "10 seconds")
+        .groupBy(F.window("wall", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("im_append")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.ws: r.n for r in spark.sql(
+        "SELECT w.start AS ws, n FROM im_append").collect()}
+    assert got, "no completed windows emitted"
+    # the interval containing the stream's latest event is withheld
+    max_wall = ev["wall"].max()
+    last_window_start = max_wall.floor("60s")
+    assert last_window_start not in got
+    # emitted counts equal the batch ground truth for those windows
+    truth = ev.groupby(ev["wall"].dt.floor("60s")).size()
+    for ws, n in got.items():
+        assert n == int(truth[pd.Timestamp(ws)])
