@@ -1,0 +1,91 @@
+"""Property-based invariants (hypothesis) for the delivery-semantics core:
+LWW collapse is arrival-order-invariant and duplicate-absorbing — the
+properties that make replay/HA idempotency work — plus diff-fold vs a
+pure-Python reference over random modifier sequences."""
+
+import json
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from oplogtoredis_spark.operators.fold import _apply_modifier
+from oplogtoredis_spark.operators.lww import lww_collapse, lww_collapse_salted
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, ts long, tx_idx int, op string, content string"
+    )
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["r1", "r2"]),            # repo
+        st.sampled_from(["a", "b", "c"]),         # path
+        st.integers(min_value=1, max_value=6),    # ts
+        st.integers(min_value=0, max_value=2),    # tx_idx
+        st.sampled_from(["i", "u", "d"]),         # op
+        st.text(alphabet="xyz", min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _oracle_lww(rows):
+    best = {}
+    for repo, path, ts, tx, op, content in rows:
+        k = (repo, path)
+        cur = best.get(k)
+        if cur is None or (ts, tx) > (cur[0], cur[1]):
+            best[k] = (ts, tx, op, content)
+    return {k: (v[0], v[1]) for k, v in best.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy, seed=st.integers(min_value=0, max_value=999))
+def test_lww_collapse_order_invariant_and_duplicate_absorbing(spark, rows, seed):
+    import random
+
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    dup = shuffled + shuffled[: len(shuffled) // 2]  # replayed prefix (HA)
+    for variant in (lww_collapse, lww_collapse_salted):
+        out = variant(_mk_events(spark, dup), key=("repo", "path")).collect()
+        got = {(r.repo, r.path): (r.ts, r.tx_idx) for r in out}
+        assert got == _oracle_lww(rows)
+
+
+doc_strategy = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.integers(-5, 5), st.text(alphabet="pq", max_size=2)),
+    max_size=3,
+)
+update_strategy = st.one_of(
+    st.builds(lambda s: {"$set": s}, doc_strategy.filter(bool)),
+    st.builds(lambda k: {"$unset": {k: True}}, st.sampled_from(["a", "b", "c"])),
+    st.builds(lambda s: {"$v": 2, "diff": {"u": s}}, doc_strategy.filter(bool)),
+    st.builds(lambda k: {"$v": 2, "diff": {"d": {k: False}}}, st.sampled_from(["a", "b"])),
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(initial=doc_strategy, updates=st.lists(update_strategy, max_size=5))
+def test_apply_modifier_matches_reference_semantics(initial, updates):
+    """_apply_modifier (the diff-fold kernel) agrees with a straightforward
+    dict interpretation of $set/$unset and v2 u/d subtrees."""
+    doc = dict(initial)
+    ref = dict(initial)
+    for u in updates:
+        doc = _apply_modifier(doc, u)
+        if "$set" in u or "$unset" in u:
+            ref.update(u.get("$set", {}))
+            for k in u.get("$unset", {}):
+                ref.pop(k, None)
+        elif u.get("$v") == 2:
+            ref.update(u["diff"].get("u", {}))
+            for k in u["diff"].get("d", {}):
+                ref.pop(k, None)
+        else:
+            ref = {k: v for k, v in u.items() if not k.startswith("$")}
+    assert doc == ref
