@@ -293,7 +293,18 @@ ratio for reasons outside the engine (the pure-CPU 32-process control and
 the flat CPU-seconds below isolate this).
 """ + "\n\n".join(sections) + tail + """
 
-Why the streaming pair trails the kernel: per-epoch driver-serial work
+What separates the kernel (passes) from the shuffle/scan-bound jobs: the
+kernel's work is Python-process CPU with tiny data movement, so 4x threads
+= ~4x throughput. The batch/stream jobs move GBs through ONE shared memory
+subsystem: their per-task CPU+run time INFLATES 24-33% going 2 -> 8
+concurrent threads (e.g. steady-state stream task-seconds: 136 s at
+local[2] vs 170 s at local[8] for identical work — visible in every pair
+row below). Dividing that contention inflation out of the wall ratio puts
+the engine-attributable scaling at ~3.2-3.5x (0.80-0.87); on discrete
+executors each node brings its own memory channels, so the inflation term
+does not exist. The raw wall numbers are reported unadjusted.
+
+Why the streaming pair additionally trails: per-epoch driver-serial work
 (micro-batch planning, snapshot commit, offset WAL — ~1.3 s/epoch here,
 visible as executor utilization 0.84 at the narrow level vs 0.66 at the
 wide level on task-seconds/wall) is an Amdahl term that a fixed-size test
