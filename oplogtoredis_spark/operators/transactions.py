@@ -46,9 +46,14 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
     """raw entries (ts, wall, op, ns, o, o2 — o/o2 JSON) → flat op stream with
     tx_idx. Non-transaction rows pass through with tx_idx=0.
 
-    Each level: split txn rows, posexplode their children (children inherit
-    ts/wall — tail.go:750-754), re-union with plain rows. Positions collected
-    per level give the depth-first tx_idx at the end.
+    Each level is ONE pass: every row maps to an array — a txn row to its
+    applyOps children (inheriting ts/wall, tail.go:750-754) tagged with
+    their position, a plain row to a one-element array of itself tagged
+    pos=-1 — and explodes. The conditional-array shape keeps the plan
+    LINEAR: a filter+union formulation duplicates the upstream subtree per
+    branch (Catalyst has no common-plan reuse below exchanges), i.e.
+    2^depth scans of the log at depth levels — the difference between one
+    pass and eight over a 100 TB log.
 
     ``max_depth=None`` (default) iterates until a level produces no
     transaction rows (data-driven, capped at _MAX_DEPTH_CAP), matching the
@@ -59,38 +64,55 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
     """
     # _txn_id identifies the originating command; _pos_i the explode positions.
     # Prefer a caller-supplied stable id (seq) — monotonically_increasing_id is
-    # only deterministic when the two union branches rescan identically.
+    # only deterministic over a single linear scan.
     base_id = F.col("seq") if "seq" in raw.columns else F.monotonically_increasing_id()
     df = raw.withColumn("_txn_id", F.struct(F.col("ts"), base_id.alias("id")))
     data_driven = max_depth is None
     bound = _MAX_DEPTH_CAP if data_driven else max_depth
     pos_cols: list[str] = []
+
+    def _child(c, i):
+        return F.struct(
+            i.cast("int").alias("pos"),
+            F.get_json_object(c, "$.op").alias("op"),
+            F.get_json_object(c, "$.ns").alias("ns"),
+            F.get_json_object(c, "$.o").alias("o"),
+            F.get_json_object(c, "$.o2").alias("o2"),
+        )
+
     for level in range(bound):
         is_txn = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
         if data_driven and level > 0 and df.where(is_txn).limit(1).isEmpty():
             break  # no txn rows left — one cheap probe job per extra level
         pos = f"_pos{level}"
         pos_cols.append(pos)
-        plain = df.where(~is_txn).withColumn(pos, F.lit(-1))
-        txns = df.where(is_txn)
-        exploded = txns.select(
+        self_row = F.struct(
+            F.lit(-1).cast("int").alias("pos"),
+            F.col("op").alias("op"),
+            F.col("ns").alias("ns"),
+            F.col("o").alias("o"),
+            F.col("o2").alias("o2"),
+        )
+        arr = F.when(is_txn, F.transform(_apply_ops(F.col("o")), _child)).otherwise(
+            F.array(self_row)
+        )
+        df = df.select(
             "_txn_id",
             "ts",
             "wall",
             *[f"_pos{i}" for i in range(level)],
-            F.posexplode(_apply_ops(F.col("o"))).alias(pos, "_child"),
+            F.explode(arr).alias("_c"),
         ).select(
             "_txn_id",
             "ts",
             "wall",
-            F.get_json_object("_child", "$.op").alias("op"),
-            F.get_json_object("_child", "$.ns").alias("ns"),
-            F.get_json_object("_child", "$.o").alias("o"),
-            F.get_json_object("_child", "$.o2").alias("o2"),
             *[f"_pos{i}" for i in range(level)],
-            pos,
+            F.col("_c.pos").alias(pos),
+            F.col("_c.op").alias("op"),
+            F.col("_c.ns").alias("ns"),
+            F.col("_c.o").alias("o"),
+            F.col("_c.o2").alias("o2"),
         )
-        df = plain.unionByName(exploded, allowMissingColumns=True)
     # residual applyOps row past the bound ⇒ corrupt/over-deep log: raise at
     # execution (folded into `op` so column pruning can't drop the check)
     residual = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
@@ -120,10 +142,11 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
         F.col(pos_cols[0]) if len(pos_cols) == 1
         else F.greatest(*[F.col(c) for c in pos_cols])
     ) >= 0
-    # only transaction descendants need the rank — plain rows (usually the
-    # vast majority) skip the window's exchange+sort entirely
-    plain = df.where(~was_txn).withColumn("tx_idx", F.lit(0).cast("int"))
-    ranked = df.where(was_txn).withColumn(
-        "tx_idx", (F.row_number().over(w) - 1).cast("int")
+    # single window pass: splitting plain/txn rows into filter+union branches
+    # would duplicate the whole upstream flatten per branch (no common-plan
+    # reuse) — one exchange over everything beats two full recomputes
+    out = df.withColumn(
+        "tx_idx",
+        F.when(was_txn, F.row_number().over(w) - 1).otherwise(F.lit(0)).cast("int"),
     )
-    return plain.unionByName(ranked).drop("_txn_id", *pos_cols)
+    return out.drop("_txn_id", *pos_cols)
