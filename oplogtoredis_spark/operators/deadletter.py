@@ -34,15 +34,27 @@ def split_dead_letters(
 
 
 def quarantine(dead: DataFrame, path: str, epoch_key: str = "") -> int:
-    """Append the dead rows to a quarantine parquet dir, tagged with the
-    epoch that produced them. Returns the row count (one pass: count rides
-    the write via observe)."""
+    """Write the dead rows to an EPOCH-KEYED quarantine subdir in overwrite
+    mode, tagged with the epoch that produced them. Epoch-keyed + overwrite
+    makes the write idempotent under replay: it runs BEFORE the sink's
+    manifest commit (lake.py), so a crash between quarantine and commit
+    replays the batch and simply rewrites the same subdir — append mode
+    there would duplicate, and writing after the commit would lose the rows
+    entirely on a crash in between. Returns the row count (one pass: the
+    count rides the write via observe)."""
+    import hashlib
+
     from pyspark.sql import Observation
 
     obs = Observation(f"dl_{abs(hash(epoch_key))}")
     tagged = dead.withColumn("dl_epoch", F.lit(epoch_key)).observe(
         obs, F.count(F.lit(1)).alias("n")
     )
+    # epoch keys embed filesystem-hostile characters (abs paths, ':') —
+    # key the subdir by a stable digest; the verbatim key is in dl_epoch
+    sub = os.path.join(
+        path, f"epoch={hashlib.sha256(epoch_key.encode()).hexdigest()[:16]}"
+    )
     os.makedirs(path, exist_ok=True)
-    tagged.write.mode("append").parquet(path)
+    tagged.write.mode("overwrite").parquet(sub)
     return int(obs.get.get("n") or 0)

@@ -55,8 +55,12 @@ def last_completed_max(
     interval_ms: int,
     now_ms: int,
 ) -> DataFrame:
-    """The gauge reading: ONE row with the latest completed interval's max,
-    or zero rows if no completed interval has observations (the reference
-    reports 'no value' rather than 0 — interval_max_metric.go report path)."""
+    """The gauge reading: ONE row with the IMMEDIATELY PRECEDING interval's
+    max, or zero rows when that interval has no observations. The reference
+    gauge reports nothing unless ``currentBucket - previousMax.timeBucket
+    == 1`` (interval_max_metric.go Collect) — so data that ended more than
+    one interval before ``now`` reads as 'no value', NOT as the stale last
+    max, and an empty/absent interval reads as 'no value' rather than 0."""
+    prev_start = (now_ms // interval_ms) * interval_ms - interval_ms
     per = interval_maxima(df, ts_ms, value, interval_ms, now_ms)
-    return per.orderBy(F.col("interval_start_ms").desc()).limit(1)
+    return per.where(F.col("interval_start_ms") == F.lit(prev_start))

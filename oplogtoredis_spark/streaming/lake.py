@@ -147,29 +147,45 @@ class LakeTable:
 
     def _write_manifest(self, manifest: dict) -> None:
         """Optimistic snapshot commit (Iceberg's commit-conflict analogue):
-        version vN+1 is claimed by creating its manifest file with
-        O_CREAT|O_EXCL — atomic on POSIX, so of two concurrent writers that
-        both read vN, exactly one wins; the loser gets
-        ConcurrentCommitError and must re-read + re-apply (its epoch check
-        then sees the winner's commit). Structured Streaming runs a single
-        writer per table so this never fires in normal operation — it is
-        the safety net the reference gets from Redis' single-threaded Lua."""
+        version vN+1 is claimed by hardlinking a fully-written tmp file into
+        place — atomic on POSIX AND never torn (the manifest appears whole or
+        not at all), so of two concurrent writers that both read vN exactly
+        one wins. The loser distinguishes two cases by re-reading CURRENT:
+
+          * CURRENT >= vN+1 — a live concurrent writer won and fully
+            committed: raise ConcurrentCommitError; the caller re-reads the
+            table and retries at the next version.
+          * CURRENT still vN — the existing vN+1 manifest is an ORPHAN from
+            a writer that crashed between claiming the manifest and
+            advancing CURRENT (a committed-looking file no reader can ever
+            see). Treat it as abandoned and replace it — without this, a
+            crash at that point wedges the table forever: every restart
+            re-claims vN+1, hits the orphan, and misattributes it to a live
+            writer.
+
+        Structured Streaming runs a single writer per table so the conflict
+        arm never fires in normal operation — it is the safety net the
+        reference gets from Redis' single-threaded Lua."""
         v = manifest["version"]
         mpath = os.path.join(self._manifest_dir, f"v{v:08d}.json")
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         if v > 0:
             try:
-                fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, mpath)
+                os.unlink(tmp)
             except FileExistsError:
-                raise ConcurrentCommitError(
-                    f"version {v} was already committed by another writer "
-                    f"({mpath} exists); re-read the table and retry"
-                ) from None
-            with os.fdopen(fd, "w") as f:
-                json.dump(manifest, f)
+                if self.current_version() >= v:
+                    os.unlink(tmp)
+                    raise ConcurrentCommitError(
+                        f"version {v} was already committed by another writer "
+                        f"({mpath} exists and CURRENT advanced); re-read the "
+                        "table and retry"
+                    ) from None
+                # abandoned orphan (crash between claim and CURRENT advance)
+                os.replace(tmp, mpath)
         else:
-            tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
             os.replace(tmp, mpath)
         cur_tmp = os.path.join(self._manifest_dir, f".current-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
@@ -204,6 +220,13 @@ class LakeTable:
         m = self.manifest()
         if f"{epoch_ns}:{batch_id}" in set(m["applied_batch_ids"]):
             return True
+        # the watermark shortcut (id <= wm ⇒ applied) is only sound when
+        # batch ids commit in monotonic order, which holds for streaming
+        # checkpoint lineages (non-empty epoch_ns) but NOT for ad-hoc
+        # batch-mode callers of merge_batch (epoch_ns="") that may apply
+        # out of order — those get exact-set semantics only
+        if not epoch_ns:
+            return False
         wm = m.get("applied_watermarks", {}).get(epoch_ns)
         return wm is not None and batch_id <= wm
 
@@ -304,19 +327,33 @@ class LakeTable:
         # through the MERGE, where LWW + identity dedup make the effects
         # exactly-once anyway (reference HA semantics, HA_test.go:12-41).
         epoch_key = f"{epoch_ns}:{batch_id}"
-        if self.epoch_applied(epoch_ns, batch_id):
-            self._append_lineage(
-                epoch_key, {"batch_id": batch_id, "skipped_replay": True, "wall_secs": 0.0}
-            )
-            return {"skipped_replay": True}
-        # the batch feeds two jobs: affected-bucket discovery (column-pruned
-        # to repo/path — cheap) and the merge write. Caching the batch was
-        # measured SLOWER than the second scan (full-row materialization
-        # costs more than a pruned re-read) and would be memory-hostile for
-        # large micro-batches on a real cluster.
-        return self._apply_epoch(
-            batch, batch_id, epoch_key, epoch_ns, extra_payload_cols, n_salts, prune
-        )
+        # Optimistic-concurrency retry (Iceberg commit-retry analogue,
+        # HA_test.go:12-41): losing a snapshot claim re-reads the table and
+        # re-applies against the winner's state — final state is the serial
+        # application of both batches. Bounded: a loss requires another
+        # writer's progress, so livelock needs an adversarial writer.
+        last_err: Exception | None = None
+        for _ in range(4):
+            if self.epoch_applied(epoch_ns, batch_id):
+                self._append_lineage(
+                    epoch_key,
+                    {"batch_id": batch_id, "skipped_replay": True, "wall_secs": 0.0},
+                )
+                return {"skipped_replay": True}
+            # the batch feeds two jobs: affected-bucket discovery (column-
+            # pruned to repo/path — cheap) and the merge write. Caching the
+            # batch was measured SLOWER than the second scan (full-row
+            # materialization costs more than a pruned re-read) and would be
+            # memory-hostile for large micro-batches on a real cluster.
+            try:
+                return self._apply_epoch(
+                    batch, batch_id, epoch_key, epoch_ns, extra_payload_cols,
+                    n_salts, prune,
+                )
+            except ConcurrentCommitError as e:
+                last_err = e
+                continue
+        raise last_err
 
     def _apply_epoch(
         self,
@@ -486,8 +523,12 @@ class LakeTable:
         merged = merged.drop("_applied", "_dedup_hit")
 
         # ---- write new snapshot dirs for affected buckets only ----
+        # the data dir carries a per-attempt suffix so it is PRIVATE until
+        # the manifest claim: two racing writers (or a crashed attempt's
+        # replay) can never overwrite each other's files; losing/orphaned
+        # dirs are unreferenced and reclaimed by expire_snapshots
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:08d}"
+        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         t_write0 = time.time()
         if affected or not prune:
@@ -563,12 +604,16 @@ class LakeTable:
             "applied_batch_ids": recent,
             "applied_watermarks": watermarks,
         }
-        self._write_manifest(new_manifest)
 
-        # quarantine AFTER the commit, only when the observed count says the
-        # dead branch is non-empty (healthy logs pay zero extra jobs)
-        # the affected-bucket collect always ran over the observed plan, so
-        # the observation is complete even for an all-filtered batch
+        # quarantine BEFORE the manifest commit: once the manifest marks the
+        # epoch applied, a replay skips the batch entirely — dead letters
+        # written after the commit would be silently lost on a crash between
+        # the two (violating the never-silently-drop contract, SURVEY §7.3).
+        # The write is epoch-keyed + overwrite, so a pre-commit crash/replay
+        # is idempotent (append would duplicate). Only runs when the observed
+        # count says the dead branch is non-empty (healthy logs pay zero
+        # extra jobs); the merge write action above completed the input
+        # observation, so the count is final here.
         im = in_obs.get
         n_dead = int(im.get("unprocessable_in") or 0)
         if n_dead:
@@ -577,6 +622,8 @@ class LakeTable:
             quarantine(
                 batch_dead, os.path.join(self.path, "_deadletter"), epoch_key
             )
+
+        self._write_manifest(new_manifest)
 
         stats = {
             "batch_id": batch_id,
@@ -630,7 +677,7 @@ class LakeTable:
             (~F.col("deleted")) | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
         )
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:08d}"
+        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         (
             kept.withColumn("pb", F.col("bucket"))

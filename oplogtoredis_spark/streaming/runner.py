@@ -73,7 +73,11 @@ def _catch_up_cutoff_opts(cfg: EngineConfig) -> dict:
     cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
         seconds=cfg.max_catch_up_seconds
     )
-    return {"modifiedAfter": cutoff.strftime("%Y-%m-%dT%H:%M:%S")}
+    # explicit +00:00 offset: without it Spark parses the timestamp in
+    # spark.sql.session.timeZone, shifting the catch-up window by the UTC
+    # offset on non-UTC sessions (events inside the window silently skipped
+    # for sessions behind UTC — ADVICE r2)
+    return {"modifiedAfter": cutoff.strftime("%Y-%m-%dT%H:%M:%S+00:00")}
 
 
 def _archive_checkpoint(checkpoint_dir: str, reason: str) -> None:

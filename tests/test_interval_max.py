@@ -32,6 +32,18 @@ def test_gauge_reports_last_completed(spark):
     assert (got[0].interval_start_ms, got[0].max_value) == (100, 3.0)
 
 
+def test_stale_data_reports_nothing(spark):
+    # observations ended >1 interval before now: the reference gauge
+    # requires currentBucket - previousMax.timeBucket == 1, so it reports
+    # NOTHING, not the stale max (interval_max_metric.go Collect; ADVICE r2)
+    df = _df(spark, [(10, 1.0), (50, 9.0)])
+    assert last_completed_max(df, F.col("ts_ms"), F.col("v"), 100, now_ms=250).count() == 0
+    # same data with now inside the next interval: [0,100) is the
+    # immediately preceding bucket → it reports
+    got = last_completed_max(df, F.col("ts_ms"), F.col("v"), 100, now_ms=150).collect()
+    assert len(got) == 1 and (got[0].interval_start_ms, got[0].max_value) == (0, 9.0)
+
+
 def test_no_completed_interval_reports_nothing(spark):
     # all observations in the current partial interval → no reading, not 0
     df = _df(spark, [(210, 5.0), (240, 7.0)])

@@ -237,3 +237,99 @@ def test_concurrent_commit_detected(spark, tmp_path):
         t._write_manifest(loser)
     # the winner's commit is intact and current
     assert t.current_version() == winner["version"]
+
+
+def test_orphan_manifest_recovery_after_crash(spark, tmp_path):
+    """Crash between claiming manifest vN+1 and advancing CURRENT must NOT
+    wedge the table: the restart's re-apply recognizes the orphan (CURRENT
+    still at vN) as an abandoned commit and replaces it (ADVICE r2)."""
+    import json
+    import os
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")]), 0, epoch_ns="s")
+    v = t.current_version()
+    # simulate the crashed attempt: manifest v+1 exists, CURRENT still at v
+    orphan = {**t.manifest(), "version": v + 1}
+    with open(os.path.join(t._manifest_dir, f"v{v + 1:08d}.json"), "w") as f:
+        json.dump(orphan, f)
+    assert t.current_version() == v
+    # the restarted writer re-applies the epoch: must reclaim, not raise
+    stats = t.merge_batch(
+        _batch(spark, [("r/a", "f.py", 2 << 32, 0, "u", "c1", "py", "v2")]), 1, epoch_ns="s"
+    )
+    assert stats.get("skipped_replay") is not True
+    assert t.current_version() == v + 1
+    assert t.read(spark).toPandas().iloc[0]["content"] == "v2"
+    # and the next commit proceeds normally
+    t.merge_batch(_batch(spark, [("r/a", "f.py", 3 << 32, 0, "u", "c2", "py", "v3")]), 2, epoch_ns="s")
+    assert t.read(spark).toPandas().iloc[0]["content"] == "v3"
+
+
+@pytest.mark.parametrize("newer_first", [True, False])
+def test_concurrent_writers_serialize(spark, tmp_path, newer_first):
+    """Two racing merge_batch writers on one table (HA double-run,
+    integration-tests/fault-injection/HA_test.go:12-41): one wins the
+    snapshot claim, the loser hits ConcurrentCommitError internally,
+    re-reads, and lands — the final state equals the SERIAL application of
+    both batches (LWW picks the newer event regardless of commit order)."""
+    path = str(tmp_path / "t")
+    t_a = LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    t_b = LakeTable(path)
+    ts_a, ts_b = (5 << 32, 3 << 32) if newer_first else (3 << 32, 5 << 32)
+    batch_a = _batch(spark, [("r/a", "f.py", ts_a, 0, "u", "ca", "py", f"A@{ts_a}")])
+    batch_b = _batch(spark, [("r/a", "f.py", ts_b, 0, "u", "cb", "py", f"B@{ts_b}")])
+
+    # interleave: when A is about to claim its snapshot, B sneaks in a full
+    # commit first — A's claim loses and its retry must re-apply over B's
+    orig = t_a._write_manifest
+    fired = {"done": False}
+
+    def hijack(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            t_b.merge_batch(batch_b, 0, epoch_ns="B")
+        return orig(manifest)
+
+    t_a._write_manifest = hijack
+    stats = t_a.merge_batch(batch_a, 0, epoch_ns="A")
+    assert stats.get("skipped_replay") is not True
+    got = t_a.read(spark).toPandas()
+    assert len(got) == 1
+    # serial application: the newer (ts) event wins whatever the commit order
+    assert got.iloc[0]["content"] == f"{'A' if ts_a > ts_b else 'B'}@{max(ts_a, ts_b)}"
+    assert t_a.epoch_applied("A", 0) and t_a.epoch_applied("B", 0)
+
+
+def test_batch_mode_out_of_order_ids_apply(spark, tmp_path):
+    """epoch_ns='' (ad-hoc batch mode) must use exact-set replay bookkeeping:
+    applying batch id 5 then batch id 3 applies BOTH (the streaming
+    watermark shortcut id<=wm would silently skip 3 — ADVICE r2)."""
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_batch(spark, [("r/a", "f.py", 5 << 32, 0, "i", "c5", "py", "v5")]), 5)
+    stats = t.merge_batch(
+        _batch(spark, [("r/b", "g.py", 3 << 32, 0, "i", "c3", "py", "v3")]), 3
+    )
+    assert stats.get("skipped_replay") is not True and stats["applied"] == 1
+    assert len(t.read(spark).toPandas()) == 2
+    # but an exact replay of an applied id is still recognized
+    stats = t.merge_batch(
+        _batch(spark, [("r/b", "g.py", 9 << 32, 0, "u", "c9", "py", "NO")]), 3
+    )
+    assert stats.get("skipped_replay") is True
+
+
+def test_quarantine_is_idempotent_per_epoch(spark, tmp_path):
+    """Replaying the quarantine write for the same epoch (crash between
+    quarantine and manifest commit) overwrites rather than duplicates."""
+    import os
+    from oplogtoredis_spark.operators.deadletter import quarantine
+    from pyspark.sql import functions as F
+
+    dead = spark.createDataFrame([(1, "null_ts")], "seq long, dl_reason string")
+    qdir = str(tmp_path / "dl")
+    assert quarantine(dead, qdir, "ns:7") == 1
+    assert quarantine(dead, qdir, "ns:7") == 1  # replay of the same epoch
+    got = spark.read.parquet(qdir)
+    assert got.count() == 1
+    assert got.where(F.col("dl_epoch") == "ns:7").count() == 1
