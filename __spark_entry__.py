@@ -824,20 +824,19 @@ WITH toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM documents),
  cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
           FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.bh = b.bh
           WHERE a.doc_id < b.doc_id),
- -- exact verify: n-gram Jaccard over the same shingle hashes (cap 100 =
- -- ngram_jaccard_pairs' default inside minhash_lsh_pairs)
- sh AS (SELECT doc_id, unnest(list_distinct(list_transform(g, x -> {_H31.format(x='x')}))) AS gh
-        FROM grams),
- sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
- freq AS (SELECT gh FROM sh GROUP BY gh HAVING count(*) <= 100),
- shf AS (SELECT sh.* FROM sh JOIN freq USING (gh)),
- common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
-   FROM shf a JOIN shf b USING (gh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
- exact AS (SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
-   FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
-SELECT c.id_a, c.id_b, e.jaccard
-FROM cand c JOIN exact e ON e.id_a = c.id_a AND e.id_b = c.id_b
-WHERE e.jaccard >= {verify_threshold}
+ -- exact verify GATED ON THE CANDIDATES (mirrors
+ -- dedup.jaccard_verify_candidates): per-doc shingle-hash sets joined to
+ -- the candidate pairs, intersection per pair — O(candidates), no
+ -- corpus-wide pair enumeration anywhere
+ sets AS (SELECT doc_id, list_distinct(list_transform(g, x -> {_H31.format(x='x')})) AS hs
+          FROM grams),
+ sized AS (SELECT doc_id, hs, len(hs) AS n FROM sets),
+ j AS (SELECT c.id_a, c.id_b,
+              len(list_intersect(sa.hs, sb.hs)) AS ncom, sa.n AS na, sb.n AS nb
+       FROM cand c JOIN sized sa ON sa.doc_id = c.id_a
+                   JOIN sized sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(ncom * 1.0 / (na + nb - ncom), 4) AS jaccard
+FROM j WHERE round(ncom * 1.0 / (na + nb - ncom), 4) >= {verify_threshold}
 """
 
 

@@ -130,6 +130,46 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     return ids.join(sig, on="id", how="left")
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, hs: distinct shingle-hash set, n_sh) — one row per doc. The
+    set-per-doc layout makes a candidate pair's exact Jaccard a single
+    ``array_intersect`` after two hash joins — O(candidates), never a
+    corpus-wide pair enumeration."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                shingles(F.col(text_col), n), lambda s: portable_hash31(s)
+            )
+        ).alias("hs"),
+    ).withColumn("n_sh", F.size("hs"))
+
+
+def jaccard_verify_candidates(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify gated on the candidate set: join the (id_a,
+    id_b) candidates to the per-doc shingle-hash sets (two equality hash
+    joins) and intersect per pair. The cost is O(|candidates|) — a pair the
+    candidate generator did not emit is never scored, which is the whole
+    point of LSH: at 100 TB the verify must track candidates, not corpus
+    pairs (an inverted-index self-join here would re-run the exact
+    algorithm at full corpus size and prune nothing)."""
+    a = sets.withColumnsRenamed({"id": "id_a", "hs": "hs_a", "n_sh": "n_a"})
+    b = sets.withColumnsRenamed({"id": "id_b", "hs": "hs_b", "n_sh": "n_b"})
+    n_common = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(n_common / (F.col("n_a") + F.col("n_b") - n_common), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -139,10 +179,14 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: 16 minhashes → `bands` bands of 4 → docs
-    sharing any band bucket become candidates → verified with exact Jaccard.
+    sharing any band bucket become candidates → exact-Jaccard verify on the
+    CANDIDATES ONLY (jaccard_verify_candidates — set intersection per
+    candidate pair, no inverted-index self-join anywhere in the plan).
 
-    This is the 100 TB path: candidates come from equality joins on band
-    hashes (shuffle on small keys), never from an all-pairs comparison.
+    This is the 100 TB path end-to-end: candidates come from equality joins
+    on band hashes (shuffle on small keys) and the verify cost is
+    O(candidates) — total work tracks the number of near-duplicates LSH
+    surfaces, never the all-pairs corpus product.
     """
     rows_per_band = N_MINHASH // bands
     sig = minhash_signature(df, id_col, text_col, n)
@@ -154,7 +198,10 @@ def minhash_lsh_pairs(
                 f"band{b}"
             )
         )
-    banded = sig.select("id", *band_cols)
+    # docs with no shingles (< n tokens) have null signatures — all of them
+    # would share one degenerate band bucket (quadratic candidates that the
+    # verify then rejects as jaccard null); drop them from banding outright
+    banded = sig.where(F.col("m0").isNotNull()).select("id", *band_cols)
     stacked = banded.select(
         "id",
         F.explode(
@@ -173,13 +220,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # adversarial verify: exact Jaccard on the candidates only
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
-    return (
-        cand.join(exact, on=["id_a", "id_b"], how="inner")
-        .where(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sets = _shingle_sets(df, id_col, text_col, n)
+    return jaccard_verify_candidates(cand, sets, verify_threshold)
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

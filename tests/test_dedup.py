@@ -152,3 +152,37 @@ def test_dedup_clusters_long_chain(spark):
     ids = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, ids).collect()}
     assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_minhash_lsh_verify_is_candidate_gated(spark, docs):
+    """The exact-Jaccard verify stage must cost O(candidates), not O(corpus
+    pairs): the plan may contain NO inverted-index self-join (the sh_h
+    shingle-posting join of ngram_jaccard_pairs — running it here would make
+    LSH prune nothing at any scale). The verify is pinned to the
+    set-intersection form: two hash joins from the candidate pairs to the
+    per-doc shingle-hash sets + array_intersect."""
+    lsh = minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "sh_h" not in plan          # the full-corpus posting join is gone
+    assert "array_intersect" in plan   # per-candidate set intersection
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_verify_scores_only_candidates(spark, docs):
+    """A pair the candidate generator did not emit is never scored — even an
+    exact duplicate pair: verify work tracks candidates, not corpus pairs."""
+    from oplogtoredis_spark.operators.dedup import (
+        _shingle_sets,
+        jaccard_verify_candidates,
+    )
+
+    sets = _shingle_sets(docs, "doc_id", "text", 3)
+    # candidate set deliberately omits the exact-dup pair (0, 3)
+    cand = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = jaccard_verify_candidates(cand, sets, threshold=0.0).toPandas()
+    assert list(got[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(0, 1)]
+    # and the scored value is the true exact Jaccard (matches the index path)
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).toPandas()
+    want = exact.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert got.iloc[0]["jaccard"] == want
