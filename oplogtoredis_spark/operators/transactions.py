@@ -42,6 +42,51 @@ def _is_txn(op_col, ns_col, o_col):
 _MAX_DEPTH_CAP = 16
 
 
+def _nest_path(k: int) -> str:
+    """JSON path matching a depth-k applyOps chain inside a command's o."""
+    return "$.applyOps" + "[*].o.applyOps" * (k - 1)
+
+
+def probe_nesting_depth(raw: DataFrame, cap: int = _MAX_DEPTH_CAP) -> int:
+    """Max applyOps nesting depth of the log — ONE column-pruned aggregate
+    job (op/ns/o only), no explosion.
+
+    Depth-k nesting is detected with a wildcard JSON path
+    (``$.applyOps[*].o.applyOps…``) evaluated directly on the raw command
+    document, so the probe never re-executes any explode level — unlike the
+    previous per-level ``where(is_txn).limit(1).isEmpty()`` probe, which
+    launched one job per depth level and re-ran every explode built so far
+    over the full input (a full scan per level on a 100 TB log; the
+    reference's recursion is free per-row, tail.go:747-759).
+
+    The path test can OVERestimate (a non-admin.$cmd child carrying
+    o.applyOps counts here but is not flattened) — that costs one no-op
+    explode pass; it can never UNDERestimate, so the bound is always safe.
+    Levels are probed in chunks of 4: depth ≤ 4 (every real oplog) costs
+    exactly one job; each deeper chunk adds one more.
+    """
+    base = (F.col("op") == F.lit("c")) & (F.col("ns") == F.lit("admin.$cmd"))
+    depth, lo = 0, 1
+    while lo <= cap:
+        hi = min(lo + 3, cap)
+        flags = [
+            F.max(
+                F.when(
+                    base & F.get_json_object(F.col("o"), _nest_path(k)).isNotNull(),
+                    F.lit(k),
+                ).otherwise(F.lit(0))
+            ).alias(f"d{k}")
+            for k in range(lo, hi + 1)
+        ]
+        row = raw.agg(*flags).first()
+        got = max([v for v in row if v is not None] or [0])
+        depth = max(depth, got)
+        if got < hi:  # chunk not maxed out — nothing deeper exists
+            break
+        lo = hi + 1
+    return depth
+
+
 def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFrame:
     """raw entries (ts, wall, op, ns, o, o2 — o/o2 JSON) → flat op stream with
     tx_idx. Non-transaction rows pass through with tx_idx=0.
@@ -55,20 +100,21 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
     2^depth scans of the log at depth levels — the difference between one
     pass and eight over a 100 TB log.
 
-    ``max_depth=None`` (default) iterates until a level produces no
-    transaction rows (data-driven, capped at _MAX_DEPTH_CAP), matching the
-    reference's unbounded recursion (tail.go:747-759). With an explicit
-    ``max_depth``, any residual applyOps row past the bound raises at
-    execution time (fail loud, SURVEY §7.3) instead of leaking an unexploded
-    command row into the stream.
+    ``max_depth=None`` (default) sizes the loop from a ONE-job nesting-depth
+    probe over the raw log (probe_nesting_depth — wildcard JSON paths, no
+    explode re-execution), matching the reference's unbounded recursion
+    (tail.go:747-759) at the cost of a single column-pruned scan. With an
+    explicit ``max_depth``, even that probe is skipped. Either way, any
+    residual applyOps row past the bound raises at execution time (fail
+    loud, SURVEY §7.3) instead of leaking an unexploded command row into
+    the stream.
     """
     # _txn_id identifies the originating command; _pos_i the explode positions.
     # Prefer a caller-supplied stable id (seq) — monotonically_increasing_id is
     # only deterministic over a single linear scan.
     base_id = F.col("seq") if "seq" in raw.columns else F.monotonically_increasing_id()
     df = raw.withColumn("_txn_id", F.struct(F.col("ts"), base_id.alias("id")))
-    data_driven = max_depth is None
-    bound = _MAX_DEPTH_CAP if data_driven else max_depth
+    bound = probe_nesting_depth(raw) if max_depth is None else max_depth
     pos_cols: list[str] = []
 
     def _child(c, i):
@@ -82,8 +128,6 @@ def flatten_transactions(raw: DataFrame, max_depth: int | None = None) -> DataFr
 
     for level in range(bound):
         is_txn = _is_txn(F.col("op"), F.col("ns"), F.col("o"))
-        if data_driven and level > 0 and df.where(is_txn).limit(1).isEmpty():
-            break  # no txn rows left — one cheap probe job per extra level
         pos = f"_pos{level}"
         pos_cols.append(pos)
         self_row = F.struct(
