@@ -292,6 +292,68 @@ def embedding_cosine_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14): for every node u, connect each strictly larger
+    neighbor to min(Γ(u) ∪ {u}). Halves long chains toward the component
+    minimum every round."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges from the larger endpoint, connect the
+    center and all its smaller neighbors to their minimum."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return nbr.unionByName(m.select("u", F.col("m").alias("v"))).distinct()
+
+
+def alternating_components(
+    edges: DataFrame, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star rounds —
+    the web-scale algorithm: converges in O(log n) rounds even on
+    adversarial long chains, where plain min-label propagation needs
+    diameter rounds (a 1000-node chain: ~10 rounds vs ~1000).
+
+    ``edges``: (u, v) pair DataFrame (any orientation). Returns
+    ``(stars, rounds)`` where stars is (u, v=component minimum) — one row
+    per non-minimum member; component minima and singletons are absent
+    (they label themselves). Each round is two groupBy-min aggregates and
+    two hash joins — no all-pairs anything; lineage is cut per round.
+    """
+    cur = _small_star(edges).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the star set is stable: symmetric difference empty,
+        # probed as ONE action (two anti-joins unioned) over the two
+        # checkpointed sets — not count+except (two jobs per round)
+        mism = new.join(cur, ["u", "v"], "left_anti").unionByName(
+            cur.join(new, ["u", "v"], "left_anti")
+        )
+        converged = mism.isEmpty()
+        cur = new
+        if converged:
+            break
+    return cur, rounds
+
+
 def dedup_clusters(
     pairs: DataFrame,
     ids: DataFrame,
@@ -299,40 +361,17 @@ def dedup_clusters(
     max_iters: int = 20,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
-    by iterative min-label propagation — (id, cluster_id) where cluster_id
-    is the smallest doc id in the component (the canonical survivor).
-    Singleton docs are their own cluster.
-
-    Plan shape per round: edges ⋈ labels (hash join on id) → min per node →
-    least(old, propagated). Convergence is checked with a cheap isEmpty
-    probe; rounds needed = graph diameter, which for near-dup clusters is
-    tiny (dup groups are dense cliques-ish). At web scale with adversarial
-    long chains, the large-star/small-star variant halves diameters per
-    round — same join primitives, noted here as the documented escalation.
-    """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("src", "id")
-        )
-        new = labels.join(neigh, "id", "left").select(
-            "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
-        )
-        new = new.localCheckpoint(eager=True)  # cut the iterative lineage
-        changed = new.alias("n").join(labels.alias("o"), "id").where(
-            F.col("n.label") != F.col("o.label")
-        )
-        labels = new
-        if changed.isEmpty():
-            break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    via alternating large-star/small-star (alternating_components) —
+    (id, cluster_id) where cluster_id is the smallest doc id in the
+    component (the canonical survivor). Singleton docs are their own
+    cluster. O(log n) rounds regardless of component diameter."""
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    stars, _ = alternating_components(e, max_iters=max_iters)
+    labels = ids.select(F.col(id_col).alias("u")).join(stars, "u", "left")
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.coalesce(F.col("v"), F.col("u")).alias("cluster_id"),
+    )
 
 
 def embedding_dup_pairs_lsh(

@@ -186,3 +186,58 @@ def test_jaccard_verify_scores_only_candidates(spark, docs):
     exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).toPandas()
     want = exact.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
     assert got.iloc[0]["jaccard"] == want
+
+
+def test_alternating_components_chain_converges_in_log_rounds(spark):
+    """A 1000-node chain — the adversarial case for min-label propagation
+    (needs ~1000 diameter rounds) — must converge in O(log n) alternating
+    large-star/small-star rounds (VERDICT r2 #8)."""
+    from oplogtoredis_spark.operators.dedup import alternating_components
+
+    n = 1000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stars, rounds = alternating_components(edges, max_iters=20)
+    assert rounds <= 12, f"needed {rounds} rounds on a {n}-chain"
+    got = stars.toPandas()
+    assert set(got["v"]) == {0}            # every node labeled by the min
+    assert set(got["u"]) == set(range(1, n))
+
+
+def test_dedup_clusters_random_graph_matches_union_find(spark):
+    """Cluster labels equal a driver-side union-find ground truth on a
+    random multi-component graph (singletons label themselves)."""
+    import random
+
+    from oplogtoredis_spark.operators.dedup import dedup_clusters
+
+    random.seed(7)
+    n = 200
+    raw_edges = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in raw_edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in range(n):
+        comps.setdefault(find(x), []).append(x)
+    want = {x: min(members) for members in comps.values() for x in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, ids, id_col="doc_id").collect()
+    }
+    assert got == want
