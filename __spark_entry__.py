@@ -586,6 +586,33 @@ FROM events GROUP BY event_type
 """
 
 
+def q_metrics_histogram(spark, sf_dir):
+    """M1 (histogram half): entry-size distribution with the reference's
+    exponential buckets 8B -> 2GB (prometheus.ExponentialBuckets(8,2,29),
+    lib/oplog/tail.go:71-137) over the event payload bytes — ONE chained-
+    CASE bucket expression + one hash aggregate; the same expression rides
+    the streaming merge's observe pass (lake.py) per micro-batch."""
+    from oplogtoredis_spark.functions.histograms import exp_bucket_le
+
+    ev = _ev(spark, sf_dir).select(F.octet_length("props").alias("sz"))
+    return (
+        ev.groupBy(exp_bucket_le(F.col("sz")).alias("bucket_le"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_metrics_histogram() -> str:
+    from oplogtoredis_spark.functions.histograms import exp_bucket_le_sql
+
+    bucket = exp_bucket_le_sql("octet_length(encode(props))")
+    return f"""
+SELECT ({bucket}) AS bucket_le, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+SQL_METRICS_HISTOGRAM = _sql_metrics_histogram()
+
+
 def q_interval_max(spark, sf_dir):
     """M2: interval-max metric with the reference's completed-interval
     reporting discipline (interval_max_metric.go:18-315): per-minute maxima,
@@ -1060,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lww_latest_per_user": q_lww_latest_per_user,
         "metrics_counts": q_metrics_counts,
+        "metrics_histogram": q_metrics_histogram,
         "interval_max": q_interval_max,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
@@ -1098,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "lww_latest_per_user": SQL_LWW_LATEST,
         "metrics_counts": SQL_METRICS_COUNTS,
+        "metrics_histogram": SQL_METRICS_HISTOGRAM,
         "interval_max": SQL_INTERVAL_MAX,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,

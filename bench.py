@@ -46,6 +46,7 @@ HEADLINE = [
     "publications",
     "changed_fields_v2_deep",
     "interval_max",
+    "metrics_histogram",
     "text_profile",
     "quality_filter",
     "chunk_documents",

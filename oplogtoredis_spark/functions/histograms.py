@@ -1,0 +1,126 @@
+"""Histogram metrics — the reference's Prometheus histograms, Spark-first.
+
+Reference: oplogtoredis exports an entry-size histogram with exponential
+buckets 8 B → 2 GB (prometheus.ExponentialBuckets(8, 2, 29) on the raw oplog
+entry size, /root/reference/lib/oplog/tail.go:71-137) plus resume-gap and
+batch-size histograms on the publish path
+(/root/reference/lib/redispub/publisher.go:64-114). A user debugging a
+fat-document or replay-storm incident reaches for exactly these
+distributions, so the engine records them per micro-batch.
+
+Spark-first shape: the bucket assignment is ONE chained-CASE expression
+(codegen'd, no UDF) that rides the batch's existing observe() pass — the
+per-bucket counts are conditional sums on the same scan, zero extra jobs.
+The bucket function is generated from the same Python constant list for
+Spark and for the DuckDB oracle, so the driver's value-hash parity holds
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: exponential bucket upper bounds, 8 B → 2 GiB (29 buckets, ×2 each) —
+#: the reference's prometheus.ExponentialBuckets(8, 2, 29)
+EXP_BUCKETS: tuple[int, ...] = tuple(8 * 2**i for i in range(29))
+
+#: the +Inf bucket marker (anything above the largest finite bound)
+INF_LE = -1
+
+
+def exp_bucket_le(size: Column) -> Column:
+    """Histogram bucket for a byte size: the smallest bucket upper bound
+    ``le`` with size <= le, or INF_LE (-1) above the largest. Null sizes map
+    to null (absent from the histogram — like an unobserved sample)."""
+    expr = F.lit(INF_LE)
+    for le in reversed(EXP_BUCKETS):
+        expr = F.when(size <= F.lit(le), F.lit(le)).otherwise(expr)
+    return F.when(size.isNull(), F.lit(None).cast("long")).otherwise(expr)
+
+
+def exp_bucket_le_sql(size_expr: str) -> str:
+    """The DuckDB-side rendering of exp_bucket_le for oracle_sql strings."""
+    whens = "\n    ".join(
+        f"WHEN {size_expr} <= {le} THEN {le}" for le in EXP_BUCKETS
+    )
+    return (
+        f"CASE WHEN {size_expr} IS NULL THEN NULL\n    {whens}\n"
+        f"    ELSE {INF_LE} END"
+    )
+
+
+def hist_observe_aggs(size: Column, prefix: str) -> list[Column]:
+    """Per-bucket conditional-sum aggregates for an observe() pass: one
+    ``sum(size in bucket)`` column per bucket (named ``{prefix}_{le}``),
+    plus ``{prefix}_inf``. These ride an existing batch scan — the
+    histogram costs zero extra Spark jobs."""
+    b = exp_bucket_le(size)
+    aggs = [
+        F.sum((b == F.lit(le)).cast("long")).alias(f"{prefix}_{le}")
+        for le in EXP_BUCKETS
+    ]
+    aggs.append(F.sum((b == F.lit(INF_LE)).cast("long")).alias(f"{prefix}_inf"))
+    return aggs
+
+
+def hist_from_observed(observed: dict, prefix: str) -> dict[str, int]:
+    """Collect the non-zero buckets of an observed histogram into a compact
+    ``{le: count}`` dict for the lineage record ('inf' for the +Inf
+    bucket)."""
+    out: dict[str, int] = {}
+    for le in EXP_BUCKETS:
+        n = int(observed.get(f"{prefix}_{le}") or 0)
+        if n:
+            out[str(le)] = n
+    n_inf = int(observed.get(f"{prefix}_inf") or 0)
+    if n_inf:
+        out["inf"] = n_inf
+    return out
+
+
+def bucketize(value: float | int | None, buckets: tuple = EXP_BUCKETS) -> str | None:
+    """Driver-side bucket assignment (for histograms built over lineage
+    records rather than data rows — batch sizes, resume gaps)."""
+    if value is None:
+        return None
+    for le in buckets:
+        if value <= le:
+            return str(le)
+    return "inf"
+
+
+#: resume-gap buckets in seconds (reference publisher.go resume-gap
+#: histogram): 1 s → ~9 h, ×2 each
+GAP_BUCKETS_SECS: tuple[int, ...] = tuple(2**i for i in range(16))
+
+
+def lineage_histograms(lineage: list[dict]) -> dict:
+    """Aggregate a table's lineage records into the reference's three
+    publish-path histograms:
+
+      * ``entry_size``  — summed per-batch entry-size histograms (recorded
+        by the merge's observe pass)
+      * ``batch_size``  — events_in per applied batch, exponential buckets
+      * ``resume_gap_secs`` — per-batch read-side staleness (lag_secs),
+        the gap between the newest event's wall clock and apply time
+
+    Driver-side only: lineage records are already O(batches) JSON."""
+    entry_size: dict[str, int] = {}
+    batch_size: dict[str, int] = {}
+    resume_gap: dict[str, int] = {}
+    for rec in lineage:
+        if rec.get("skipped_replay"):
+            continue
+        for le, n in (rec.get("entry_size_hist") or {}).items():
+            entry_size[le] = entry_size.get(le, 0) + int(n)
+        if rec.get("events_in") is not None:
+            b = bucketize(rec["events_in"])
+            batch_size[b] = batch_size.get(b, 0) + 1
+        if rec.get("lag_secs") is not None:
+            b = bucketize(rec["lag_secs"], GAP_BUCKETS_SECS)
+            resume_gap[b] = resume_gap.get(b, 0) + 1
+    return {
+        "entry_size": entry_size,
+        "batch_size": batch_size,
+        "resume_gap_secs": resume_gap,
+    }

@@ -396,6 +396,15 @@ class LakeTable:
         ]
         if "wall" in batch.columns:
             in_aggs.append(F.max(F.col("wall")).alias("max_wall"))
+        # entry-size histogram (reference prometheus.ExponentialBuckets(8,2,29)
+        # on the raw entry size, lib/oplog/tail.go:71-137): per-bucket
+        # conditional sums riding the SAME observe pass — zero extra jobs
+        from ..functions.histograms import hist_from_observed, hist_observe_aggs
+
+        if "content" in batch.columns:
+            in_aggs.extend(
+                hist_observe_aggs(F.octet_length(F.col("content")), "esz")
+            )
         batch = batch.observe(in_obs, *in_aggs)
         from ..operators.deadletter import split_dead_letters
 
@@ -652,6 +661,9 @@ class LakeTable:
         if affected:
             stats["events_in"] = int(im.get("events_in") or 0)
             stats["deletes_in"] = int(im.get("deletes_in") or 0)
+            hist = hist_from_observed(im, "esz")
+            if hist:
+                stats["entry_size_hist"] = hist
             mw = im.get("max_wall")
             if mw is not None:
                 # read-side staleness gauge (publish lag analogue)

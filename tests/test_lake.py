@@ -333,3 +333,31 @@ def test_quarantine_is_idempotent_per_epoch(spark, tmp_path):
     got = spark.read.parquet(qdir)
     assert got.count() == 1
     assert got.where(F.col("dl_epoch") == "ns:7").count() == 1
+
+
+def test_entry_size_histogram_in_lineage(spark, tmp_path):
+    """The merge's observe pass records the reference's entry-size histogram
+    (exponential buckets 8B->2GB, lib/oplog/tail.go:71-137) per batch; the
+    lineage aggregator folds batches into the publish-path histograms."""
+    from oplogtoredis_spark.functions.histograms import lineage_histograms
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    rows = [
+        ("r/a", "a.py", 1 << 32, 0, "i", "c", "py", "x" * 5),      # <=8
+        ("r/b", "b.py", 1 << 32, 0, "i", "c", "py", "x" * 8),      # <=8 (boundary)
+        ("r/c", "c.py", 1 << 32, 0, "i", "c", "py", "x" * 9),      # <=16
+        ("r/d", "d.py", 1 << 32, 0, "i", "c", "py", "x" * 100),    # <=128
+        ("r/e", "e.py", 1 << 32, 0, "d", None, None, None),        # null: unobserved
+    ]
+    stats = t.merge_batch(_batch(spark, rows), 0, epoch_ns="h")
+    assert stats["entry_size_hist"] == {"8": 2, "16": 1, "128": 1}
+    rec = [x for x in t.lineage() if x.get("entry_size_hist")]
+    assert rec and rec[0]["entry_size_hist"] == {"8": 2, "16": 1, "128": 1}
+    # second batch folds in
+    t.merge_batch(
+        _batch(spark, [("r/f", "f.py", 2 << 32, 0, "i", "c", "py", "x" * 2000)]),
+        1, epoch_ns="h",
+    )
+    h = lineage_histograms(t.lineage())
+    assert h["entry_size"] == {"8": 2, "16": 1, "128": 1, "2048": 1}
+    assert h["batch_size"] == {"8": 2}  # two applied batches of <=8 events
