@@ -1037,22 +1037,43 @@ SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_multimodal_stats(spark, sf_dir):
-    """Binary-column plumbing: opaque bytes + typed metadata, no decode."""
-    from oplogtoredis_spark.operators.multimodal import asset_stats
+    """Binary-column plumbing + REAL decode: each document becomes a P6 PPM
+    asset (ASCII header, dimensions derived from doc_id, text as payload);
+    the zero-copy stats path (octet_length/sha2, native expressions) joins
+    the Arrow-batched mapInPandas decode path running the pure-Python PPM
+    codec in STRICT mode (no synthetic fallback) — the exact seam where
+    PIL/ffmpeg plug in on a real cluster (operators/multimodal.py)."""
+    from oplogtoredis_spark.operators.multimodal import asset_stats, decode_assets
 
+    w = (F.col("doc_id") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 32 + 1).cast("int")
+    data = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"), F.col("text"),
+    ).cast("binary")
     assets = _docs(spark, sf_dir, par=True).select(
         F.col("doc_id").alias("asset_id"),
-        F.lit("text").alias("kind"),
-        F.col("text").cast("binary").alias("data"),
+        F.lit("image").alias("kind"),
+        data.alias("data"),
         F.lit(None).cast("string").alias("meta"),
     )
-    return asset_stats(assets)
+    stats = asset_stats(assets)
+    dec = decode_assets(assets, strict=True).select(
+        "asset_id", "codec", "width", "height", "frames"
+    )
+    return stats.join(dec, "asset_id")
 
 
 SQL_MULTIMODAL_STATS = """
-SELECT doc_id AS asset_id, 'text' AS kind, octet_length(encode(text)) AS n_bytes,
-       sha256(text) AS data_sha256
-FROM documents
+WITH a AS (SELECT doc_id AS asset_id,
+  'P6' || chr(10) || (doc_id % 64 + 1)::VARCHAR || ' ' ||
+  (doc_id % 32 + 1)::VARCHAR || chr(10) || '255' || chr(10) || text AS s,
+  (doc_id % 64 + 1)::INT AS w, (doc_id % 32 + 1)::INT AS h
+  FROM documents)
+SELECT asset_id, 'image' AS kind, octet_length(encode(s)) AS n_bytes,
+       sha256(s) AS data_sha256, 'ppm' AS codec, w AS width, h AS height,
+       1 AS frames
+FROM a
 """
 
 

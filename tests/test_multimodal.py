@@ -52,3 +52,46 @@ def test_frame_sample(spark, assets):
     frames = frame_sample(dec, every_n=100).toPandas()
     vid = frames[frames["asset_id"] == 1]
     assert list(vid["frame_idx"]) == [0, 100, 200]
+
+
+def test_real_ppm_decode(spark):
+    """The PPM codec is a REAL decode (ASCII header parse) — exercised
+    end-to-end through the mapInPandas seam, strict mode (no fallback)."""
+    from oplogtoredis_spark.operators.multimodal import make_ppm
+
+    rows = [
+        (0, "image", make_ppm(640, 480, b"\x00" * 10), None),
+        (1, "image", b"P6\n# a comment\n 12\t7\n255\nrgb", None),  # ws + comment
+        (2, "image", b"P6\nnot numbers\n", None),                   # malformed
+    ]
+    out = (
+        decode_assets(spark.createDataFrame(rows, ASSET_SCHEMA))
+        .toPandas().set_index("asset_id")
+    )
+    assert (out.loc[0, "codec"], out.loc[0, "width"], out.loc[0, "height"],
+            out.loc[0, "frames"]) == ("ppm", 640, 480, 1)
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (12, 7)
+    import pandas as pd
+    assert pd.isna(out.loc[2, "width"])  # malformed: nulls, batch survives
+
+
+def test_real_wav_decode(spark):
+    """The WAV codec walks real RIFF chunks: channels, sample rate, and the
+    per-channel sample count from the data chunk."""
+    from oplogtoredis_spark.operators.multimodal import make_wav
+
+    rows = [
+        (0, "audio", make_wav(channels=2, sample_rate=44100, n_samples=1000), None),
+        (1, "audio", make_wav(channels=1, sample_rate=16000, n_samples=320, bits=8), None),
+        (2, "audio", b"RIFFxxxxWAVE", None),  # no chunks: nulls
+    ]
+    out = (
+        decode_assets(spark.createDataFrame(rows, ASSET_SCHEMA), strict=True)
+        .toPandas().set_index("asset_id")
+    )
+    assert (out.loc[0, "codec"], out.loc[0, "channels"],
+            out.loc[0, "sample_rate"], out.loc[0, "frames"]) == ("wav", 2, 44100, 1000)
+    assert (out.loc[1, "channels"], out.loc[1, "sample_rate"],
+            out.loc[1, "frames"]) == (1, 16000, 320)
+    import pandas as pd
+    assert pd.isna(out.loc[2, "channels"])
