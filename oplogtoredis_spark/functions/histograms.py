@@ -53,13 +53,47 @@ def hist_observe_aggs(size: Column, prefix: str) -> list[Column]:
     """Per-bucket conditional-sum aggregates for an observe() pass: one
     ``sum(size in bucket)`` column per bucket (named ``{prefix}_{le}``),
     plus ``{prefix}_inf``. These ride an existing batch scan — the
-    histogram costs zero extra Spark jobs."""
+    histogram costs zero extra Spark jobs.
+
+    NOTE: each aggregate inlines the full bucket CASE chain — fine for a
+    one-off query, but on a hot per-epoch path use
+    :func:`hist_observe_aggs_on` over a precomputed bucket column (inlining
+    was measured at ~3.5 s/epoch on a 485k-row micro-batch: 30 aggregates x
+    29 branches per row, with no common-subexpression elimination across
+    aggregate expressions)."""
     b = exp_bucket_le(size)
     aggs = [
         F.sum((b == F.lit(le)).cast("long")).alias(f"{prefix}_{le}")
         for le in EXP_BUCKETS
     ]
     aggs.append(F.sum((b == F.lit(INF_LE)).cast("long")).alias(f"{prefix}_inf"))
+    return aggs
+
+
+def hist_bucket_col_sql(size_sql: str) -> str:
+    """SQL for the bucket-assignment column (one CASE evaluation per row),
+    parsed JVM-side in a single call — pair with
+    :func:`hist_observe_aggs_on`. The CASE text is the same renderer the
+    DuckDB oracle uses, so Spark and oracle bucket identically."""
+    return exp_bucket_le_sql(size_sql)
+
+
+def hist_observe_aggs_on(bucket_col: str, prefix: str) -> list[Column]:
+    """Observe aggregates over a PRECOMPUTED bucket column (see
+    :func:`hist_bucket_col_sql`): each is a trivial equality-sum, so the
+    per-row cost is one CASE evaluation + 30 long compares instead of 870
+    branch evaluations. Expressions are built as SQL strings (one py4j
+    round-trip each) — driver-side construction cost ~30 calls/epoch, not
+    ~900."""
+    aggs = [
+        F.expr(
+            f"sum(cast({bucket_col} = {le} as long))"
+        ).alias(f"{prefix}_{le}")
+        for le in EXP_BUCKETS
+    ]
+    aggs.append(
+        F.expr(f"sum(cast({bucket_col} = {INF_LE} as long))").alias(f"{prefix}_inf")
+    )
     return aggs
 
 
