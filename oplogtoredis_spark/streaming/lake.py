@@ -109,6 +109,10 @@ class LakeTable:
         self.path = path
         self._manifest_dir = os.path.join(path, "_manifests")
         self._lineage_dir = os.path.join(path, "_lineage")
+        # single-slot cache of batch-invariant merge expressions (see
+        # _epoch_exprs): (key, dict) — streaming epochs share one batch
+        # schema, so the hit rate is every epoch after the first
+        self._expr_cache: tuple[tuple, dict] | None = None
 
     # ---------------- creation / metadata ----------------
     @staticmethod
@@ -355,6 +359,139 @@ class LakeTable:
                 continue
         raise last_err
 
+    def _epoch_exprs(
+        self, batch: DataFrame, m: dict, extra_payload_cols: tuple[str, ...]
+    ) -> dict:
+        """Batch-invariant merge plan fragments, cached per (batch schema,
+        table schema, payload, bucket count).
+
+        Unresolved Column trees are immutable and not bound to any plan, so
+        they can be built once and attached to every epoch's DataFrames.
+        Rebuilding them per epoch cost ~550 py4j round-trips (~0.5-0.7 s)
+        of driver-serial time per micro-batch — the dominant term of the
+        streaming Amdahl serial fraction after the O(1) manifest commit.
+        The ONE schema analysis probe (for schema evolution) also moves
+        here, so steady-state epochs trigger no analysis round-trip at all.
+        """
+        batch_schema_json = batch.schema.json()
+        key_t = (
+            batch_schema_json,
+            m["schema"],
+            tuple(extra_payload_cols),
+            m["n_buckets"],
+        )
+        if self._expr_cache is not None and self._expr_cache[0] == key_t:
+            return self._expr_cache[1]
+
+        from ..functions.histograms import hist_bucket_col_sql, hist_observe_aggs_on
+
+        n_buckets = m["n_buckets"]
+        current_schema = T.StructType.fromJson(json.loads(m["schema"]))
+        batch_schema = T.StructType.fromJson(json.loads(batch_schema_json))
+        payload = ["commit", "lang", "content", *extra_payload_cols]
+        # unprocessable envelopes (reference metric lib/oplog/tail.go:109-114;
+        # fail-loud rule SURVEY §7.3): rows missing the identity the merge
+        # keys on can neither order nor route — they are COUNTED on the
+        # batch's observe pass and quarantined to the _deadletter side
+        # output before the commit, never silently dropped
+        dl_reason = (
+            F.when(F.col("repo").isNull(), F.lit("null_repo"))
+            .when(F.col("path").isNull(), F.lit("null_path"))
+            .when(F.col("ts").isNull(), F.lit("null_ts"))
+            .when(F.col("op").isNull(), F.lit("null_op"))
+        )
+        in_aggs = [
+            F.count(F.lit(1)).alias("events_in"),
+            F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
+            F.sum(dl_reason.isNotNull().cast("long")).alias("unprocessable_in"),
+        ]
+        if any(f.name == "wall" for f in batch_schema.fields):
+            in_aggs.append(F.max(F.col("wall")).alias("max_wall"))
+        src_cols = [
+            F.col("repo"),
+            F.col("path"),
+            *[F.col(c) for c in payload],
+            F.lit(None).cast("string").alias("content_sha256"),
+            F.col("ts").alias("last_ts"),
+            F.col("tx_idx").cast("int").alias("last_tx_idx"),
+            (F.col("op") == F.lit("d")).alias("deleted"),
+            bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("bucket"),
+        ]
+        # entry-size histogram fragments (reference
+        # prometheus.ExponentialBuckets(8,2,29), lib/oplog/tail.go:71-137):
+        # bucket CASE materialized once per row, aggregates are equality-sums
+        hist_bucket = F.expr(hist_bucket_col_sql("octet_length(content)"))
+        hist_aggs = hist_observe_aggs_on("_esz_le", "esz")
+
+        # schema evolution: ONE analysis probe of the source shape
+        src_schema = batch.select(*src_cols).schema
+        new_schema = merge_schemas(current_schema, src_schema)
+        conform_cols = None
+        if new_schema.json() != src_schema.json():
+            have = {f.name for f in src_schema.fields}
+            conform_cols = [
+                (
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in new_schema.fields
+            ]
+
+        key = ["repo", "path"]
+        data_cols = [f.name for f in new_schema.fields if f.name not in key]
+        order = F.struct(
+            F.col("last_ts"), F.col("last_tx_idx"), F.col("_is_tgt").cast("int")
+        )
+        pay = F.struct(*[F.col(c) for c in data_cols], F.col("_is_tgt"))
+        win_applied = ~F.col("_w._is_tgt")
+        cx = {
+            "new_schema": new_schema,
+            "dl_reason": dl_reason,
+            "in_aggs": in_aggs,
+            "src_cols": src_cols,
+            "hist_bucket": hist_bucket,
+            "hist_aggs": hist_aggs,
+            "conform_cols": conform_cols,
+            "order": order,
+            "pay": pay,
+            "collapse_aggs": [
+                F.max_by(pay, order).alias("_w"),
+                F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
+            ],
+            "merged_cols": [
+                *key,
+                *[
+                    (
+                        # winner sha256 computed once per surviving row;
+                        # target winners keep their stored hash
+                        F.coalesce(
+                            F.col("_w.content_sha256"),
+                            F.sha2(F.col("_w.content"), 256),
+                        ).alias(c)
+                        if c == "content_sha256"
+                        else F.col(f"_w.{c}").alias(c)
+                    )
+                    for c in data_cols
+                ],
+                win_applied.alias("_applied"),
+                (F.col("_w._is_tgt") & (F.col("_had_src") == 1)).alias("_dedup_hit"),
+            ],
+            "merge_aggs": [
+                F.count(F.lit(1)).alias("rows_out"),
+                F.sum(F.col("_applied").cast("long")).alias("applied"),
+                F.sum(F.col("_dedup_hit").cast("long")).alias("dedup_hits"),
+                F.sum((F.col("_applied") & F.col("deleted")).cast("long")).alias(
+                    "deletes"
+                ),
+            ],
+            "bucket_b": bucket_for(F.col("repo"), F.col("path"), n_buckets).alias(
+                "b"
+            ),
+        }
+        self._expr_cache = (key_t, cx)
+        return cx
+
     def _apply_epoch(
         self,
         batch: DataFrame,
@@ -369,77 +506,45 @@ class LakeTable:
         spark = batch.sparkSession
         m = self.manifest()
         n_buckets = m["n_buckets"]
-        current_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
-        payload = ["commit", "lang", "content", *extra_payload_cols]
-        # unprocessable envelopes (reference metric lib/oplog/tail.go:109-114;
-        # fail-loud rule SURVEY §7.3): rows missing the identity the merge
-        # keys on can neither order nor route — they are COUNTED on the same
-        # pass (observe) and quarantined to the _deadletter side output after
-        # the commit, never silently dropped
-        dl_reason = (
-            F.when(F.col("repo").isNull(), F.lit("null_repo"))
-            .when(F.col("path").isNull(), F.lit("null_path"))
-            .when(F.col("ts").isNull(), F.lit("null_ts"))
-            .when(F.col("op").isNull(), F.lit("null_op"))
-        )
+        # Batch-invariant plan fragments come from a single-slot cache: a
+        # streaming epoch's driver-serial cost was ~55% py4j expression
+        # construction (~550 round-trips/epoch rebuilding identical Column
+        # trees — measured ~0.5-0.7 s/epoch), which is an Amdahl term wall
+        # clock can't parallelize away. Unresolved Column trees are immutable
+        # and plan-independent, so they are built once per (batch schema,
+        # table schema) and reused every epoch.
+        cx = self._epoch_exprs(batch, m, extra_payload_cols)
+        new_schema: T.StructType = cx["new_schema"]
+
+        from pyspark.sql import Observation as _Obs
+
+        from ..functions.histograms import hist_from_observed
+        from ..operators.deadletter import split_dead_letters
+
         # input-side metrics ride the batch's own pass (M1 analogues:
         # received-by-op counters + read-side staleness gauge,
         # lib/oplog/tail.go:71-137, lib/redispub/publisher.go:101-114)
-        from pyspark.sql import Observation as _Obs
-
         in_obs = _Obs(f"in_{batch_id}")
-        in_aggs = [
-            F.count(F.lit(1)).alias("events_in"),
-            F.sum((F.col("op") == "d").cast("long")).alias("deletes_in"),
-            F.sum(dl_reason.isNotNull().cast("long")).alias("unprocessable_in"),
-        ]
-        if "wall" in batch.columns:
-            in_aggs.append(F.max(F.col("wall")).alias("max_wall"))
-        batch = batch.observe(in_obs, *in_aggs)
-        from ..operators.deadletter import split_dead_letters
-
-        batch_ok, batch_dead = split_dead_letters(batch, dl_reason)
+        batch = batch.observe(in_obs, *cx["in_aggs"])
+        batch_ok, batch_dead = split_dead_letters(batch, cx["dl_reason"])
         # events mapped straight to the target row shape (sha256 is computed
-        # AFTER winner selection — never for losing duplicates)
-        src = batch_ok.select(
-            "repo",
-            "path",
-            *payload,
-            F.lit(None).cast("string").alias("content_sha256"),
-            F.col("ts").alias("last_ts"),
-            F.col("tx_idx").cast("int").alias("last_tx_idx"),
-            (F.col("op") == F.lit("d")).alias("deleted"),
-            bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("bucket"),
-        )
-
-        # entry-size histogram (reference prometheus.ExponentialBuckets(8,2,29)
-        # on the raw entry size, lib/oplog/tail.go:71-137): per-bucket
-        # conditional sums riding the MERGE-WRITE scan only — attached to
-        # src, NOT to the shared batch root, so the column-pruned
-        # affected-bucket discovery scan is never forced to read `content`.
-        # The bucket CASE is materialized ONCE per row (then dropped before
-        # schema evolution); inlining it per-aggregate measured ~3.5 s/epoch.
-        from pyspark.sql import Observation as _Obs2
-
-        from ..functions.histograms import (
-            hist_bucket_col_sql,
-            hist_from_observed,
-            hist_observe_aggs_on,
-        )
-
-        hist_obs = _Obs2(f"esz_{batch_id}")
+        # AFTER winner selection — never for losing duplicates); then the
+        # entry-size histogram rides the merge-write scan only (NOT the
+        # shared batch root, which must stay column-prunable for the
+        # affected-bucket discovery scan), over a bucket column materialized
+        # once per row and dropped before schema evolution
+        hist_obs = _Obs(f"esz_{batch_id}")
         src = (
-            src.withColumn(
-                "_esz_le", F.expr(hist_bucket_col_sql("octet_length(content)"))
-            )
-            .observe(hist_obs, *hist_observe_aggs_on("_esz_le", "esz"))
+            batch_ok.select(*cx["src_cols"])
+            .withColumn("_esz_le", cx["hist_bucket"])
+            .observe(hist_obs, *cx["hist_aggs"])
             .drop("_esz_le")
         )
 
         # ---- schema evolution (added columns / widening) ----
-        new_schema = merge_schemas(current_schema, src.schema)
-        src = conform_to_schema(src, new_schema)
+        if cx["conform_cols"] is not None:
+            src = src.select(*cx["conform_cols"])
 
         # ---- manifest-level partition pruning: touch only affected buckets.
         # Derived from the RAW batch (cheap scan), not from src: every key's
@@ -449,21 +554,19 @@ class LakeTable:
         t_plan = time.time()
         if prune:
             affected = sorted(
-                r.b
-                for r in batch_ok.select(
-                    bucket_for(F.col("repo"), F.col("path"), n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
+                r.b for r in batch_ok.select(cx["bucket_b"]).distinct().collect()
             )
         else:
             # dense mode: no discovery job; the true affected set is derived
             # from the written partition dirs after the merge action
             affected = sorted(int(b) for b in m["buckets"]) or None
         t_affected = time.time()
-        tgt = conform_to_schema(
-            self.read(spark, include_deleted=True, buckets=affected), new_schema
-        )
+        # read() always emits exactly the manifest schema, so the target
+        # needs conforming only when this batch evolves the schema — the
+        # steady state skips a per-epoch analysis round-trip
+        tgt = self.read(spark, include_deleted=True, buckets=affected)
+        if new_schema.json() != m["schema"]:
+            tgt = conform_to_schema(tgt, new_schema)
         t_tgt = time.time()
         if affected is None:
             affected = []  # empty table: nothing to prune, nothing to read
@@ -478,7 +581,6 @@ class LakeTable:
         # reduction — the same shape as the in-batch collapse, so the merge
         # costs ONE wide shuffle total instead of agg + join.
         key = ["repo", "path"]
-        data_cols = [f.name for f in new_schema.fields if f.name not in key]
         u = src.withColumn("_is_tgt", F.lit(False)).unionByName(
             tgt.withColumn("_is_tgt", F.lit(True))
         )
@@ -491,10 +593,8 @@ class LakeTable:
         # for merges whose combine step is not algebraic (diff folding) —
         # for this LWW merge it adds a full extra exchange+sort (measured
         # ~35% of epoch wall time) for no additional bound.
-        order = F.struct(
-            F.col("last_ts"), F.col("last_tx_idx"), F.col("_is_tgt").cast("int")
-        )
-        pay = F.struct(*[F.col(c) for c in data_cols], F.col("_is_tgt"))
+        order = cx["order"]
+        pay = cx["pay"]
         if n_salts and n_salts > 1:
             salted = u.withColumn(
                 "_salt",
@@ -512,38 +612,12 @@ class LakeTable:
                 F.max("_had_src").alias("_had_src"),
             )
         else:
-            p2 = u.groupBy(*key).agg(
-                F.max_by(pay, order).alias("_w"),
-                F.max((~F.col("_is_tgt")).cast("int")).alias("_had_src"),
-            )
-        win_applied = ~F.col("_w._is_tgt")
-        merged = p2.select(
-            *key,
-            *[
-                (
-                    # winner sha256 computed once per surviving row; target
-                    # winners keep their stored hash
-                    F.coalesce(F.col("_w.content_sha256"), F.sha2(F.col("_w.content"), 256)).alias(c)
-                    if c == "content_sha256"
-                    else F.col(f"_w.{c}").alias(c)
-                )
-                for c in data_cols
-            ],
-            win_applied.alias("_applied"),
-            (F.col("_w._is_tgt") & (F.col("_had_src") == 1)).alias("_dedup_hit"),
-        )
+            p2 = u.groupBy(*key).agg(*cx["collapse_aggs"])
+        merged = p2.select(*cx["merged_cols"])
         # metrics ride the same pass via observe() — no second job
         # (reference metrics analogue, SURVEY.md §2 M1; lib/redispub/publisher.go:64-114)
-        from pyspark.sql import Observation
-
-        obs = Observation(f"merge_{batch_id}")
-        merged = merged.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_out"),
-            F.sum(F.col("_applied").cast("long")).alias("applied"),
-            F.sum(F.col("_dedup_hit").cast("long")).alias("dedup_hits"),
-            F.sum((F.col("_applied") & F.col("deleted")).cast("long")).alias("deletes"),
-        )
+        obs = _Obs(f"merge_{batch_id}")
+        merged = merged.observe(obs, *cx["merge_aggs"])
         merged = merged.drop("_applied", "_dedup_hit")
 
         # ---- write new snapshot dirs for affected buckets only ----
@@ -655,7 +729,7 @@ class LakeTable:
             "version": new_version,
             "affected_buckets": len(affected),
             "unprocessable_in": n_dead,
-            "schema_evolved": len(new_schema.fields) != len(current_schema.fields),
+            "schema_evolved": new_schema.json() != m["schema"],
             "rows_out": int(metrics.get("rows_out") or 0),
             "applied": int(metrics.get("applied") or 0),
             "dedup_hits": int(metrics.get("dedup_hits") or 0),

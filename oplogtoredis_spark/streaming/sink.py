@@ -82,8 +82,9 @@ class InMemorySink:
     _REGISTRY: dict[str, "InMemorySink"] = {}
 
     def __init__(self, path: str):
-        # path-keyed singleton: foreachBatch constructs the sink per batch
-        # (like LakeTable(path)), so state must outlive one instance
+        # path-keyed singleton: callers may construct the sink any number
+        # of times for one path (the runner builds one per stream; ad-hoc
+        # callers may build one per batch), so state must outlive an instance
         self.path = path
         inst = self._REGISTRY.setdefault(path, self)
         self.__dict__ = inst.__dict__
