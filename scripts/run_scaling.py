@@ -108,6 +108,38 @@ run_to_completion(spark, events, work + "/tbl", work + "/ckpt", cfg,
 out["stream_dense"] = round(time.time() - t0, 2)
 c5, r5 = stage_totals()
 out["stream_dense_cpu_s"], out["stream_dense_run_s"] = round(c5 - c4, 1), round(r5 - r4, 1)
+
+# directly MEASURED per-run driver-serial term (the Amdahl S): the lineage's
+# per-epoch phase clocks cover everything inside merge_batch that is not the
+# executor-parallel merge+write job (plan/setup, target-read planning,
+# manifest commit), and the wall not covered by merge_batch at all is the
+# streaming machinery between epochs (source listing, offset WAL, epoch
+# scheduling). S = sum(driver phases) + (wall - sum(epoch walls)).
+from oplogtoredis_spark.streaming.lake import LakeTable
+recs = [r for r in LakeTable(work + "/tbl").lineage() if "phase_secs" in r]
+ser = sum(sum(r["phase_secs"].values()) - r["phase_secs"]["merge_write"]
+          for r in recs)
+gaps = out["stream_dense"] - sum(r["wall_secs"] for r in recs)
+out["stream_dense_serial_s"] = round(ser + gaps, 2)
+out["stream_dense_epochs"] = len(recs)
+shutil.rmtree(work, ignore_errors=True)
+
+# big-epoch variant: identical end-to-end apply with ~3 epochs instead of
+# ~8 — the production shape (epochs orders of magnitude larger than the
+# fixed per-epoch serial term). Tests the round-2 claim that the streaming
+# wall-efficiency shortfall is the per-epoch Amdahl term, not the engine.
+t0 = time.time()
+run_to_completion(spark, events, work + "/tbl", work + "/ckpt", cfg,
+                  max_files_per_trigger=max(1, nf // 3), merge_prune=False)
+out["stream_bigepoch"] = round(time.time() - t0, 2)
+c6, r6 = stage_totals()
+out["stream_bigepoch_cpu_s"], out["stream_bigepoch_run_s"] = round(c6 - c5, 1), round(r6 - r5, 1)
+recs = [r for r in LakeTable(work + "/tbl").lineage() if "phase_secs" in r]
+ser = sum(sum(r["phase_secs"].values()) - r["phase_secs"]["merge_write"]
+          for r in recs)
+gaps = out["stream_bigepoch"] - sum(r["wall_secs"] for r in recs)
+out["stream_bigepoch_serial_s"] = round(ser + gaps, 2)
+out["stream_bigepoch_epochs"] = len(recs)
 shutil.rmtree(work, ignore_errors=True)
 print(json.dumps(out))
 spark.stop()
@@ -173,10 +205,19 @@ def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
             (r[job], r[f"{job}_cpu_s"]) for r in runs if r["cpus"] == cpus and job in r
         )[1]
 
+    def serial_of_best(cpus: int, job: str) -> float | None:
+        # measured driver-serial seconds of the least-contended run
+        vals = [
+            (r[job], r.get(f"{job}_serial_s"))
+            for r in runs
+            if r["cpus"] == cpus and job in r and f"{job}_serial_s" in r
+        ]
+        return min(vals)[1] if vals else None
+
     factor = hi / lo
     pair = {"levels": [lo, hi], "rounds": ROUNDS, "n_events": n_events, "runs": runs,
             "jobs": {}}
-    for job in ("batch", "kernel", "stream", "stream_dense"):
+    for job in ("batch", "kernel", "stream", "stream_dense", "stream_bigepoch"):
         if not any(job in r for r in runs):
             continue
         t_lo, t_hi = best(lo, job), best(hi, job)
@@ -186,6 +227,18 @@ def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
             "efficiency": round((t_lo / t_hi) / factor, 3),
             "lo_cpu_s": cpu_of_best(lo, job), "hi_cpu_s": cpu_of_best(hi, job),
         }
+        s_lo, s_hi = serial_of_best(lo, job), serial_of_best(hi, job)
+        if s_lo is not None and s_hi is not None:
+            # Amdahl check with the MEASURED serial term: predict the wide
+            # level's wall from the narrow level's (wall, serial) and compare
+            # against what was observed — if they agree, the efficiency gap
+            # is the measured serial fraction, not hidden engine scaling loss
+            pred_hi = s_lo + (t_lo - s_lo) / factor
+            pair["jobs"][job].update({
+                "lo_serial_s": s_lo, "hi_serial_s": s_hi,
+                "amdahl_pred_hi_s": round(pred_hi, 2),
+                "amdahl_pred_efficiency": round(t_lo / pred_hi / factor, 3),
+            })
     return pair
 
 
@@ -206,13 +259,16 @@ def write_baseline_md() -> None:
         "kernel": "per-event transform kernel (T6 deep changed-fields)",
         "stream": "CDC streaming apply (cold, pruned merge)",
         "stream_dense": "CDC streaming apply (steady-state, dense merge)",
+        "stream_bigepoch": "CDC streaming apply (dense, ~3 production-sized epochs)",
     }
+    ALL_JOBS = ("batch", "kernel", "stream", "stream_dense", "stream_bigepoch")
     sections = []
+    amdahl_rows_all = []
     for pair in pairs:
         lo, hi = pair["levels"]
         factor = hi // lo
         rows = []
-        for job in ("batch", "kernel", "stream", "stream_dense"):
+        for job in ALL_JOBS:
             if job not in pair["jobs"]:
                 continue
             j = pair["jobs"][job]
@@ -224,16 +280,23 @@ def write_baseline_md() -> None:
                 f"| {job_title[job]} (events/s) | {n_events / j['lo_s']:,.0f} | "
                 f"{n_events / j['hi_s']:,.0f} | | |"
             )
+            if "amdahl_pred_efficiency" in j:
+                amdahl_rows_all.append(
+                    f"| {lo}->{hi} | {job} | {j['lo_serial_s']} | {j['hi_serial_s']} | "
+                    f"{j['amdahl_pred_hi_s']} | {j['hi_s']} | "
+                    f"{j['amdahl_pred_efficiency']} | {j['efficiency']} |"
+                )
         cpu_rows = [
             f"| {job} | {pair['jobs'][job]['lo_cpu_s']} | {pair['jobs'][job]['hi_cpu_s']} | "
             f"{round(pair['jobs'][job]['hi_cpu_s'] / pair['jobs'][job]['lo_cpu_s'], 2)} |"
-            for job in ("batch", "kernel", "stream", "stream_dense")
+            for job in ALL_JOBS
             if job in pair["jobs"]
         ]
         run_rows = [
-            "| {} | {} | {} | {} | {} | {} |".format(
+            "| {} | {} | {} | {} | {} | {} | {} |".format(
                 r["cpus"], r["batch"], r["kernel"], r["stream"],
-                r.get("stream_dense", "—"), r["load_before"])
+                r.get("stream_dense", "—"), r.get("stream_bigepoch", "—"),
+                r["load_before"])
             for r in pair["runs"]
         ]
         sections.append(f"""## Pair local[{lo}] -> local[{hi}] (N -> {factor}N)
@@ -253,8 +316,8 @@ lock-contention blowup added by the engine:
 
 All runs (interleaved, ambient 1-min load recorded before each):
 
-| cpus | batch s | kernel s | stream s | stream_dense s | load before |
-|---|---|---|---|---|---|
+| cpus | batch s | kernel s | stream s | stream_dense s | stream_bigepoch s | load before |
+|---|---|---|---|---|---|---|
 """ + "\n".join(run_rows))
 
     best32 = None
@@ -293,7 +356,24 @@ ratio for reasons outside the engine (the pure-CPU 32-process control and
 the flat CPU-seconds below isolate this).
 """ + "\n\n".join(sections) + tail + """
 
-What separates the kernel (passes) from the shuffle/scan-bound jobs: the
+""" + (
+        """## Streaming Amdahl term: measured, not argued
+
+The per-epoch driver-serial cost is now MEASURED per run from the sink's
+lineage phase clocks (everything inside merge_batch except the
+executor-parallel merge+write job, plus the wall between epochs that the
+streaming machinery owns: source listing, offset WAL, epoch scheduling).
+The table predicts the wide level's wall from the narrow level's
+(wall, serial) via Amdahl — wall_hi = S + (wall_lo - S)/factor — and puts
+the prediction next to the observation. Agreement means the streaming
+wall-efficiency gap IS the measured serial fraction; the big-epoch variant
+shows the same pipeline at production epoch sizes, where that serial term
+amortizes away.
+
+| pair | job | serial s (lo) | serial s (hi) | Amdahl pred hi s | observed hi s | pred efficiency | observed efficiency |
+|---|---|---|---|---|---|---|---|
+""" + "\n".join(amdahl_rows_all) + "\n\n" if amdahl_rows_all else ""
+    ) + """What separates the kernel (passes) from the shuffle/scan-bound jobs: the
 kernel's work is Python-process CPU with tiny data movement, so 4x threads
 = ~4x throughput. The batch/stream jobs move GBs through ONE shared memory
 subsystem: their per-task CPU+run time INFLATES 24-33% going 2 -> 8
