@@ -1036,6 +1036,110 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN — the second classic scale path beside LSH:
+    deterministic coarse quantizer (seeded k-means, one relational Lloyd
+    round), inverted lists as the partitioning, n_probe lists re-ranked
+    exactly per query (operators/similarity.py ann_ivf_topk). Everything is
+    seeded integer/rounded-double math, so the DuckDB oracle rebuilds the
+    same centroids, lists, probes, and ranks."""
+    from oplogtoredis_spark.operators.similarity import ann_ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=3
+    )
+
+
+SQL_ANN_IVF = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+                  nrm AS cenorm
+           FROM vn ORDER BY vec_id LIMIT 8),
+ a1 AS (SELECT vec_id, cid FROM (
+    SELECT vn.vec_id, s.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, s.ce) / (vn.nrm * s.cenorm), 4)
+          DESC, s.cid ASC) rn
+    FROM vn, seeds s) WHERE rn = 1),
+ ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM v)),
+ mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
+ cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
+ cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents),
+ a2 AS (SELECT vec_id AS nid, cid FROM (
+    SELECT vn.vec_id, c.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, c.ce) / (vn.nrm * c.cenorm), 4)
+          DESC, c.cid ASC) rn
+    FROM vn, cn c) WHERE rn = 1),
+ q AS (SELECT vec_id qid, e qe, nrm qnorm FROM vn WHERE vec_id < 3),
+ probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY round(list_dot_product(q.qe, c.ce) / (q.qnorm * c.cenorm), 4)
+          DESC, c.cid ASC) pr
+    FROM q, cn c) WHERE pr <= 3),
+ cand AS (SELECT qid, nid FROM probes JOIN a2 USING (cid) WHERE nid != qid),
+ scored AS (SELECT qid query_id, nid neighbor_id,
+    round(list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm), 4) cosine
+   FROM cand JOIN vn qv ON qv.vec_id = cand.qid JOIN vn cv ON cv.vec_id = cand.nid)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over the production-width 60-bit fingerprint
+    (two portable 31-bit hash lanes — operators/dedup.py simhash60): banded
+    equality joins on 15-bit fingerprint slices (pigeonhole: hamming <= 3
+    guarantees a shared slice), then ONE bit_count(xor) verify per
+    candidate — O(candidates), the SimHash analogue of minhash_lsh_pairs."""
+    from oplogtoredis_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _docs(spark, sf_dir, par=True), "doc_id", "text", max_hamming=3, bands=4
+    )
+
+
+def _sql_simhash60() -> str:
+    """DuckDB mirror of simhash60: bit b < 30 from lane h1, else lane h2."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ({'h1' if b < 30 else 'h2'} >> {b % 30}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS.format(x='text')}) AS w FROM documents),
+ h AS (SELECT doc_id, {_H31.format(x='w')} AS h1,
+              {_H31.format(x="'s2#' || w")} AS h2 FROM tok),
+ bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({_sql_simhash60()}),
+ bands AS (SELECT doc_id, simhash, unnest(range(4)) AS band_no FROM sh),
+ sl AS (SELECT doc_id, simhash, band_no,
+               (simhash >> (band_no * 15)) & 32767 AS bv FROM bands),
+ cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b,
+                 a.simhash sa, b.simhash sb
+          FROM sl a JOIN sl b USING (band_no, bv)
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def q_multimodal_stats(spark, sf_dir):
     """Binary-column plumbing + REAL decode: each document becomes a P6 PPM
     asset (ASCII header, dimensions derived from doc_id, text as payload);
@@ -1122,6 +1226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "multimodal_stats": q_multimodal_stats,
     }
 
@@ -1161,5 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": SQL_ANN_LSH,
+        "ann_ivf_topk": SQL_ANN_IVF,
+        "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
     }

@@ -423,3 +423,110 @@ def embedding_dup_pairs_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) 60-bit sign fingerprint — the production-width SimHash
+    (Manku et al., WWW'07 use 64 bits; 16 bits collide on any corpus that
+    shares vocabulary).
+
+    Bit independence comes from TWO portable 31-bit token hashes (the
+    second over a prefixed token), 30 low bits each — both reproducible
+    bit-for-bit in the DuckDB oracle, unlike a native 64-bit hash whose
+    algorithm differs between engines. Same relational shape as simhash16:
+    token explode → one codegen'd conditional-sum aggregate → bit math.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select(
+        "id",
+        portable_hash31(F.col("w")).alias("h1"),
+        portable_hash31(F.concat(F.lit("s2#"), F.col("w"))).alias("h2"),
+    )
+    half = 30
+    lane = lambda b: F.col("h1") if b < half else F.col("h2")  # noqa: E731
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(lane(b), b % half).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(60)
+        ]
+    )
+    fp = None
+    for b in range(60):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate pairs whose 60-bit simhash
+    fingerprints differ in at most ``max_hamming`` bits.
+
+    Scale shape (the SimHash analogue of minhash_lsh_pairs' banding, and
+    the classic near-dup design over a web corpus): split the fingerprint
+    into ``bands`` equal bit-slices; by pigeonhole, two fingerprints within
+    hamming distance bands-1 share at least one identical slice, so
+    candidates come from ``bands`` equality joins on (band_no, 15-bit slice
+    value) — never an all-pairs product — and the verify is one
+    bit_count(xor) per candidate, O(candidates) total. Requires
+    max_hamming <= bands - 1 for exact recall (asserted).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding loses recall: max_hamming={max_hamming} needs >= "
+            f"{max_hamming + 1} bands (got {bands})"
+        )
+    bits = 60
+    if bits % bands:
+        raise ValueError(f"{bits}-bit fingerprint not divisible into {bands} bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = simhash60(df, id_col, text_col)
+    stacked = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", F.col("e.band_no").alias("band_no"), F.col("e.bv").alias("bv"))
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), on=["band_no", "bv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

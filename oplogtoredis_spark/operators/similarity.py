@@ -1,13 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
   * brute-force cosine top-k — the correctness baseline, exact, oracle-able
     (cross join + window rank). Fine for ≤ ~10^5 corpus rows per query set.
-  * LSH-bucketed ANN — the 100 TB path: random-hyperplane sign buckets
+  * LSH-bucketed ANN — a 100 TB path: random-hyperplane sign buckets
     (deterministic LCG hyperplanes so the DuckDB oracle and both cluster
     sizes reproduce them), candidates only within a bucket, then exact
     re-rank. Recall is tunable via n_planes/n_tables; candidate generation
     is an equality join on the bucket key, never an all-pairs product.
+  * IVF (inverted-file) ANN — the other classic scale path: a coarse
+    quantizer (k-means with deterministic seeding and one relational Lloyd
+    refinement) partitions the corpus into C inverted lists; a query probes
+    its n_probe nearest centroids and re-ranks only those lists. Candidate
+    cost is O(N * n_probe / C) per query; the build is O(N * C) map-side
+    work against a broadcast centroid table (C is a constant — thousands
+    even at 100 TB — so no shuffle grows with C).
 
 All vector math is zip_with/aggregate over array<double> — JVM higher-order
 functions, no UDF, no collect.
@@ -183,6 +190,132 @@ def ann_lsh_bucketed(
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
+def _sim(av: str, bv: str, an: str, bn: str) -> Column:
+    """Rounded cosine similarity between two vector columns with
+    precomputed norms. Rounding to 4 decimals BEFORE any ranking keeps the
+    rank stable across engines (the DuckDB oracle computes the same sums in
+    a different order; ties are then broken by id/cid)."""
+    return F.round(_dot(F.col(av), F.col(bv)) / (F.col(an) * F.col(bn)), 4)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """(cid, cv, cnorm) coarse-quantizer centroids: deterministic seeding
+    (the ``n_centroids`` smallest-id corpus vectors) + ONE relational Lloyd
+    refinement (assign-to-nearest, per-dimension mean).
+
+    Deterministic by construction — no RNG, no sampling — so the DuckDB
+    oracle and any two cluster sizes build identical centroids. One Lloyd
+    round is enough for an inverted-file index (the quantizer only routes;
+    recall is governed by n_probe); more rounds would just repeat the same
+    two relational steps.
+    """
+    from pyspark.sql.window import Window as W
+
+    v = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    # seeds: n_centroids smallest ids — a tiny sorted slice (driver-safe)
+    seeds = (
+        v.orderBy("nid")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(W.orderBy("nid")) - 1).alias("cid"),
+            F.col("cv").alias("ce"),
+            F.col("cnorm").alias("cenorm"),
+        )
+    )
+    a1 = _assign_nearest(v, seeds)
+    # Lloyd mean, relationally: posexplode to (nid, d, x), join the
+    # assignment, per-(cid, d) average, re-pack ordered arrays — two
+    # shuffles whose keys are (cid, d) and cid, both tiny (C * dims rows)
+    ex = v.select("nid", F.posexplode("cv").alias("d", "x"))
+    m = ex.join(a1, "nid").groupBy("cid", "d").agg(F.avg("x").alias("mx"))
+    return (
+        m.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+            ).alias("ce")
+        )
+        .withColumn("cenorm", _norm(F.col("ce")))
+    )
+
+
+def _assign_nearest(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(nid, cid): each vector's nearest centroid by rounded cosine,
+    ties to the smallest cid. Broadcast of the constant-size centroid table
+    + map-side partial max_by — the build never shuffles corpus rows."""
+    j = v.crossJoin(F.broadcast(cents)).select(
+        "nid", "cid", _sim("cv", "ce", "cnorm", "cenorm").alias("sim")
+    )
+    return j.groupBy("nid").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("sim"), -F.col("cid"))).alias("cid")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
+
+    Probe the ``n_probe`` nearest centroids per query, take those inverted
+    lists as candidates, exact cosine re-rank. At scale the inverted lists
+    are the partitioning — the candidate join is an equality join on cid,
+    and only n_probe/C of the corpus is ever scored per query.
+    """
+    from pyspark.sql.window import Window as W
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    v = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    lists = _assign_nearest(v, cents)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    pw = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", _sim("qv", "ce", "qnorm", "cenorm").alias("sim"))
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= n_probe)
+        .select("qid", "cid")
+    )
+    # candidates: probed inverted lists (equality join on cid); each corpus
+    # row lives in exactly one list, so (qid, nid) is unique by construction
+    cand = probes.join(lists, "cid").where(F.col("nid") != F.col("qid"))
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(v, "nid")
+        .select("qid", "nid", _sim("qv", "cv", "qnorm", "cnorm").alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -241,3 +241,54 @@ def test_dedup_clusters_random_graph_matches_union_find(spark):
         for r in dedup_clusters(pairs, ids, id_col="doc_id").collect()
     }
     assert got == want
+
+
+def test_simhash60_identical_docs_hamming0(spark, docs):
+    from oplogtoredis_spark.operators.dedup import simhash60
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text about spark engines and parquet")],
+        "doc_id long, text string",
+    )
+    s = {r["id"]: r["simhash"] for r in simhash60(df, "doc_id", "text").collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[3]
+    assert 0 <= s[1] < (1 << 60)
+
+
+def test_simhash_dup_pairs_banding_recall(spark):
+    from oplogtoredis_spark.operators.dedup import simhash60, simhash_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base),
+        (2, base),  # identical -> hamming 0
+        (3, base.replace("kappa", "lambda", 1)),  # near dup
+        (4, "unrelated words entirely disjoint vocabulary set here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_dup_pairs(df, "doc_id", "text", max_hamming=3, bands=4).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
+    assert got.get((1, 2)) == 0
+    # banding must equal the exhaustive hamming filter (pigeonhole recall)
+    s = {r["id"]: r["simhash"] for r in simhash60(df, "doc_id", "text").collect()}
+    ids = sorted(s)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(s[a] ^ s[b]).count("1") <= 3
+    }
+    assert set(got) == brute
+
+
+def test_simhash_dup_pairs_rejects_lossy_banding(spark):
+    from oplogtoredis_spark.operators.dedup import simhash_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="recall"):
+        simhash_dup_pairs(df, "doc_id", "text", max_hamming=4, bands=4)

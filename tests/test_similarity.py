@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from oplogtoredis_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_bucketed,
     cosine_topk_bruteforce,
     lsh_bucket,
@@ -71,3 +72,58 @@ def test_lsh_recall_vs_bruteforce(spark, embeddings):
     # random 64-d vectors are the hardest case (weak neighbors); multi-table
     # LSH must still recover a solid fraction of the true top-3
     assert recall > 0.4, f"recall {recall}"
+
+
+def test_ivf_exact_duplicate_rank1(spark):
+    rows = [(i, [float(i % 7 == j) for j in range(8)]) for i in range(7)]
+    rows.append((100, rows[2][1]))  # exact duplicate of vec 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    out = ann_ivf_topk(df, q, k=3, n_centroids=4, n_probe=4).toPandas()
+    # probing every centroid ⇒ exhaustive ⇒ the duplicate must rank first
+    assert out.iloc[0]["neighbor_id"] == 2
+    assert out.iloc[0]["cosine"] == 1.0
+
+
+def test_ivf_centroids_deterministic_and_partitioning(spark, embeddings):
+    from oplogtoredis_spark.operators.similarity import _assign_nearest, ivf_centroids
+
+    c1 = ivf_centroids(embeddings, n_centroids=8).toPandas().sort_values("cid")
+    c2 = ivf_centroids(embeddings, n_centroids=8).toPandas().sort_values("cid")
+    assert list(c1["cid"]) == list(range(8))
+    assert c1[["cid", "cenorm"]].equals(c2[["cid", "cenorm"]])
+    # every corpus vector lands in exactly one inverted list
+    cents = ivf_centroids(embeddings, n_centroids=8)
+    v = embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", F.sqrt(F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)))
+    lists = _assign_nearest(v, cents).toPandas()
+    assert len(lists) == embeddings.count()
+    assert lists["nid"].is_unique
+    assert lists["cid"].nunique() > 1  # quantizer actually partitions
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(embeddings, q, k=5).toPandas()
+    approx = ann_ivf_topk(
+        embeddings, q, k=5, n_centroids=8, n_probe=4
+    ).toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    ak = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(ek & ak) / len(ek)
+    assert recall >= 0.5, f"IVF recall {recall} too low at n_probe=half"
+    # full probing degenerates to exact brute force
+    full = ann_ivf_topk(embeddings, q, k=5, n_centroids=8, n_probe=8).toPandas()
+    fk = {(r.query_id, r.neighbor_id) for r in full.itertuples()}
+    assert fk == ek
+
+
+def test_ivf_no_cartesian_beyond_centroid_broadcast(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") < 3)
+    plan = ann_ivf_topk(embeddings, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop joins allowed are against the broadcast
+    # constant-size centroid table; candidate/vector joins must be equality
+    assert "CartesianProduct" not in plan
