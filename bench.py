@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_dup_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "simhash_dup_pairs",
 ]
 
 
