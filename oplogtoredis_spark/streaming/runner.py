@@ -279,6 +279,33 @@ def health(query: StreamingQuery) -> dict:
     }
 
 
+def serve_control_plane(
+    query: StreamingQuery,
+    table_path: str | None = None,
+    denylist=None,
+    port: int = 0,
+):
+    """Start the HTTP control plane next to a running query — the wiring
+    the reference does in main.go:301-359 (healthz + metrics + denylist
+    admin beside the tailer). Returns (server, bound_port); caller stops
+    the server when the query ends. ``table_path`` enables /metrics from
+    that LakeTable's lineage; ``denylist`` (a DenylistStore) enables the
+    CRUD routes."""
+    from .http import ControlPlaneServer
+
+    lineage_fn = None
+    if table_path is not None:
+        sink = LakeTable(table_path)
+        lineage_fn = sink.lineage
+    srv = ControlPlaneServer(
+        health_fn=lambda: health(query),
+        denylist=denylist,
+        lineage_fn=lineage_fn,
+        port=port,
+    )
+    return srv, srv.start()
+
+
 def run_to_completion(
     spark: SparkSession,
     events_dir: str,

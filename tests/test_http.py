@@ -105,3 +105,31 @@ def test_render_metrics_empty_lineage():
     text = render_metrics([])
     assert "otr_entries_received_total 0" in text
     assert 'otr_entry_size_bytes_bucket{le="+Inf"} 0' in text
+
+
+class _FakeQuery:
+    """Duck-typed StreamingQuery: just what runner.health reads."""
+
+    isActive = True
+    status = {"message": "ok"}
+    lastProgress = {"batchId": 7, "numInputRows": 123}
+
+    def exception(self):
+        return None
+
+
+def test_serve_control_plane_wires_health_and_denylist(tmp_path):
+    from oplogtoredis_spark.streaming.runner import serve_control_plane
+
+    store = DenylistStore(str(tmp_path / "dl.json"))
+    srv, port = serve_control_plane(_FakeQuery(), denylist=store)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, body = _req(base + "/healthz")
+        assert code == 200
+        h = json.loads(body)
+        assert h["healthy"] is True and h["batch_id"] == 7
+        assert _req(base + "/denylist/x", "PUT")[0] == 201
+        assert store.list() == ["x"]
+    finally:
+        srv.stop()
