@@ -1,0 +1,120 @@
+"""Streaming interval-max state machine (applyInPandasWithState) — the
+reference gauge's Report()/bucket-retirement semantics carried across
+micro-batches (interval_max_metric.go:18-315). Files are fed one per
+micro-batch so state genuinely crosses epoch boundaries."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from oplogtoredis_spark.streaming.stateful import interval_max_stream
+
+INTERVAL = 1000
+
+
+def _write_batches(tmp_path, batches):
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = str(src / f"{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["key", "ts_ms", "value"]).to_parquet(p)
+        # file source admits in mtime order — force it to match batch order
+        t = time.time() - 100 + i
+        os.utime(p, (t, t))
+    return str(src)
+
+
+def _run(spark, tmp_path, src, files_per_trigger=1):
+    events = (
+        spark.readStream.schema("key string, ts_ms long, value double")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+    )
+    out = interval_max_stream(events, "key", "ts_ms", "value", INTERVAL)
+    name = f"imax_{abs(hash((src, files_per_trigger))) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{files_per_trigger}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["key"], r["interval_start_ms"]): r["max_value"]
+        for r in spark.table(name).collect()
+    }
+
+
+def test_state_crosses_micro_batches_and_drops_late(spark, tmp_path):
+    batches = [
+        # batch 0: key a bucket 0 (max 5), key b bucket 0 (max 2)
+        [("a", 100, 5.0), ("a", 900, 1.0), ("b", 500, 2.0)],
+        # batch 1: key a bucket 0 continues (max -> 7), then bucket 1
+        # arrives (retires bucket 0); key b advances to bucket 1 — a
+        # same-batch disordered bucket-0 row (800, 1.5) is ABSORBED
+        # (intra-batch fold is event-time ordered, deterministic under
+        # shuffle — lateness is judged at batch boundaries only)
+        [("a", 950, 7.0), ("a", 1100, 3.0), ("b", 1200, 4.0), ("b", 800, 1.5)],
+        # batch 2: key a jumps to bucket 5 (retires bucket 1; empty
+        # buckets 2-4 emit nothing — reference gauge reports nothing for
+        # empty intervals); key b gets a CROSS-BATCH late bucket-0 row,
+        # which must be dropped (its bucket retired in a prior epoch)
+        [("a", 5500, 8.0), ("b", 900, 99.0)],
+    ]
+    got = _run(spark, tmp_path, _write_batches(tmp_path, batches))
+    assert got == {
+        ("a", 0): 7.0,  # max across batches 0+1 — state crossed the epoch
+        ("a", 1000): 3.0,  # retired by the bucket-5 jump
+        ("b", 0): 2.0,  # same-batch 1.5 absorbed but < 2.0; late 99.0 dropped
+        # ("b", 1000) and ("a", 5000) in flight: withheld (incomplete)
+    }
+
+
+def test_single_batch_equals_split_batches(spark, tmp_path):
+    rows = [
+        ("a", 100, 5.0), ("a", 950, 7.0), ("a", 1100, 3.0),
+        ("a", 2100, 9.0), ("b", 500, 2.0), ("b", 1200, 4.0),
+    ]
+    d1 = tmp_path / "one"; d1.mkdir()
+    split = _run(spark, d1, _write_batches(d1, [rows[:2], rows[2:4], rows[4:]]))
+    d2 = tmp_path / "all"; d2.mkdir()
+    whole = _run(spark, d2, _write_batches(d2, [rows]), files_per_trigger=10)
+    assert split == whole == {("a", 0): 7.0, ("a", 1000): 3.0, ("b", 0): 2.0}
+
+
+def test_restart_resumes_state_from_checkpoint(spark, tmp_path):
+    src = tmp_path / "events"; src.mkdir()
+    ck = str(tmp_path / "ckpt")
+
+    def run_once():
+        events = (
+            spark.readStream.schema("key string, ts_ms long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = interval_max_stream(events, "key", "ts_ms", "value", INTERVAL)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    p0 = str(src / "00.parquet")
+    pd.DataFrame([("a", 100, 5.0)], columns=["key", "ts_ms", "value"]).to_parquet(p0)
+    os.utime(p0, (time.time() - 100, time.time() - 100))
+    run_once()  # bucket 0 in flight, nothing emitted yet
+    p1 = str(src / "01.parquet")
+    pd.DataFrame([("a", 1200, 3.0)], columns=["key", "ts_ms", "value"]).to_parquet(p1)
+    run_once()  # restarted query: state store must recall bucket 0 max 5.0
+    out = pd.read_parquet(str(tmp_path / "out"))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["key"], r["interval_start_ms"], r["max_value"]) == ("a", 0, 5.0)
