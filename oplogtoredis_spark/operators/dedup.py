@@ -6,7 +6,10 @@ Five families, all DataFrame-native, designed for 100 TB shapes:
   ngram-Jaccard — shingle explode → inverted-index self-join → exact Jaccard
   MinHash+LSH   — shingle→minhash signature→band buckets→bucket join; the
                   scale path: candidate generation never compares all pairs
-  SimHash       — 16-bit sign fingerprint; near-dup = equal fingerprints
+  SimHash       — 16-bit sign fingerprint (equal-fingerprint near-dup) AND
+                  the production-width 60-bit variant (simhash60) with
+                  4×15-bit banded candidate pairs + bit_count hamming verify
+                  (simhash_dup_pairs) — the registered production path
   embedding     — cosine ≥ τ pairs; brute-force (oracle-able) and
                   LSH-bucketed (the scale path, see similarity.py)
 
@@ -162,8 +165,15 @@ def jaccard_verify_candidates(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
+            # try_divide: a candidate pair of two zero-shingle docs has union
+            # size 0 — under this repo's ANSI mode a plain division would
+            # fail the whole job with DIVIDE_BY_ZERO. Jaccard of two empty
+            # sets is defined null here, and null fails the >= threshold
+            # filter, so such pairs are (correctly) never emitted.
             "jaccard",
-            F.round(n_common / (F.col("n_a") + F.col("n_b") - n_common), 4),
+            F.round(
+                F.try_divide(n_common, F.col("n_a") + F.col("n_b") - n_common), 4
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -129,7 +129,13 @@ def _decode_wav(b: bytes) -> dict | None:
             elif cid == b"data":
                 data_len = clen
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        # bits must be a whole positive byte count: a malformed fmt chunk
+        # declaring bits in 1..7 would make channels*(bits//8) == 0 and turn
+        # the frame division into ZeroDivisionError, failing the whole Arrow
+        # batch — malformed payloads must decode to null, never throw
         if channels is None or data_len is None or not channels or not bits:
+            return None
+        if bits < 8 or bits % 8 != 0:
             return None
         frames = data_len // (channels * (bits // 8))
         return {

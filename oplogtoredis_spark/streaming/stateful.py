@@ -37,6 +37,7 @@ def interval_max_stream(
     ts_ms_col: str,
     value_col: str,
     interval_ms: int,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming completed-interval maxima: (key, interval_start_ms,
     max_value), one row per key per RETIRED interval bucket.
@@ -60,43 +61,76 @@ def interval_max_stream(
 
     The final in-flight bucket is intentionally never emitted: it is not
     complete (same withholding rule as operators/interval_max.py).
+
+    ``state_ttl_ms`` bounds state on an unbounded key space — the Spark-native
+    analogue of the reference's GC'd gauge-vec
+    (lib/oplog/interval_max_metric.go NewIntervalMaxMetricVec expiry): a key
+    idle for the TTL (processing time, no new rows) is RETIRED — its
+    in-flight bucket is emitted as complete and the state row is removed, so
+    the state store holds only keys seen within the TTL. Retire-and-emit
+    (rather than drop) is chosen so expiry never loses a reported maximum; a
+    key that reappears later simply starts a fresh state machine, and a
+    then-late bucket is dropped by the downstream consumer's idempotence the
+    same way a restarted reference process re-registers its gauges. Default
+    ``None`` keeps state forever (the reference's plain non-vec gauge).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold(key, pdf_iter, state: GroupState):
         import pandas as pd
 
+        cols = ["key", "interval_start_ms", "max_value"]
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # GC: retire the idle key — emit its in-flight bucket, drop state
+            cur_b, cur_m = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], int(cur_b), float(cur_m))], columns=cols)
+            return
         if state.exists:
             cur_b, cur_m = state.get
         else:
             cur_b, cur_m = None, None
-        completed: list[tuple[str, int, float]] = []
+        # Drain EVERY Arrow chunk into per-bucket maxima BEFORE folding: a
+        # group larger than arrow.maxRecordsPerBatch spans multiple chunks in
+        # arbitrary order, so folding chunk-by-chunk would judge a later
+        # chunk's lower bucket against state already advanced by an earlier
+        # chunk of the SAME micro-batch — wrongly dropping it as late or
+        # retiring prematurely (ADVICE r3). Memory is O(distinct buckets in
+        # the batch for this key), not O(rows).
+        agg: dict[int, float] = {}
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             buckets = (pdf[ts_ms_col] // interval_ms) * interval_ms
-            frame = pd.DataFrame({"b": buckets, "v": pdf[value_col]})
-            for b, grp in frame.groupby("b", sort=True):
+            for b, m in pdf[value_col].groupby(buckets).max().items():
                 b = int(b)
-                m = float(grp["v"].max())
-                if cur_b is None or b == cur_b:
-                    cur_m = m if cur_b is None else max(cur_m, m)
-                    cur_b = b
-                elif b > cur_b:
-                    completed.append((key[0], cur_b, cur_m))
-                    cur_b, cur_m = b, m
-                # b < cur_b: late past horizon — reference Report ignores it
+                if b not in agg or m > agg[b]:
+                    agg[b] = float(m)
+        completed: list[tuple[str, int, float]] = []
+        for b in sorted(agg):
+            m = agg[b]
+            if cur_b is None or b == cur_b:
+                cur_m = m if cur_b is None else max(cur_m, m)
+                cur_b = b
+            elif b > cur_b:
+                completed.append((key[0], cur_b, cur_m))
+                cur_b, cur_m = b, m
+            # b < cur_b: late past horizon — reference Report ignores it
         if cur_b is not None:
             state.update((int(cur_b), float(cur_m)))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         if completed:
-            yield pd.DataFrame(
-                completed, columns=["key", "interval_start_ms", "max_value"]
-            )
+            yield pd.DataFrame(completed, columns=cols)
 
     return events.groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -188,6 +188,27 @@ def test_jaccard_verify_scores_only_candidates(spark, docs):
     assert got.iloc[0]["jaccard"] == want
 
 
+def test_jaccard_verify_empty_sets_pair_is_ansi_safe(spark):
+    """ADVICE r3: two zero-shingle docs as a caller-supplied candidate pair
+    divide by a zero-size union — must NOT raise DIVIDE_BY_ZERO under ANSI
+    mode; jaccard of two empty sets is null and the pair is filtered."""
+    from oplogtoredis_spark.operators.dedup import (
+        _shingle_sets,
+        jaccard_verify_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "the same text here"), (3, "the same text here")],
+        "doc_id long, text string",
+    )
+    sets = _shingle_sets(docs, "doc_id", "text", 3)
+    cand = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    got = jaccard_verify_candidates(cand, sets, threshold=0.0).toPandas()
+    # the empty-empty pair is dropped (null jaccard); the real pair scores 1.0
+    assert list(got[["id_a", "id_b"]].itertuples(index=False, name=None)) == [(2, 3)]
+    assert got.iloc[0]["jaccard"] == 1.0
+
+
 def test_alternating_components_chain_converges_in_log_rounds(spark):
     """A 1000-node chain — the adversarial case for min-label propagation
     (needs ~1000 diameter rounds) — must converge in O(log n) alternating

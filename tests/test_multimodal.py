@@ -95,3 +95,23 @@ def test_real_wav_decode(spark):
             out.loc[1, "frames"]) == (1, 16000, 320)
     import pandas as pd
     assert pd.isna(out.loc[2, "channels"])
+
+
+def test_wav_sub_byte_bits_decodes_to_null_not_crash(spark):
+    """ADVICE r3: a malformed fmt chunk declaring bits in 1..7 makes
+    channels*(bits//8) == 0 — must yield null metadata, never fail the Arrow
+    batch with ZeroDivisionError."""
+    import struct
+
+    import pandas as pd
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 4)  # bits=4
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    bad = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rows = [(0, "audio", bad, None)]
+    out = (
+        decode_assets(spark.createDataFrame(rows, ASSET_SCHEMA), strict=True)
+        .toPandas().set_index("asset_id")
+    )
+    assert pd.isna(out.loc[0, "channels"]) and pd.isna(out.loc[0, "frames"])

@@ -86,6 +86,94 @@ def test_single_batch_equals_split_batches(spark, tmp_path):
     assert split == whole == {("a", 0): 7.0, ("a", 1000): 3.0, ("b", 0): 2.0}
 
 
+def test_group_spanning_arrow_chunks_is_order_invariant(spark, tmp_path):
+    """ADVICE r3: a group larger than arrow.maxRecordsPerBatch arrives as
+    multiple chunks in arbitrary order — a later chunk's LOWER bucket must
+    still be absorbed (the fold drains all chunks before judging lateness),
+    so the tiny-chunk result equals the unchunked one."""
+    rows = [  # one key, 12 rows, buckets deliberately descending then mixed
+        ("a", 3100, 1.0), ("a", 3200, 6.0), ("a", 2100, 9.0), ("a", 2200, 2.0),
+        ("a", 1100, 4.0), ("a", 1200, 8.0), ("a", 100, 5.0), ("a", 200, 3.0),
+        ("a", 900, 7.0), ("a", 1900, 1.5), ("a", 2900, 2.5), ("a", 3900, 0.5),
+    ]
+    expected = {("a", 0): 7.0, ("a", 1000): 8.0, ("a", 2000): 9.0}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        d1 = tmp_path / "tiny"; d1.mkdir()
+        tiny = _run(spark, d1, _write_batches(d1, [rows]), files_per_trigger=10)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    d2 = tmp_path / "big"; d2.mkdir()
+    whole = _run(spark, d2, _write_batches(d2, [rows]), files_per_trigger=10)
+    assert tiny == whole == expected
+
+
+def test_state_ttl_retires_idle_keys_and_bounds_state(spark, tmp_path):
+    """state_ttl_ms GC (reference's NewIntervalMaxMetricVec expiry,
+    interval_max_metric.go): keys idle past the TTL are retired — their
+    in-flight bucket EMITS (no data loss) and the state row is removed, so
+    state count tracks recently-seen keys, not all keys ever."""
+    src = tmp_path / "events"; src.mkdir()
+    events = (
+        spark.readStream.schema("key string, ts_ms long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = interval_max_stream(
+        events, "key", "ts_ms", "value", INTERVAL, state_ttl_ms=800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("imax_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # NOTE: no processAllAvailable() here — a ProcessingTimeTimeout query
+    # keeps scheduling timeout-check batches forever, which starves that
+    # call; poll the sink with a deadline instead.
+    def poll(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = {
+                (r["key"], r["interval_start_ms"]): r["max_value"]
+                for r in spark.table("imax_ttl").collect()
+            }
+            if pred(got):
+                return got
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting; last sink state: {got}")
+
+    try:
+        p0 = str(src / "00.parquet")
+        pd.DataFrame(
+            [("a", 100, 5.0), ("b", 300, 2.0)],
+            columns=["key", "ts_ms", "value"],
+        ).to_parquet(p0)
+        # a and b go idle; after the TTL their in-flight bucket-0 rows are
+        # retired-and-emitted by a timeout-check batch
+        got = poll(lambda g: g == {("a", 0): 5.0, ("b", 0): 2.0})
+        # a fresh key arrives AFTER a+b were evicted; it too idles out and
+        # retires — churn through 3 keys total
+        p1 = str(src / "01.parquet")
+        pd.DataFrame(
+            [("c", 100, 9.0)], columns=["key", "ts_ms", "value"]
+        ).to_parquet(p1)
+        poll(lambda g: g == {("a", 0): 5.0, ("b", 0): 2.0, ("c", 0): 9.0})
+        # bounded state: 3 keys ever seen, but the store never held more
+        # than the 2 concurrently-live ones (a+b), and ends empty
+        counts = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert counts and max(counts) <= 2
+        assert counts[-1] == 0
+    finally:
+        q.stop()
+
+
 def test_restart_resumes_state_from_checkpoint(spark, tmp_path):
     src = tmp_path / "events"; src.mkdir()
     ck = str(tmp_path / "ckpt")
