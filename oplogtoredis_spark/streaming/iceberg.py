@@ -129,6 +129,37 @@ class IcebergSinkPlanner:
         self._applied.add(epoch_key)
         return {"planned": True, "epoch_key": epoch_key, "sql": merge_sql}
 
+    def mor_ddl(self) -> str:
+        """The Iceberg v2 table properties that switch this table to
+        merge-on-read — the cluster-side twin of
+        LakeTable.merge_batch(merge_mode="mor"): row-level changes land as
+        delete files + new data files instead of rewriting whole data files,
+        and compaction folds them back (compact() emits the matching
+        rewrite procedures)."""
+        return (
+            f"ALTER TABLE {self.catalog}.{self.table} SET TBLPROPERTIES (\n"
+            f"  'format-version' = '2',\n"
+            f"  'write.delete.mode' = 'merge-on-read',\n"
+            f"  'write.update.mode' = 'merge-on-read',\n"
+            f"  'write.merge.mode' = 'merge-on-read'\n"
+            f")"
+        )
+
+    def set_merge_mode(self, mode: str) -> dict:
+        """Record the DDL that flips the table's write mode ('cow'/'mor')."""
+        if mode == "mor":
+            sql = self.mor_ddl()
+        else:
+            sql = (
+                f"ALTER TABLE {self.catalog}.{self.table} SET TBLPROPERTIES (\n"
+                f"  'write.delete.mode' = 'copy-on-write',\n"
+                f"  'write.update.mode' = 'copy-on-write',\n"
+                f"  'write.merge.mode' = 'copy-on-write'\n"
+                f")"
+            )
+        self.plans.append({"op": "set_merge_mode", "mode": mode, "sql": sql})
+        return {"planned": True, "sql": sql}
+
     def read_sql(self, include_deleted: bool = False) -> str:
         where = "" if include_deleted else "\nWHERE NOT deleted"
         return f"SELECT * FROM {self.catalog}.{self.table}{where}"
@@ -149,6 +180,13 @@ class IcebergSinkPlanner:
             ),
             (
                 f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self.table}')"
+            ),
+            # MoR delta fold: merge-on-read delete files accumulated by v2
+            # row-level writes are compacted away alongside the data rewrite
+            # (LakeTable.compact's bucket_deltas clear is the same act)
+            (
+                f"CALL {self.catalog}.system.rewrite_position_delete_files("
                 f"table => '{self.table}')"
             ),
         ]

@@ -135,6 +135,9 @@ class LakeTable:
             "bucket_schema_id": {},
             "n_buckets": n_buckets,
             "buckets": {},
+            # merge-on-read deltas per bucket: [{dir, seq, sid}] — empty for
+            # pure copy-on-write tables (read() then takes the fast path)
+            "bucket_deltas": {},
             "applied_batch_ids": [],
             # replay high-watermark per epoch namespace (checkpoint lineage):
             # batch ids are monotonic within a lineage, so id <= watermark ⇒
@@ -149,28 +152,46 @@ class LakeTable:
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, "_manifests", _CURRENT))
 
+    #: a vN+1 manifest younger than this, with CURRENT still at vN, is
+    #: presumed to belong to a LIVE writer between its claim and its CURRENT
+    #: advance (that window is milliseconds); only older ones are reclaimed
+    #: as crash orphans. Class attribute so tests can shrink it.
+    ORPHAN_STALENESS_SECS = 60.0
+
     def _write_manifest(self, manifest: dict) -> None:
         """Optimistic snapshot commit (Iceberg's commit-conflict analogue):
         version vN+1 is claimed by hardlinking a fully-written tmp file into
         place — atomic on POSIX AND never torn (the manifest appears whole or
         not at all), so of two concurrent writers that both read vN exactly
-        one wins. The loser distinguishes two cases by re-reading CURRENT:
+        one wins. The loser distinguishes THREE cases by re-reading CURRENT
+        and the existing manifest's age:
 
           * CURRENT >= vN+1 — a live concurrent writer won and fully
             committed: raise ConcurrentCommitError; the caller re-reads the
             table and retries at the next version.
-          * CURRENT still vN — the existing vN+1 manifest is an ORPHAN from
-            a writer that crashed between claiming the manifest and
-            advancing CURRENT (a committed-looking file no reader can ever
-            see). Treat it as abandoned and replace it — without this, a
-            crash at that point wedges the table forever: every restart
-            re-claims vN+1, hits the orphan, and misattributes it to a live
-            writer.
+          * CURRENT still vN, manifest FRESH (< ORPHAN_STALENESS_SECS) — a
+            live writer is mid-commit between its claim and its CURRENT
+            advance: raise ConcurrentCommitError rather than clobber it
+            (reclaiming here would let both writers "succeed" while one
+            commit silently vanishes — ADVICE r3).
+          * CURRENT still vN, manifest STALE — an ORPHAN from a writer that
+            crashed between claiming the manifest and advancing CURRENT (a
+            committed-looking file no reader can ever see). Replace it —
+            without this, a crash at that point wedges the table forever.
+
+        Defense in depth for the remaining TOCTOU (a reclaimer could replace
+        this writer's claim after its staleness check raced): every attempt
+        embeds a fresh ``writer_token``; after advancing CURRENT the token is
+        re-read, and a mismatch raises — CURRENT then points at the OTHER
+        writer's fully-committed manifest, so the table stays consistent and
+        exactly one attempt per version reports success.
 
         Structured Streaming runs a single writer per table so the conflict
-        arm never fires in normal operation — it is the safety net the
+        arms never fire in normal operation — they are the safety net the
         reference gets from Redis' single-threaded Lua."""
         v = manifest["version"]
+        token = uuid.uuid4().hex
+        manifest = {**manifest, "writer_token": token}
         mpath = os.path.join(self._manifest_dir, f"v{v:08d}.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -187,6 +208,19 @@ class LakeTable:
                         f"({mpath} exists and CURRENT advanced); re-read the "
                         "table and retry"
                     ) from None
+                try:
+                    age = time.time() - os.path.getmtime(mpath)
+                except OSError:
+                    # the claimant finished or vanished between our link
+                    # failure and the stat — treat as a lost race
+                    age = 0.0
+                if age < self.ORPHAN_STALENESS_SECS:
+                    os.unlink(tmp)
+                    raise ConcurrentCommitError(
+                        f"version {v} is claimed by a live writer mid-commit "
+                        f"({mpath} is {age:.1f}s old, CURRENT not yet "
+                        "advanced); retry"
+                    ) from None
                 # abandoned orphan (crash between claim and CURRENT advance)
                 os.replace(tmp, mpath)
         else:
@@ -196,6 +230,15 @@ class LakeTable:
             f.write(str(v))
         # the readers' atomic visibility point:
         os.replace(cur_tmp, os.path.join(self._manifest_dir, _CURRENT))
+        if v > 0:
+            with open(mpath) as f:
+                committed_token = json.load(f).get("writer_token")
+            if committed_token != token:
+                raise ConcurrentCommitError(
+                    f"lost the claim on version {v} after advancing CURRENT "
+                    "(another writer's token is in the committed manifest); "
+                    "its commit stands — re-read the table and retry"
+                )
 
     def current_version(self) -> int:
         with open(os.path.join(self._manifest_dir, _CURRENT)) as f:
@@ -260,18 +303,28 @@ class LakeTable:
     ) -> DataFrame:
         """Read the table state. ``version`` time-travels to an older
         snapshot (Iceberg's VERSION AS OF analogue) — valid while that
-        snapshot's data dirs are retained (see expire_snapshots)."""
+        snapshot's data dirs are retained (see expire_snapshots).
+
+        With merge-on-read deltas present (merge_batch(merge_mode="mor")),
+        the read unions base rows with every live delta and re-runs the LWW
+        collapse — newest (last_ts, last_tx_idx) wins; base rows win exact
+        ties (a replayed event must not look like a change); between deltas
+        the OLDEST epoch wins an exact tie (first apply stands, replay is a
+        no-op). Pure-CoW tables take the untouched zero-extra-cost path."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         sel = m["buckets"]
+        dsel = m.get("bucket_deltas", {})
         if buckets is not None:
-            sel = {b: d for b, d in sel.items() if int(b) in set(buckets)}
+            keep = set(buckets)
+            sel = {b: d for b, d in sel.items() if int(b) in keep}
+            dsel = {b: ds for b, ds in dsel.items() if int(b) in keep}
         dirs = [os.path.join(self.path, d) for d in sel.values()]
+        cur_sid = m.get("schema_id", object())
         if not dirs:
             df = spark.createDataFrame([], schema)
         elif all(
-            m.get("bucket_schema_id", {}).get(b) == m.get("schema_id", object())
-            for b in sel
+            m.get("bucket_schema_id", {}).get(b) == cur_sid for b in sel
         ):
             # fast path: every selected bucket was written at the current
             # schema id — read with the explicit schema (no driver-side
@@ -282,9 +335,59 @@ class LakeTable:
             df = conform_to_schema(
                 spark.read.option("mergeSchema", "true").parquet(*dirs), schema
             )
+        if dsel:
+            df = self._merge_deltas_on_read(spark, df, dsel, schema, cur_sid)
         if not include_deleted:
             df = df.where(~F.col("deleted"))
         return df
+
+    def _merge_deltas_on_read(
+        self,
+        spark: SparkSession,
+        base: DataFrame,
+        dsel: dict,
+        schema: T.StructType,
+        cur_sid,
+    ) -> DataFrame:
+        """Merge-on-read: base ∪ deltas → one LWW max_by collapse per key.
+        One delta EPOCH (shared seq) is one scan regardless of how many
+        buckets it touched; the collapse is the same single wide shuffle the
+        CoW merge runs at write time — MoR just moves it to read time. On a
+        bucketed layout both sides are co-partitioned by construction, so a
+        real cluster's storage-partitioned join/agg keeps this shuffle-free."""
+        by_seq: dict[int, list[str]] = {}
+        sids: set = set()
+        for entries in dsel.values():
+            for e in entries:
+                by_seq.setdefault(int(e["seq"]), []).append(
+                    os.path.join(self.path, e["dir"])
+                )
+                sids.add(e.get("sid"))
+        u = base.withColumn("_seq", F.lit(-1).cast("long"))
+        for seq in sorted(by_seq):
+            if sids == {cur_sid}:
+                d = spark.read.schema(schema).parquet(*by_seq[seq])
+            else:
+                d = conform_to_schema(
+                    spark.read.option("mergeSchema", "true").parquet(*by_seq[seq]),
+                    schema,
+                )
+            u = u.unionByName(d.withColumn("_seq", F.lit(seq).cast("long")))
+        key = ["repo", "path"]
+        data_cols = [f.name for f in schema.fields if f.name not in key]
+        order = F.struct(
+            F.col("last_ts"),
+            F.col("last_tx_idx"),
+            (F.col("_seq") < 0).cast("int"),  # base wins exact ties
+            -F.col("_seq"),                   # then the OLDEST delta epoch
+        )
+        collapsed = u.groupBy(*key).agg(
+            F.max_by(F.struct(*[F.col(c) for c in data_cols]), order).alias("_w")
+        )
+        out = collapsed.select(
+            *key, *[F.col(f"_w.{c}").alias(c) for c in data_cols]
+        )
+        return out.select(*[f.name for f in schema.fields])
 
     # ---------------- merge (the MERGE INTO analogue) ----------------
     def merge_batch(
@@ -295,6 +398,7 @@ class LakeTable:
         epoch_ns: str = "",
         n_salts: int = 0,
         prune: bool = True,
+        merge_mode: str = "cow",
     ) -> dict:
         """Idempotent LWW upsert of a change batch.
 
@@ -323,6 +427,24 @@ class LakeTable:
         the whole table, and derives the affected set from the written
         partition dirs — valid because a touched bucket always has ≥1
         output row (tombstones persist; rows never vanish in a merge).
+
+        ``merge_mode``: "cow" (default) rewrites every affected bucket —
+        read-optimized, but a HIGH-DISPERSION batch (random keys across all
+        buckets) rewrites the whole table per epoch. "mor" (merge-on-read,
+        the SCALE.md §1/§5 escape hatch) writes ONLY the batch's collapsed
+        per-key winners as a bucket-partitioned DELTA — no target read, no
+        bucket rewrite, write amplification ~1 — and defers the merge to
+        read time: read() unions base + deltas and re-runs the same LWW
+        max_by collapse (a tombstone delta row is the equality-delete — it
+        outranks and thereby suppresses older base rows). compact() folds
+        deltas back into the base. Iceberg v2 analogue: data files +
+        equality-delete files with write.merge.mode=merge-on-read
+        (IcebergSinkPlanner emits the matching DDL). Trade-offs are the
+        standard ones: reads pay one extra shuffle until compaction, and
+        matched/not-matched accounting is unknowable without the target
+        read, so ``dedup_hits`` is reported as 0 and ``applied`` counts
+        delta rows (final-state correctness is unchanged — pinned against
+        CoW in tests/test_lake_mor.py).
         """
         # Epoch identity = (stream namespace, batch id): Spark batch ids are
         # only unique within one checkpoint lineage. A replay of the SAME
@@ -352,7 +474,7 @@ class LakeTable:
             try:
                 return self._apply_epoch(
                     batch, batch_id, epoch_key, epoch_ns, extra_payload_cols,
-                    n_salts, prune,
+                    n_salts, prune, merge_mode,
                 )
             except ConcurrentCommitError as e:
                 last_err = e
@@ -501,6 +623,7 @@ class LakeTable:
         extra_payload_cols: tuple[str, ...],
         n_salts: int,
         prune: bool = True,
+        merge_mode: str = "cow",
     ) -> dict:
         t0 = time.time()
         spark = batch.sparkSession
@@ -552,7 +675,14 @@ class LakeTable:
         # from src would run the whole LWW collapse once for this collect
         # and again for the write (measured 2x batch cost).
         t_plan = time.time()
-        if prune:
+        if merge_mode == "mor":
+            # merge-on-read: NO target read, NO discovery job — the batch's
+            # collapsed winners append as a delta; the affected set is
+            # derived from the written partition dirs (as in dense mode)
+            affected = None
+            tgt = None
+            t_affected = t_tgt = time.time()
+        elif prune:
             affected = sorted(
                 r.b for r in batch_ok.select(cx["bucket_b"]).distinct().collect()
             )
@@ -560,16 +690,17 @@ class LakeTable:
             # dense mode: no discovery job; the true affected set is derived
             # from the written partition dirs after the merge action
             affected = sorted(int(b) for b in m["buckets"]) or None
-        t_affected = time.time()
-        # read() always emits exactly the manifest schema, so the target
-        # needs conforming only when this batch evolves the schema — the
-        # steady state skips a per-epoch analysis round-trip
-        tgt = self.read(spark, include_deleted=True, buckets=affected)
-        if new_schema.json() != m["schema"]:
-            tgt = conform_to_schema(tgt, new_schema)
-        t_tgt = time.time()
-        if affected is None:
-            affected = []  # empty table: nothing to prune, nothing to read
+        if merge_mode != "mor":
+            t_affected = time.time()
+            # read() always emits exactly the manifest schema, so the target
+            # needs conforming only when this batch evolves the schema — the
+            # steady state skips a per-epoch analysis round-trip
+            tgt = self.read(spark, include_deleted=True, buckets=affected)
+            if new_schema.json() != m["schema"]:
+                tgt = conform_to_schema(tgt, new_schema)
+            t_tgt = time.time()
+            if affected is None:
+                affected = []  # empty table: nothing to prune, nothing to read
 
         # ---- the LWW MERGE as ONE union + aggregate (single shuffle) ----
         # Existing rows and batch events union into one stream of candidate
@@ -581,9 +712,14 @@ class LakeTable:
         # reduction — the same shape as the in-batch collapse, so the merge
         # costs ONE wide shuffle total instead of agg + join.
         key = ["repo", "path"]
-        u = src.withColumn("_is_tgt", F.lit(False)).unionByName(
-            tgt.withColumn("_is_tgt", F.lit(True))
-        )
+        if merge_mode == "mor":
+            # delta = the batch's own per-key LWW winners (in-batch collapse
+            # only; the base merge is deferred to read time)
+            u = src.withColumn("_is_tgt", F.lit(False))
+        else:
+            u = src.withColumn("_is_tgt", F.lit(False)).unionByName(
+                tgt.withColumn("_is_tgt", F.lit(True))
+            )
         # skew mitigation (north_rule): max_by is algebraic, so map-side
         # partial aggregation (partial_max_by, verified in BENCH/PLANS.md)
         # already bounds a hot key's reducer fan-in to ONE partial row per
@@ -626,19 +762,20 @@ class LakeTable:
         # replay) can never overwrite each other's files; losing/orphaned
         # dirs are unreferenced and reclaimed by expire_snapshots
         new_version = m["version"] + 1
-        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        prefix = "delta" if merge_mode == "mor" else "data"
+        rel_dir = f"{prefix}/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         t_write0 = time.time()
-        if affected or not prune:
+        if merge_mode == "mor" or affected or not prune:
             (
                 merged.withColumn("pb", F.col("bucket"))
-                .repartition(len(affected) or n_buckets, F.col("pb"))
+                .repartition(len(affected) if affected else n_buckets, F.col("pb"))
                 .write.partitionBy("pb")
                 .mode("overwrite")
                 .parquet(out_dir)
             )
             metrics = obs.get
-            if not prune:
+            if merge_mode == "mor" or not prune:
                 affected = sorted(
                     int(d[3:]) for d in os.listdir(out_dir) if d.startswith("pb=")
                 )
@@ -659,28 +796,49 @@ class LakeTable:
         bucket_schema_id = dict(m.get("bucket_schema_id", {}))
 
         buckets = dict(m["buckets"])
+        bucket_deltas = {b: list(ds) for b, ds in m.get("bucket_deltas", {}).items()}
         bucket_rows: dict[str, int] = {}
-        for b in affected:
-            bdir = os.path.join(out_dir, f"pb={b}")
-            if os.path.exists(bdir):
-                buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
-                bucket_schema_id[str(b)] = schema_id
-                # per-partition lineage (north_star): row count per rewritten
-                # bucket, read from the parquet footers just written —
-                # driver-side metadata only, no extra Spark job
-                try:
-                    import pyarrow.parquet as pq
 
-                    bucket_rows[str(b)] = sum(
-                        pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
-                        for f in os.listdir(bdir)
-                        if f.endswith(".parquet")
-                    )
-                except Exception:
-                    pass
-            else:
-                buckets.pop(str(b), None)  # bucket emptied (all rows gone)
-                bucket_schema_id.pop(str(b), None)
+        def _footer_rows(bdir: str) -> int | None:
+            # per-partition lineage (north_star): row count per written
+            # bucket, read from the parquet footers just written —
+            # driver-side metadata only, no extra Spark job
+            try:
+                import pyarrow.parquet as pq
+
+                return sum(
+                    pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+            except Exception:
+                return None
+
+        if merge_mode == "mor":
+            for b in affected:
+                bdir = os.path.join(out_dir, f"pb={b}")
+                bucket_deltas.setdefault(str(b), []).append(
+                    {
+                        "dir": os.path.join(rel_dir, f"pb={b}"),
+                        "seq": new_version,
+                        "sid": schema_id,
+                    }
+                )
+                nrows = _footer_rows(bdir)
+                if nrows is not None:
+                    bucket_rows[str(b)] = nrows
+        else:
+            for b in affected:
+                bdir = os.path.join(out_dir, f"pb={b}")
+                if os.path.exists(bdir):
+                    buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+                    bucket_schema_id[str(b)] = schema_id
+                    nrows = _footer_rows(bdir)
+                    if nrows is not None:
+                        bucket_rows[str(b)] = nrows
+                else:
+                    buckets.pop(str(b), None)  # bucket emptied (all rows gone)
+                    bucket_schema_id.pop(str(b), None)
 
         # replay bookkeeping: recent epoch keys verbatim (bounded window) +
         # per-namespace high-watermark covering everything older — manifest
@@ -699,6 +857,7 @@ class LakeTable:
             "bucket_schema_id": bucket_schema_id,
             "n_buckets": n_buckets,
             "buckets": buckets,
+            "bucket_deltas": bucket_deltas,
             "applied_batch_ids": recent,
             "applied_watermarks": watermarks,
         }
@@ -727,6 +886,7 @@ class LakeTable:
             "batch_id": batch_id,
             "epoch_key": epoch_key,
             "version": new_version,
+            "merge_mode": merge_mode,
             "affected_buckets": len(affected),
             "unprocessable_in": n_dead,
             "schema_evolved": new_schema.json() != m["schema"],
@@ -773,6 +933,14 @@ class LakeTable:
 
         Runs as its own snapshot commit; safe between streaming batches
         (single-writer discipline: call it from the same control loop).
+
+        For merge-on-read tables this is ALSO the delta fold: the read below
+        resolves base ∪ deltas through the LWW collapse, the rewrite
+        materializes that resolved state as the new base, and the new
+        manifest clears ``bucket_deltas`` — after compaction reads take the
+        delta-free fast path again (Iceberg v2's rewrite_data_files +
+        rewrite_position_delete_files analogue, emitted by
+        IcebergSinkPlanner.compact).
         """
         m = self.manifest()
         live = self.read(spark, include_deleted=True)
@@ -801,6 +969,7 @@ class LakeTable:
             "version": new_version,
             "buckets": buckets,
             "bucket_schema_id": {b: cur_sid for b in buckets},
+            "bucket_deltas": {},  # deltas are folded into the new base
         }
         self._write_manifest(new_manifest)
         stats = {"compacted": True, "version": new_version}
@@ -818,19 +987,23 @@ class LakeTable:
         referenced: set[str] = set()
         for v in keep_versions:
             try:
-                referenced |= set(self.manifest(v)["buckets"].values())
+                mv = self.manifest(v)
             except FileNotFoundError:
                 continue
-        data_root = os.path.join(self.path, "data")
+            referenced |= set(mv["buckets"].values())
+            for entries in mv.get("bucket_deltas", {}).values():
+                referenced |= {e["dir"] for e in entries}
         removed = 0
-        if not os.path.isdir(data_root):
-            return 0
-        for snap in sorted(os.listdir(data_root)):
-            for b in os.listdir(os.path.join(data_root, snap)):
-                rel = os.path.join("data", snap, b)
-                if rel not in referenced:
-                    _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-                    removed += 1
+        for root in ("data", "delta"):
+            data_root = os.path.join(self.path, root)
+            if not os.path.isdir(data_root):
+                continue
+            for snap in sorted(os.listdir(data_root)):
+                for b in os.listdir(os.path.join(data_root, snap)):
+                    rel = os.path.join(root, snap, b)
+                    if rel not in referenced:
+                        _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                        removed += 1
         return removed
 
     # ---------------- lineage (per-partition/batch records) ----------------

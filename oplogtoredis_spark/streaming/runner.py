@@ -39,6 +39,7 @@ def make_batch_applier(
     epoch_ns: str = "",
     sink_factory=LakeTable,
     merge_prune: bool = True,
+    merge_mode: str = "cow",
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
@@ -62,7 +63,11 @@ def make_batch_applier(
             raise RuntimeError(f"injected failure before batch {batch_id}")
         seen["n"] += 1
         table = sink
-        kw = {} if sink_factory is not LakeTable else {"prune": merge_prune}
+        kw = (
+            {}
+            if sink_factory is not LakeTable
+            else {"prune": merge_prune, "merge_mode": merge_mode}
+        )
         table.merge_batch(
             batch_df, batch_id, extra_payload_cols=extra_payload_cols,
             epoch_ns=epoch_ns, **kw,
@@ -172,6 +177,7 @@ def start_stream(
     sink_factory=None,
     source_format: str = "parquet",
     merge_prune: bool = True,
+    merge_mode: str = "cow",
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -225,6 +231,7 @@ def start_stream(
             epoch_ns=os.path.abspath(checkpoint_dir),
             sink_factory=sink_factory,
             merge_prune=merge_prune,
+            merge_mode=merge_mode,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -246,13 +246,20 @@ def test_orphan_manifest_recovery_after_crash(spark, tmp_path):
     import json
     import os
 
+    import time
+
     t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
     t.merge_batch(_batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")]), 0, epoch_ns="s")
     v = t.current_version()
-    # simulate the crashed attempt: manifest v+1 exists, CURRENT still at v
+    # simulate the crashed attempt: manifest v+1 exists, CURRENT still at v;
+    # backdate its mtime past the staleness horizon (a real crash orphan is
+    # old by the time anyone restarts — fresh claims belong to live writers)
     orphan = {**t.manifest(), "version": v + 1}
-    with open(os.path.join(t._manifest_dir, f"v{v + 1:08d}.json"), "w") as f:
+    opath = os.path.join(t._manifest_dir, f"v{v + 1:08d}.json")
+    with open(opath, "w") as f:
         json.dump(orphan, f)
+    old = time.time() - 2 * LakeTable.ORPHAN_STALENESS_SECS
+    os.utime(opath, (old, old))
     assert t.current_version() == v
     # the restarted writer re-applies the epoch: must reclaim, not raise
     stats = t.merge_batch(
@@ -264,6 +271,66 @@ def test_orphan_manifest_recovery_after_crash(spark, tmp_path):
     # and the next commit proceeds normally
     t.merge_batch(_batch(spark, [("r/a", "f.py", 3 << 32, 0, "u", "c2", "py", "v3")]), 2, epoch_ns="s")
     assert t.read(spark).toPandas().iloc[0]["content"] == "v3"
+
+
+def test_fresh_claim_is_not_reclaimed_as_orphan(spark, tmp_path):
+    """ADVICE r3 race: writer B hitting FileExistsError while writer A is
+    BETWEEN os.link and the CURRENT advance must NOT misclassify A's fresh
+    manifest as a crash orphan and clobber it — B raises and retries; A's
+    commit survives intact."""
+    import json
+    import os
+    from oplogtoredis_spark.streaming.lake import ConcurrentCommitError
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    m = t.manifest()
+    v = m["version"] + 1
+    # writer A mid-commit: v+1 manifest freshly claimed, CURRENT not advanced
+    mine = {**m, "version": v, "writer_token": "writer-A", "mark": "A"}
+    mpath = os.path.join(t._manifest_dir, f"v{v:08d}.json")
+    with open(mpath, "w") as f:
+        json.dump(mine, f)
+    with pytest.raises(ConcurrentCommitError, match="mid-commit"):
+        t._write_manifest({**m, "version": v})
+    # A's claim is untouched and CURRENT never advanced past A's base
+    with open(mpath) as f:
+        assert json.load(f)["mark"] == "A"
+    assert t.current_version() == m["version"]
+
+
+def test_token_mismatch_after_current_advance_raises(spark, tmp_path, monkeypatch):
+    """Defense-in-depth for the reclaim TOCTOU: if another writer replaces
+    this writer's claimed manifest after the link but before/around the
+    CURRENT advance, the post-advance writer-token re-read detects it and
+    raises — never two successes for one version."""
+    import json
+    import os
+    from oplogtoredis_spark.streaming.lake import ConcurrentCommitError
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    m = t.manifest()
+    v = m["version"] + 1
+    mpath = os.path.join(t._manifest_dir, f"v{v:08d}.json")
+    real_link = os.link
+
+    def hijacked_link(src, dst, **kw):
+        real_link(src, dst, **kw)
+        # a racing stale-reclaimer replaces the manifest right after our claim
+        other = {**m, "version": v, "writer_token": "someone-else"}
+        tmp2 = dst + ".race"
+        with open(tmp2, "w") as f:
+            json.dump(other, f)
+        os.replace(tmp2, dst)
+
+    monkeypatch.setattr(os, "link", hijacked_link)
+    with pytest.raises(ConcurrentCommitError, match="token"):
+        t._write_manifest({**m, "version": v})
+    monkeypatch.undo()
+    # the table stays consistent: CURRENT points at the other writer's
+    # fully-written manifest — exactly one commit stands for version v
+    assert t.current_version() == v
+    with open(mpath) as f:
+        assert json.load(f)["writer_token"] == "someone-else"
 
 
 @pytest.mark.parametrize("newer_first", [True, False])

@@ -141,3 +141,34 @@ def test_iceberg_planner_replay_and_maintenance_goldens():
     assert exp["sql"] == (
         "CALL iceberg.system.expire_snapshots(table => 'lake.files', retain_last => 5)"
     )
+
+
+MOR_DDL_GOLDEN = """\
+ALTER TABLE iceberg.lake.files SET TBLPROPERTIES (
+  'format-version' = '2',
+  'write.delete.mode' = 'merge-on-read',
+  'write.update.mode' = 'merge-on-read',
+  'write.merge.mode' = 'merge-on-read'
+)"""
+
+
+def test_iceberg_planner_mor_goldens():
+    """The merge-on-read mapping (LakeTable.merge_batch(merge_mode='mor') ->
+    Iceberg v2 row-level MoR properties) and the compaction procedures that
+    fold the deltas back, pinned as golden SQL."""
+    from oplogtoredis_spark.streaming.iceberg import IcebergSinkPlanner
+
+    p = IcebergSinkPlanner("lake.files")
+    out = p.set_merge_mode("mor")
+    assert out["sql"] == MOR_DDL_GOLDEN
+    rec = [x for x in p.plans if x["op"] == "set_merge_mode"][0]
+    assert rec["mode"] == "mor"
+    # flipping back emits copy-on-write properties
+    assert "'write.merge.mode' = 'copy-on-write'" in p.set_merge_mode("cow")["sql"]
+    # compaction folds MoR delete files alongside the data rewrite
+    p.compact(drop_tombstones_older_than_ts=0)
+    comp = [x for x in p.plans if x["op"] == "compact"][0]
+    assert (
+        "CALL iceberg.system.rewrite_position_delete_files(table => 'lake.files')"
+        in comp["sql"]
+    )
