@@ -1038,35 +1038,38 @@ SQL_ANN_LSH = _sql_ann_lsh()
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the second classic scale path beside LSH:
-    deterministic coarse quantizer (seeded k-means, one relational Lloyd
-    round), inverted lists as the partitioning, n_probe lists re-ranked
-    exactly per query (operators/similarity.py ann_ivf_topk). Everything is
-    seeded integer/rounded-double math, so the DuckDB oracle rebuilds the
-    same centroids, lists, probes, and ranks."""
+    deterministic coarse quantizer (seeded k-means over the bounded
+    smallest-id 256-vector sample, one relational Lloyd round), inverted
+    lists as the partitioning, n_probe lists re-ranked exactly per query
+    (operators/similarity.py ann_ivf_topk). Everything is seeded
+    integer/rounded-double math over a deterministic sample, so the DuckDB
+    oracle rebuilds the same centroids, lists, probes, and ranks."""
     from oplogtoredis_spark.operators.similarity import ann_ivf_topk
 
     emb = _emb(spark, sf_dir)
     return ann_ivf_topk(
-        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=3
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=3,
+        sample_per_centroid=32,
     )
 
 
 SQL_ANN_IVF = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
  vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ smp AS (SELECT * FROM vn ORDER BY vec_id LIMIT 256),
  seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
                   nrm AS cenorm
-           FROM vn ORDER BY vec_id LIMIT 8),
+           FROM smp ORDER BY vec_id LIMIT 8),
  a1 AS (SELECT vec_id, cid FROM (
-    SELECT vn.vec_id, s.cid,
-      row_number() OVER (PARTITION BY vn.vec_id
-        ORDER BY round(list_dot_product(vn.e, s.ce) / (vn.nrm * s.cenorm), 4)
+    SELECT smp.vec_id, s.cid,
+      row_number() OVER (PARTITION BY smp.vec_id
+        ORDER BY round(list_dot_product(smp.e, s.ce) / (smp.nrm * s.cenorm), 4)
           DESC, s.cid ASC) rn
-    FROM vn, seeds s) WHERE rn = 1),
+    FROM smp, seeds s) WHERE rn = 1),
  ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
     SELECT vec_id,
            unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
-    FROM v)),
+    FROM smp)),
  mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
  cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
  cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents),

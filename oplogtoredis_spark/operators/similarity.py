@@ -9,12 +9,14 @@ Three paths:
     re-rank. Recall is tunable via n_planes/n_tables; candidate generation
     is an equality join on the bucket key, never an all-pairs product.
   * IVF (inverted-file) ANN — the other classic scale path: a coarse
-    quantizer (k-means with deterministic seeding and one relational Lloyd
-    refinement) partitions the corpus into C inverted lists; a query probes
-    its n_probe nearest centroids and re-ranks only those lists. Candidate
-    cost is O(N * n_probe / C) per query; the build is O(N * C) map-side
-    work against a broadcast centroid table (C is a constant — thousands
-    even at 100 TB — so no shuffle grows with C).
+    quantizer (k-means over a bounded deterministic sample, one relational
+    Lloyd refinement) partitions the corpus into C inverted lists; a query
+    probes its n_probe nearest centroids and re-ranks only those lists.
+    Candidate cost is O(N * n_probe / C) per query; the quantizer BUILD
+    touches only the sample (constant rows regardless of corpus size), and
+    the one full-corpus pass — list assignment — is map-side work against a
+    broadcast centroid table plus a narrow-row max_by (C is a constant —
+    thousands even at 100 TB — so no shuffle grows with C).
 
 All vector math is zip_with/aggregate over array<double> — JVM higher-order
 functions, no UDF, no collect.
@@ -215,26 +217,40 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    sample_per_centroid: int = 32,
 ) -> DataFrame:
-    """(cid, cv, cnorm) coarse-quantizer centroids: deterministic seeding
-    (the ``n_centroids`` smallest-id corpus vectors) + ONE relational Lloyd
-    refinement (assign-to-nearest, per-dimension mean).
+    """(cid, cv, cnorm) coarse-quantizer centroids built from a DETERMINISTIC
+    BOUNDED SAMPLE — the ``n_centroids * sample_per_centroid`` smallest-id
+    corpus vectors — seeded with the sample's ``n_centroids`` smallest ids +
+    ONE Lloyd refinement (assign-to-nearest, per-dimension mean).
 
-    Deterministic by construction — no RNG, no sampling — so the DuckDB
-    oracle and any two cluster sizes build identical centroids. One Lloyd
-    round is enough for an inverted-file index (the quantizer only routes;
-    recall is governed by n_probe); more rounds would just repeat the same
-    two relational steps.
+    Sampling is the standard IVF practice (the quantizer only ROUTES; recall
+    is governed by n_probe, not quantizer optimality), and it is what makes
+    the build scale-safe: every build-stage row count is bounded by the
+    sample size, a constant independent of corpus size. The r3 formulation
+    Lloyd-stepped the FULL corpus and joined its (nid, dim, x) explosion back
+    on the vector id — a full-corpus-by-dimension shuffle (~10^12 rows at
+    10^9x768); here the explode happens only on the sample, and the
+    assignment is carried THROUGH the max_by (struct of (cid, vector)), so
+    the build contains NO join keyed on the vector id at all — the only join
+    is the broadcast of the constant-size seed table (pinned in
+    tests/test_similarity.py).
+
+    Deterministic by construction — smallest-id sample, no RNG — so the
+    DuckDB oracle and any two cluster sizes build identical centroids.
     """
     from pyspark.sql.window import Window as W
 
+    k_sample = n_centroids * sample_per_centroid
     v = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cnorm", _norm(F.col("cv")))
-    # seeds: n_centroids smallest ids — a tiny sorted slice (driver-safe)
+    # bounded sample: top-K smallest ids — TakeOrderedAndProject, one
+    # map-side pass over the corpus, K rows to the driver-side merge
+    s = v.orderBy("nid").limit(k_sample)
     seeds = (
-        v.orderBy("nid")
+        s.orderBy("nid")
         .limit(n_centroids)
         .select(
             (F.row_number().over(W.orderBy("nid")) - 1).alias("cid"),
@@ -242,12 +258,22 @@ def ivf_centroids(
             F.col("cnorm").alias("cenorm"),
         )
     )
-    a1 = _assign_nearest(v, seeds)
-    # Lloyd mean, relationally: posexplode to (nid, d, x), join the
-    # assignment, per-(cid, d) average, re-pack ordered arrays — two
-    # shuffles whose keys are (cid, d) and cid, both tiny (C * dims rows)
-    ex = v.select("nid", F.posexplode("cv").alias("d", "x"))
-    m = ex.join(a1, "nid").groupBy("cid", "d").agg(F.avg("x").alias("mx"))
+    # assign each SAMPLE vector to its nearest seed, carrying the vector
+    # through the aggregation so the Lloyd mean needs no join back on nid
+    j = s.crossJoin(F.broadcast(seeds)).select(
+        "nid", "cid", _sim("cv", "ce", "cnorm", "cenorm").alias("sim"), "cv"
+    )
+    best = j.groupBy("nid").agg(
+        F.max_by(
+            F.struct(F.col("cid"), F.col("cv")),
+            F.struct(F.col("sim"), -F.col("cid")),
+        ).alias("a")
+    )
+    # Lloyd mean, relationally: posexplode the ASSIGNED sample to
+    # (cid, d, x), per-(cid, d) average, re-pack ordered arrays — shuffle
+    # keys are nid (sample only), (cid, d), and cid: all sample-bounded
+    ex = best.select(F.col("a.cid").alias("cid"), F.posexplode("a.cv").alias("d", "x"))
+    m = ex.groupBy("cid", "d").agg(F.avg("x").alias("mx"))
     return (
         m.groupBy("cid")
         .agg(
@@ -279,17 +305,19 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 3,
+    sample_per_centroid: int = 32,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, cosine).
 
     Probe the ``n_probe`` nearest centroids per query, take those inverted
     lists as candidates, exact cosine re-rank. At scale the inverted lists
     are the partitioning — the candidate join is an equality join on cid,
-    and only n_probe/C of the corpus is ever scored per query.
+    and only n_probe/C of the corpus is ever scored per query. The centroid
+    build touches only a bounded deterministic sample (ivf_centroids).
     """
     from pyspark.sql.window import Window as W
 
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, sample_per_centroid)
     v = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("cv"),

@@ -121,6 +121,31 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     assert fk == ek
 
 
+def test_ivf_build_is_sample_bounded_no_vector_id_join(spark, embeddings):
+    """VERDICT r3 #1: the centroid BUILD must not explode-and-join the full
+    corpus on the vector id. Pins: (a) the build plan contains NO shuffled
+    join at all (the assignment rides a broadcast of the constant-size seed
+    table, carried through max_by — no join keyed on nid); (b) the build is
+    fed by the bounded smallest-id sample (a top-K TakeOrderedAndProject,
+    not a full-corpus scan into the explode); (c) sampled semantics: the
+    centroids equal those built from the sample subset alone."""
+    from oplogtoredis_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(embeddings, n_centroids=8, sample_per_centroid=8)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # the bounded smallest-id sample
+    # value check: only the 64 smallest-id vectors participate in the build
+    sub = embeddings.where(F.col("vec_id") < 10_000_000).orderBy("vec_id").limit(64)
+    c_sub = ivf_centroids(sub, n_centroids=8, sample_per_centroid=8).toPandas()
+    c_all = cents.toPandas()
+    merged = c_all.merge(c_sub, on="cid", suffixes=("_a", "_s"))
+    assert len(merged) == 8
+    assert (merged["cenorm_a"] == merged["cenorm_s"]).all()
+    assert all(list(a) == list(s) for a, s in zip(merged["ce_a"], merged["ce_s"]))
+
+
 def test_ivf_no_cartesian_beyond_centroid_broadcast(spark, embeddings):
     q = embeddings.where(F.col("vec_id") < 3)
     plan = ann_ivf_topk(embeddings, q, k=5)._jdf.queryExecution().executedPlan().toString()
