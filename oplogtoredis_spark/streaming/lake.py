@@ -253,6 +253,15 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
 
+    #: optimistic-commit retry budget per epoch (Iceberg's
+    #: commit.retry.num-retries analogue). Each loss requires another
+    #: writer's full committed epoch, so a single straggler needs 1-2
+    #: retries — but an HA DOUBLE-RUN (two live streams draining the same
+    #: log, HA_test.go:12-41) can lose once per concurrent epoch of the
+    #: other writer; the budget covers that with the jittered backoff below
+    #: breaking commit lockstep.
+    COMMIT_RETRIES = 10
+
     #: recent epoch keys kept verbatim in the manifest; older epochs are
     #: covered by the per-namespace high-watermark (ADVICE: manifest size and
     #: commit cost must not grow O(total batches) on a long-lived stream)
@@ -458,8 +467,17 @@ class LakeTable:
         # re-applies against the winner's state — final state is the serial
         # application of both batches. Bounded: a loss requires another
         # writer's progress, so livelock needs an adversarial writer.
+        import random
+
         last_err: Exception | None = None
-        for _ in range(4):
+        for attempt in range(self.COMMIT_RETRIES):
+            if attempt and last_err is not None:
+                # jittered exponential backoff (Iceberg commit.retry.*-wait-ms
+                # analogue): two live writers otherwise re-apply in lockstep
+                # and the same one can lose every round
+                time.sleep(
+                    min(0.05 * (2 ** (attempt - 1)), 2.0) * random.uniform(0.5, 1.5)
+                )
             if self.epoch_applied(epoch_ns, batch_id):
                 self._append_lineage(
                     epoch_key,
@@ -1008,8 +1026,13 @@ class LakeTable:
 
     # ---------------- lineage (per-partition/batch records) ----------------
     def _append_lineage(self, epoch_key, stats: dict) -> None:
-        n = len(os.listdir(self._lineage_dir))  # single-writer: race-free
-        p = os.path.join(self._lineage_dir, f"rec-{n:08d}.json")
+        # filename = ordinal + random suffix: ordered reads, and two
+        # CONCURRENT writers (HA double-run) that race to the same ordinal
+        # write two files instead of one clobbering the other's record
+        n = len(os.listdir(self._lineage_dir))
+        p = os.path.join(
+            self._lineage_dir, f"rec-{n:08d}-{uuid.uuid4().hex[:6]}.json"
+        )
         tmp = p + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"epoch_key": str(epoch_key), **stats}, f)

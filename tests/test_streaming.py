@@ -8,6 +8,8 @@ Mirrors the reference's fault-injection suite (SURVEY.md §5.3):
                       applies); lineage records the dedup
 """
 
+import os
+
 import pytest
 
 from oplogtoredis_spark.config import EngineConfig
@@ -90,6 +92,58 @@ def test_lost_checkpoint_full_replay_is_idempotent(spark, events_dir, tmp_path):
     # re-confirming winners; dedup_hits recorded the absorbed duplicates
     second_run = [x for x in table2.lineage() if x["epoch_key"].startswith(str(tmp_path / "ckpt2"))]
     assert sum(x.get("dedup_hits", 0) for x in second_run) > 0
+
+
+def test_two_concurrent_streams_one_table_ha(spark, events_dir, tmp_path):
+    """Stream-level HA double-run (integration-tests/fault-injection/
+    HA_test.go:12-41): TWO streaming runners over the same log into ONE
+    table, separate checkpoints, running concurrently. The optimistic
+    snapshot claim serializes every epoch commit (losers re-read and
+    re-apply), so the final state equals the single-threaded oracle, no
+    event identity ever applies twice (total applies across both streams
+    never exceed the single-stream apply count), and the overlap is
+    visible as dedup hits in lineage."""
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    d, ev = events_dir
+    # reference run: the same log through ONE stream (same epoch boundaries)
+    ref = run_to_completion(
+        spark, d, str(tmp_path / "ref_tbl"), str(tmp_path / "ref_ck"), CFG,
+        max_files_per_trigger=1,
+    )
+    applied_single = sum(r.get("applied", 0) for r in ref.lineage())
+
+    # HA double-run: both writers race on one table under the DEFAULT
+    # retry budget + jittered backoff (no tuning)
+    tbl = str(tmp_path / "tbl")
+    ck_a, ck_b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
+    qa = start_stream(spark, d, tbl, ck_a, CFG, max_files_per_trigger=1)
+    qb = start_stream(spark, d, tbl, ck_b, CFG, max_files_per_trigger=1)
+    qa.awaitTermination()
+    qb.awaitTermination()
+
+    table = LakeTable(tbl)
+    got = _table_state(spark, table)
+    assert_parity(got, replay_oracle(ev, DENY))
+
+    # every epoch of BOTH lineages committed exactly once, ids contiguous
+    for ck in (ck_a, ck_b):
+        ns = os.path.abspath(ck)
+        ids = sorted(
+            int(k.rsplit(":", 1)[1])
+            for k in table.applied_batch_ids()
+            if k.startswith(ns)
+        )
+        assert ids == list(range(len(ids))), f"{ck}: {ids}"
+
+    lin = [r for r in table.lineage() if "applied" in r]
+    total_applied = sum(r["applied"] for r in lin)
+    total_dedup = sum(r.get("dedup_hits", 0) for r in lin)
+    # zero duplicate applies: the double-read can only apply FEWER times
+    # than the serial run (a winner landed by one stream reads as a dedup
+    # hit in the other), never more
+    assert len(got) <= total_applied <= applied_single
+    assert total_dedup > 0  # the overlap was absorbed, and visibly so
 
 
 def test_lineage_metrics_recorded(spark, events_dir, tmp_path):
