@@ -665,6 +665,34 @@ def q_text_profile(spark, sf_dir):
     return text_profile(_docs(spark, sf_dir, par=True).select("doc_id", "text"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Deterministic subword BPE token counts (operators/text.py
+    bpe_token_counts): a real fixed-merge-table BPE — words tokenized to
+    characters and folded by 24 ranked merges — expressed entirely as
+    string expressions (JVM-side in Spark; the DuckDB oracle runs the
+    byte-identical replace chain). Training-faithful counts, unlike the
+    regex-piece estimate text_profile also carries."""
+    from oplogtoredis_spark.operators.text import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir, par=True))
+
+
+def _sql_bpe_tokens() -> str:
+    from oplogtoredis_spark.operators.text import bpe_count_expr
+
+    cnt = bpe_count_expr("w", "duckdb")
+    return f"""
+SELECT doc_id,
+  CAST(coalesce(list_sum(list_transform(
+        regexp_extract_all(lower(text), '[a-z0-9]+'),
+        w -> CAST({cnt} AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+SQL_BPE_TOKENS = _sql_bpe_tokens()
+
+
 SQL_TEXT_PROFILE = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
  feat AS (
@@ -1219,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_max": q_interval_max,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
+        "bpe_tokens": q_bpe_tokens,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1260,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_max": SQL_INTERVAL_MAX,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
+        "bpe_tokens": SQL_BPE_TOKENS,
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,

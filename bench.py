@@ -48,6 +48,7 @@ HEADLINE = [
     "interval_max",
     "metrics_histogram",
     "text_profile",
+    "bpe_tokens",
     "quality_filter",
     "chunk_documents",
     "ngram_jaccard_pairs",

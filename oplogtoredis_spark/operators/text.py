@@ -35,6 +35,79 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(pieces)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic subword BPE (fixed merge table) — training-faithful counts
+# ---------------------------------------------------------------------------
+
+#: Fixed BPE merge table in rank order (application order). Multi-character
+#: parts appear only after the merges that form them. Shipped as a literal:
+#: the vocabulary IS part of the operator's identity, like a tokenizer's
+#: merges.txt.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+    ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"), ("t", "i"), ("a", "r"),
+    ("a", "l"), ("o", "u"), ("s", "t"), ("e", "d"), ("i", "s"), ("i", "t"),
+    ("o", "f"), ("th", "e"), ("an", "d"), ("in", "g"), ("er", "s"),
+    ("ti", "on"),
+)
+
+
+def bpe_count_expr(word_expr: str, dialect: str) -> str:
+    """SQL expression counting the BPE tokens of one lowercase-alnum word.
+
+    The trick that makes real BPE expressible as PURE string expressions
+    (JVM-side in Spark, and byte-identical in DuckDB for the oracle): a word
+    is encoded with a double unit-separator between tokens —
+    ``US US c1 US US c2 US US`` — and each merge (a, b) in rank order is one
+    ``replace(s, US·a·US·US·b·US, US·ab·US)``: the single-US guards pin
+    whole-token boundaries (no suffix/prefix false matches), and because a
+    match consumes only the INNER half of each boundary, adjacent pairs all
+    merge in one left-to-right non-overlapping pass — exactly one pass per
+    merge rank, the standard fast BPE application order (canonical BPE
+    re-scans for re-formed pairs of the SAME rank, which a fixed 24-merge
+    table cannot produce). Token count = US-count/2 - 1.
+
+    ``dialect``: "spark" ($1 backref, implicit global regex replace) or
+    "duckdb" (\\1 backref, explicit 'g' flag).
+    """
+    s1 = "chr(31)"
+    ss = f"({s1} || {s1})"
+    if dialect == "spark":
+        enc = f"{ss} || regexp_replace({word_expr}, '(.)', concat('$1', {ss}))"
+    elif dialect == "duckdb":
+        enc = f"{ss} || regexp_replace({word_expr}, '(.)', '\\1' || {ss}, 'g')"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    for a, b in BPE_MERGES:
+        pat = f"{s1} || '{a}' || {ss} || '{b}' || {s1}"
+        rep = f"{s1} || '{a}{b}' || {s1}"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"((length({enc}) - length(replace({enc}, {s1}, ''))) / 2 - 1)"
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """Total BPE token count per document: words = lowercase [a-z0-9]+ runs,
+    each word tokenized by the fixed merge table, summed. A narrow
+    projection — the per-word fold runs inside a higher-order transform, no
+    explode, no shuffle; punctuation/whitespace carries no tokens (they are
+    the word delimiters, as in byte-level BPE pretokenization)."""
+    cnt = bpe_count_expr("w", "spark")
+    return F.expr(
+        f"aggregate(transform(regexp_extract_all(lower({text_col}),"
+        f" '[a-z0-9]+', 0), w -> CAST({cnt} AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens_bpe) for every document — the registered query form."""
+    return df.select(
+        F.col(id_col), bpe_token_count(text_col).alias("n_tokens_bpe")
+    )
+
+
 def en_stopword_hits(text: Column) -> Column:
     """# of distinct English stopwords present (language-ID signal)."""
     toks = F.array_distinct(tokens(F.lower(text)))

@@ -104,3 +104,50 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert c1[0].chunk_text.split()[-2:] == c1[1].chunk_text.split()[:2]
     # short doc → exactly one whole-doc chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc"
+
+
+def _ref_bpe_count(word: str) -> int:
+    """Independent pure-Python rendering of the documented BPE semantics:
+    one left-to-right non-overlapping pass per merge rank."""
+    from oplogtoredis_spark.operators.text import BPE_MERGES
+
+    toks = list(word)
+    for a, b in BPE_MERGES:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return len(toks)
+
+
+def test_bpe_token_count_matches_reference_tokenizer(spark):
+    """The string-expression BPE must agree with an independently coded
+    tokenizer on merge chains, adjacent same-merge pairs (the
+    shared-boundary case), multi-char merges, digits, case folding, and
+    empty/punctuation-only docs."""
+    import re
+
+    from oplogtoredis_spark.operators.text import bpe_token_counts
+
+    docs = [
+        (0, "the ingestion of the standard"),
+        (1, "anand and initiation"),  # adjacent (a,n)(a,n) shared boundary
+        (2, "42 esters, orthogonal!"),
+        (3, ""),                      # no words -> 0
+        (4, "?!... --- ..."),         # punctuation only -> 0
+        (5, "Tion THE tHe"),          # case folding
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bpe_token_counts(df).toPandas().set_index("doc_id")["n_tokens_bpe"]
+    for i, text in docs:
+        want = sum(
+            _ref_bpe_count(w) for w in re.findall(r"[a-z0-9]+", text.lower())
+        )
+        assert got[i] == want, (i, text, got[i], want)
+    assert got[3] == 0 and got[4] == 0
+    assert got[5] == 3  # tion + the + the -> one token each
