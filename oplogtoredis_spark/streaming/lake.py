@@ -359,29 +359,34 @@ class LakeTable:
         cur_sid,
     ) -> DataFrame:
         """Merge-on-read: base ∪ deltas → one LWW max_by collapse per key.
-        One delta EPOCH (shared seq) is one scan regardless of how many
-        buckets it touched; the collapse is the same single wide shuffle the
-        CoW merge runs at write time — MoR just moves it to read time. On a
-        bucketed layout both sides are co-partitioned by construction, so a
-        real cluster's storage-partitioned join/agg keeps this shuffle-free."""
-        by_seq: dict[int, list[str]] = {}
+        ALL live deltas are ONE scan regardless of epoch count — the delta's
+        epoch seq is recovered from its directory name
+        (``delta/v{seq:08d}-…``) via the file-metadata column, so a stream
+        that ran many epochs between compactions costs one multi-dir scan,
+        not one scan per epoch. The collapse is the same single wide shuffle
+        the CoW merge runs at write time — MoR just moves it to read time.
+        On a bucketed layout both sides are co-partitioned by construction,
+        so a real cluster's storage-partitioned join/agg keeps this
+        shuffle-free."""
+        dirs: list[str] = []
         sids: set = set()
         for entries in dsel.values():
             for e in entries:
-                by_seq.setdefault(int(e["seq"]), []).append(
-                    os.path.join(self.path, e["dir"])
-                )
+                dirs.append(os.path.join(self.path, e["dir"]))
                 sids.add(e.get("sid"))
-        u = base.withColumn("_seq", F.lit(-1).cast("long"))
-        for seq in sorted(by_seq):
-            if sids == {cur_sid}:
-                d = spark.read.schema(schema).parquet(*by_seq[seq])
-            else:
-                d = conform_to_schema(
-                    spark.read.option("mergeSchema", "true").parquet(*by_seq[seq]),
-                    schema,
-                )
-            u = u.unionByName(d.withColumn("_seq", F.lit(seq).cast("long")))
+        if sids == {cur_sid}:
+            d = spark.read.schema(schema).parquet(*dirs)
+        else:
+            d = conform_to_schema(
+                spark.read.option("mergeSchema", "true").parquet(*dirs), schema
+            )
+        d = d.withColumn(
+            "_seq",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"delta/v(\d{8})-", 1
+            ).cast("long"),
+        )
+        u = base.withColumn("_seq", F.lit(-1).cast("long")).unionByName(d)
         key = ["repo", "path"]
         data_cols = [f.name for f in schema.fields if f.name not in key]
         order = F.struct(
