@@ -862,6 +862,11 @@ class LakeTable:
                 else:
                     buckets.pop(str(b), None)  # bucket emptied (all rows gone)
                     bucket_schema_id.pop(str(b), None)
+                # a CoW rewrite is an incremental compaction for this bucket:
+                # the target read above resolved its deltas, so the rewritten
+                # base already contains their effects — drop the entries
+                # (expire_snapshots reclaims the dirs once unreferenced)
+                bucket_deltas.pop(str(b), None)
 
         # replay bookkeeping: recent epoch keys verbatim (bounded window) +
         # per-namespace high-watermark covering everything older — manifest

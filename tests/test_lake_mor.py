@@ -211,6 +211,50 @@ def test_mor_streaming_parity_and_restart(spark, tmp_path):
     assert table.manifest()["buckets"] == {}  # never compacted: all deltas
 
 
+def test_cow_epoch_folds_that_buckets_deltas(spark, tmp_path):
+    """Mixed-mode interop: a CoW epoch's target read resolves the bucket's
+    live deltas, so the rewrite IS an incremental compaction — the bucket's
+    delta entries drop from the manifest and state is unchanged."""
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    ev = generate_events(n_events=300, n_repos=6, seed=13)
+    t.merge_batch(spark.createDataFrame(ev), 0, epoch_ns="m", merge_mode="mor")
+    assert len(t.manifest()["bucket_deltas"]) > 0
+    before = _state(spark, t)
+    # CoW epoch with one update per repo — 6 keys over 2 buckets covers both
+    ups = [
+        (f"org{i}/repo{i}", "path_0.py", 1 << 42, 0, "u", "c", "py", "newest")
+        for i in range(6)
+    ]
+    stats = t.merge_batch(_batch(spark, ups), 1, epoch_ns="m")
+    assert stats["affected_buckets"] == 2
+    m = t.manifest()
+    assert m["bucket_deltas"] == {}  # folded by the CoW rewrites
+    after = _state(spark, t)
+    # refreshed contents for the updated keys, nothing lost or resurrected
+    assert (after["content"] == "newest").sum() >= 6
+    assert set(after["repo"]) >= set(before["repo"])
+
+
+def test_mor_schema_evolution_added_column(spark, tmp_path):
+    """A MoR delta carrying a new column evolves the table schema; old base
+    and old deltas read back with nulls for it (mergeSchema fallback)."""
+    import pandas as pd
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_batch(spark, [("r/a", "f.py", 1 << 32, 0, "i", "c0", "py", "v1")]),
+                  0, epoch_ns="m", merge_mode="mor")
+    b2 = spark.createDataFrame(
+        [("r/b", "g.py", 2 << 32, 0, "i", "c1", "py", "v2", 777)],
+        "repo string, path string, ts long, tx_idx int, op string,"
+        " commit string, lang string, content string, stars long",
+    )
+    stats = t.merge_batch(b2, 1, epoch_ns="m", merge_mode="mor",
+                          extra_payload_cols=("stars",))
+    assert stats["schema_evolved"] is True
+    got = _state(spark, t).set_index("repo")
+    assert pd.isna(got.loc["r/a", "stars"]) and got.loc["r/b", "stars"] == 777
+
+
 def test_mor_compact_folds_deltas_and_expire_reclaims(spark, tmp_path):
     """compact() materializes the resolved state as the new base and clears
     bucket_deltas (reads take the fast path again); expire_snapshots then
