@@ -243,6 +243,18 @@ def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
             (r[job], r[f"{job}_cpu_s"]) for r in runs if r["cpus"] == cpus and job in r
         )[1]
 
+    def run_of_best(cpus: int, job: str) -> float | None:
+        # task RUN-seconds (occupancy: CPU + memory/IO stalls) of the
+        # least-contended run — the honest "did the wide level get 4x the
+        # hardware" measure for bandwidth-bound jobs, where stalls inflate
+        # run time well beyond CPU time
+        vals = [
+            (r[job], r.get(f"{job}_run_s"))
+            for r in runs
+            if r["cpus"] == cpus and job in r and f"{job}_run_s" in r
+        ]
+        return min(vals)[1] if vals else None
+
     def serial_of_best(cpus: int, job: str) -> float | None:
         # measured driver-serial seconds of the least-contended run
         vals = [
@@ -278,17 +290,21 @@ def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
                 "amdahl_pred_efficiency": round(t_lo / pred_hi / factor, 3),
             })
             # second prediction folding in the MEASURED shared-memory-bus
-            # task inflation (CPU-seconds ratio of the least-contended runs):
+            # task inflation (task RUN-seconds ratio of the least-contended
+            # runs — occupancy including memory/IO stalls, which CPU time
+            # under-counts for bandwidth-bound jobs):
             # wall_hi = S + (wall_lo - S) * inflation / factor. If THIS one
             # matches observation, the entire gap is measured serial term +
             # measured contention — nothing unexplained.
-            c_lo = cpu_of_best(lo, job)
-            c_hi = cpu_of_best(hi, job)
+            c_lo, c_hi = cpu_of_best(lo, job), cpu_of_best(hi, job)
             if c_lo:
-                infl = c_hi / c_lo
+                pair["jobs"][job]["cpu_inflation"] = round(c_hi / c_lo, 3)
+            r_lo, r_hi = run_of_best(lo, job), run_of_best(hi, job)
+            if r_lo and r_hi:
+                infl = r_hi / r_lo
                 pred_adj = s_lo + (t_lo - s_lo) * infl / factor
                 pair["jobs"][job].update({
-                    "cpu_inflation": round(infl, 3),
+                    "run_inflation": round(infl, 3),
                     "amdahl_pred_adj_hi_s": round(pred_adj, 2),
                 })
     return pair
@@ -421,8 +437,10 @@ minus the merged union of multi-task-stage execution intervals — what
 remains is file listing, analysis, AQE re-plans between stages, scheduling
 gaps, and single-task stages). Two predictions per row: the plain Amdahl
 wall_hi = S + (wall_lo - S)/factor, and the contention-adjusted one that
-folds in the MEASURED shared-memory-bus task inflation (the CPU-seconds
-ratio between levels): wall_hi = S + (wall_lo - S)*inflation/factor. When
+folds in the MEASURED shared-memory-bus task inflation (the task
+RUN-seconds ratio between levels — occupancy including memory/IO stalls,
+which CPU time under-counts for bandwidth-bound jobs):
+wall_hi = S + (wall_lo - S)*inflation/factor. When
 the adjusted prediction matches the observation, the entire efficiency gap
 is measured serial fraction + measured contention — nothing unexplained;
 the big-epoch variant shows the same pipeline at production epoch sizes,
@@ -442,16 +460,20 @@ the engine-attributable scaling at ~3.2-3.5x (0.80-0.87); on discrete
 executors each node brings its own memory channels, so the inflation term
 does not exist. The raw wall numbers are reported unadjusted.
 
-The streaming rows cleared the >= 0.8 bar once the per-epoch driver-serial
-term was cut and then MEASURED (round 3): expression caching + the
-single-CASE histogram + the per-stream sink instance brought it from the
-argued ~1.3 s/epoch to a measured ~0.5-0.9 s/epoch (`stream_*_serial_s`
-above, lineage phase clocks), and the Amdahl prediction built from that
-measured term now matches the observed wide-level wall within noise —
-the residual gap to 1.0 is the measured serial fraction plus the shared
-memory-bus task inflation, not hidden engine serialization. Production
-epochs are orders of magnitude larger still (the serial term stays
-constant while compute grows), and the driver is a dedicated node.
+The streaming rows clear the >= 0.8 bar outright (steady-state dense and
+big-epoch), and their plain Amdahl predictions land within ~1% of the
+observed wide-level walls (e.g. dense: predicted 27.75 s vs observed
+27.88 s in the round-4 table above) — the per-epoch driver-serial term is
+a measured ~0.3-0.9 s/epoch (lineage phase clocks; expression caching +
+single-CASE histogram + per-stream sink instance, round 3). The batch row
+now gets the same treatment (round 4): its measured serial term is small
+(~2 s of listing/AQE/scheduling gaps), so the plain prediction says 0.89 —
+the wall shortfall is NOT a hidden serial stage but the measured
+run-seconds inflation (the wide level's tasks stall on the one shared
+memory subsystem; fold that ratio in and the prediction lands within ~7%
+of the observation). Production epochs are orders of magnitude larger
+still (the serial term stays constant while compute grows), and the
+driver is a dedicated node.
 The engine-side serial cost: single-phase merge, schema-id fast-path
 read, no second batch scan, O(1) manifest commit, batch-invariant merge
 expressions cached across epochs; `merge_batch(prune=False)` additionally
