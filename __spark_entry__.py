@@ -665,6 +665,64 @@ def q_text_profile(spark, sf_dir):
     return text_profile(_docs(spark, sf_dir, par=True).select("doc_id", "text"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic disjoint train/eval/test assignment from the portable
+    key hash (operators/sampling.py hash_split): membership is a pure
+    function of doc_id, so corpus growth never migrates a document between
+    splits (the train/eval-leakage guarantee). Map-only — no shuffle."""
+    from oplogtoredis_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir, par=True), "doc_id"
+    ).select("doc_id", "split")
+
+
+def _sql_hash_split() -> str:
+    from oplogtoredis_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "")
+    return f"""
+SELECT doc_id,
+  CASE WHEN h < 900000 THEN 'train'
+       WHEN h < 950000 THEN 'eval'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, {h} AS h FROM documents)
+"""
+
+
+SQL_HASH_SPLIT = _sql_hash_split()
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum top-k in hash order (operators/sampling.py
+    stratified_sample) — the reproducible reservoir analogue: at most k
+    docs per (lang, source) stratum whatever the stratum skew; Spark's
+    WindowGroupLimit bounds the shuffle to k rows per stratum per map
+    task."""
+    from oplogtoredis_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir, par=True), ("lang", "source"), k=2,
+        key_col="doc_id",
+    ).select("lang", "source", "doc_id", "rk")
+
+
+def _sql_stratified_sample() -> str:
+    from oplogtoredis_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "")
+    return f"""
+SELECT lang, source, doc_id, rk FROM (
+  SELECT lang, source, doc_id,
+    row_number() OVER (PARTITION BY lang, source ORDER BY {h}, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 2
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Deterministic subword BPE token counts (operators/text.py
     bpe_token_counts): a real fixed-merge-table BPE — words tokenized to
@@ -775,6 +833,72 @@ SELECT doc_id, chunk_idx, array_to_string(piece, ' ') AS chunk_text,
        len(piece) AS n_tokens
 FROM c
 """
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The composed training-data golden path, end to end in ONE plan:
+    quality gate (keep) → exact dedup (smallest-id survivor per content
+    hash) → token-window chunking → deterministic train/eval/test split.
+    Everything after the gate is a narrow projection or a single
+    content-hash aggregate; the split needs NO join because membership is a
+    pure function of doc_id (operators/sampling.py). This is the query a
+    reference user actually runs nightly — the per-operator queries are its
+    unit tests."""
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.operators.sampling import hash_split
+    from oplogtoredis_spark.operators.text import chunk_documents, quality_filter
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
+    kept, _rej = quality_filter(
+        docs, min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",)
+    )
+    survivors = kept.groupBy(F.sha2(F.col("text"), 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(survivors.select("doc_id"), "doc_id")
+    chunks = chunk_documents(deduped, chunk_tokens=40, overlap=8)
+    return hash_split(chunks, "doc_id").select(
+        "doc_id", "split", "chunk_idx", "n_tokens"
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    from oplogtoredis_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "")
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
+ feat AS (SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(list_intersect(list_distinct({_TOKS.format(x='lower(text)')}), {_EN_STOP})) AS hits,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha
+  FROM t),
+ q AS (SELECT doc_id, n_tokens, hits, alpha,
+    round(0.4 * least(n_tokens / 200.0, 1.0) + 0.4 * alpha
+          + 0.2 * least(hits / 5.0, 1.0), 4) AS quality
+  FROM feat),
+ kept AS (SELECT t.doc_id, t.text, t.toks FROM t JOIN q USING (doc_id)
+  WHERE n_tokens >= 20 AND alpha >= 0.55 AND quality >= 0.5 AND hits >= 2),
+ surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+ dd AS (SELECT k.doc_id, k.toks FROM kept k JOIN surv USING (doc_id)),
+ n AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((len(toks) - 8) / 32.0) AS INT), 1) AS n_chunks
+       FROM dd),
+ e AS (SELECT doc_id, toks, unnest(range(n_chunks))::INT AS chunk_idx FROM n),
+ c AS (SELECT doc_id, chunk_idx,
+              toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40] AS piece
+       FROM e)
+SELECT doc_id,
+  CASE WHEN {h} < 900000 THEN 'train'
+       WHEN {h} < 950000 THEN 'eval'
+       ELSE 'test' END AS split,
+  chunk_idx, len(piece) AS n_tokens
+FROM c
+"""
+
+
+SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -1248,8 +1372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
         "bpe_tokens": q_bpe_tokens,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
+        "corpus_pipeline": q_corpus_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1290,8 +1417,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
         "bpe_tokens": SQL_BPE_TOKENS,
+        "hash_split": SQL_HASH_SPLIT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "corpus_pipeline": SQL_CORPUS_PIPELINE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

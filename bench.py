@@ -51,6 +51,9 @@ HEADLINE = [
     "bpe_tokens",
     "quality_filter",
     "chunk_documents",
+    "corpus_pipeline",
+    "hash_split",
+    "stratified_sample",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

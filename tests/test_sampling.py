@@ -1,0 +1,73 @@
+"""Deterministic sampling operators: reproducibility, split stability under
+corpus growth (the train/eval-leakage guarantee), per-stratum bounds, and
+the WindowGroupLimit plan shape that keeps stratified sampling skew-safe."""
+
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3], f"src{i % 4}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = _docs(spark)
+    a = set(r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect())
+    b = set(r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect())
+    assert a == b  # same draw every run
+    # calibration: 400 draws at p=0.3 land well inside [0.15, 0.45]
+    assert 0.15 * 400 < len(a) < 0.45 * 400
+    # a different salt is an independent draw, not a subset
+    c = set(r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt="v2").collect())
+    assert c != a and c - a and a - c
+
+
+def test_hash_split_disjoint_exhaustive_and_growth_stable(spark):
+    df = _docs(spark)
+    out = hash_split(df, "doc_id").select("doc_id", "split").toPandas()
+    assert len(out) == 400  # every row assigned exactly once
+    counts = out["split"].value_counts()
+    assert set(counts.index) <= {"train", "eval", "test"}
+    assert counts["train"] > 0.8 * 400  # ~90%
+    # THE guarantee: membership is a pure function of the key — computing
+    # splits on half the corpus agrees with the full corpus on shared keys
+    half = hash_split(df.where(F.col("doc_id") < 200), "doc_id").select(
+        "doc_id", "split"
+    ).toPandas()
+    merged = half.merge(out, on="doc_id", suffixes=("_half", "_full"))
+    assert (merged["split_half"] == merged["split_full"]).all()
+
+
+def test_hash_split_fractions_must_sum_to_one(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(_docs(spark), "doc_id", splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_stratified_sample_bounds_and_determinism(spark):
+    df = _docs(spark)  # 12 strata (3 langs x 4 sources), ~33 docs each
+    out = stratified_sample(df, ("lang", "source"), k=3, key_col="doc_id").toPandas()
+    per = out.groupby(["lang", "source"]).size()
+    assert (per <= 3).all() and len(per) == 12
+    assert set(out["rk"]) == {1, 2, 3}
+    out2 = stratified_sample(df, ("lang", "source"), k=3, key_col="doc_id").toPandas()
+    assert out.sort_values(["lang", "source", "rk"]).reset_index(drop=True).equals(
+        out2.sort_values(["lang", "source", "rk"]).reset_index(drop=True)
+    )
+
+
+def test_stratified_sample_plan_has_group_limit_pushdown(spark):
+    """Skew safety: the rank<=k bound must push into a WindowGroupLimit so
+    the shuffle carries at most k rows per stratum per map task — a
+    billion-row stratum costs its winners, not its population."""
+    df = _docs(spark)
+    out = stratified_sample(df, ("lang", "source"), k=3, key_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
