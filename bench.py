@@ -195,6 +195,38 @@ def main() -> None:
     stream_secs = round(stream_secs, 3)
     timings["cdc_stream_apply"] = stream_secs
 
+    # --- CDC streaming apply, merge-on-read (write-optimized ingest) ---
+    # Deltas only, no target read per epoch; the deferred merge is then paid
+    # ONCE by compact(), which is also timed so the trade is visible. The
+    # state must match the CoW stream's (spot-asserted on row count).
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    mor_secs = compact_secs = None
+    cow_rows = LakeTable(os.path.join(f"/tmp/otr_bench_stream_{CPUS}", "tbl")).read(
+        spark
+    ).count()
+    for _ in range(2):
+        work = f"/tmp/otr_bench_stream_mor_{CPUS}"
+        shutil.rmtree(work, ignore_errors=True)
+        t0 = time.time()
+        table = run_to_completion(
+            spark, events_dir,
+            os.path.join(work, "tbl"), os.path.join(work, "ckpt"), cfg,
+            max_files_per_trigger=max(
+                4, len([f for f in os.listdir(events_dir) if f.endswith(".parquet")]) // 8
+            ),
+            merge_mode="mor",
+        )
+        dt = time.time() - t0
+        mor_secs = dt if mor_secs is None else min(mor_secs, dt)
+        t0 = time.time()
+        table.compact(spark, drop_tombstones_older_than_ts=0)
+        dt = time.time() - t0
+        compact_secs = dt if compact_secs is None else min(compact_secs, dt)
+        assert table.read(spark).count() == cow_rows  # same final state
+    timings["cdc_stream_apply_mor"] = round(mor_secs, 3)
+    timings["cdc_mor_compact"] = round(compact_secs, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline query suite + CDC replay wall time",
@@ -206,6 +238,7 @@ def main() -> None:
         "cdc_events_total": n_events_total,
         "cdc_batch_events_per_sec": round(n_events_total / batch_secs, 1),
         "cdc_stream_events_per_sec": round(n_events_total / stream_secs, 1),
+        "cdc_stream_mor_events_per_sec": round(n_events_total / mor_secs, 1),
     }
     print(json.dumps(out))
     spark.stop()
