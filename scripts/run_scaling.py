@@ -126,6 +126,17 @@ run_to_completion(spark, events, work + "/tbl", work + "/ckpt", cfg, max_files_p
 out["stream"] = round(time.time() - t0, 2)
 c3, r3 = stage_totals()
 out["stream_cpu_s"], out["stream_run_s"] = round(c3 - c2, 1), round(r3 - r2, 1)
+# the COLD stream's serial term, same lineage decomposition as the dense
+# variants below — here the inter-epoch gaps also contain the one-time JVM
+# codegen/infra warm-up, which is genuinely serial and identical at both
+# levels (the dense variants exclude it via their warm prologue)
+from oplogtoredis_spark.streaming.lake import LakeTable
+recs = [r for r in LakeTable(work + "/tbl").lineage() if "phase_secs" in r]
+ser = sum(sum(r["phase_secs"].values()) - r["phase_secs"]["merge_write"]
+          for r in recs)
+out["stream_serial_s"] = round(
+    ser + out["stream"] - sum(r["wall_secs"] for r in recs), 2)
+out["stream_epochs"] = len(recs)
 shutil.rmtree(work, ignore_errors=True)
 
 # steady-state dense variant: the same end-to-end apply with (a) streaming
@@ -465,7 +476,14 @@ big-epoch), and their plain Amdahl predictions land within ~1% of the
 observed wide-level walls (e.g. dense: predicted 27.75 s vs observed
 27.88 s in the round-4 table above) — the per-epoch driver-serial term is
 a measured ~0.3-0.9 s/epoch (lineage phase clocks; expression caching +
-single-CASE histogram + per-stream sink instance, round 3). The batch row
+single-CASE histogram + per-stream sink instance, round 3). The COLD
+stream row (0.6x) is now decomposed the same way (round 4): its measured
+serial term is ~27 s at the narrow level — dominated by one-time JVM
+codegen/infra warm-up plus the pruned per-epoch overhead on a fresh
+table — and the Amdahl prediction built from it (0.58) sits BELOW the
+observed efficiency (0.62): the cold wall ratio is fully accounted for by
+the measured serial fraction, with nothing unexplained (the warm dense
+variants are the same pipeline with that term excluded). The batch row
 now gets the same treatment (round 4): its measured serial term is small
 (~2 s of listing/AQE/scheduling gaps), so the plain prediction says 0.89 —
 the wall shortfall is NOT a hidden serial stage but the measured
