@@ -128,6 +128,16 @@ def main() -> None:
             [],
             ["CartesianProduct", "BroadcastNestedLoopJoin"],
         ),
+        (
+            "CORPUS PIPELINE (quality→dedup→chunk→split composed) — one plan, split is join-free",
+            "corpus_pipeline",
+            "the only join is the exact-dedup survivor semi-join (equality on "
+            "doc_id); the train/eval/test split attaches as a pure hash "
+            "expression of doc_id — no join, no shuffle beyond the one "
+            "content-hash aggregate",
+            [],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
     ]
 
     out = [

@@ -89,3 +89,64 @@ def test_apply_modifier_matches_reference_semantics(initial, updates):
         else:
             ref = {k: v for k, v in u.items() if not k.startswith("$")}
     assert doc == ref
+
+
+bpe_word_strategy = st.text(
+    alphabet="abcdefghinorstu0123456789", min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=st.lists(bpe_word_strategy, min_size=1, max_size=6))
+def test_bpe_count_bounds_and_reference_agreement(spark, words):
+    """For random alnum words: 1 <= count(word) <= len(word), and the
+    string-expression BPE equals the independent pure-Python rendering
+    (one left-to-right non-overlapping pass per merge rank)."""
+    from oplogtoredis_spark.operators.text import BPE_MERGES, bpe_token_counts
+
+    def ref(word):
+        toks = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return len(toks)
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = bpe_token_counts(df).collect()[0]["n_tokens_bpe"]
+    want = sum(ref(w) for w in words)
+    assert got == want
+    assert len(words) <= got <= sum(len(w) for w in words)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    extra=st.lists(st.integers(10_001, 20_000), max_size=10, unique=True),
+)
+def test_hash_split_is_a_pure_partition_function(spark, keys, extra):
+    """Splits are exhaustive, disjoint, and INVARIANT under corpus growth:
+    adding rows never changes an existing key's split (the leakage
+    guarantee, as a property)."""
+    from oplogtoredis_spark.operators.sampling import hash_split
+
+    def splits_of(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return {
+            r.doc_id: r.split
+            for r in hash_split(df, "doc_id").select("doc_id", "split").collect()
+        }
+
+    small = splits_of(keys)
+    grown = splits_of(keys + extra)
+    assert set(small) == set(keys)  # exhaustive: every key assigned
+    assert all(grown[k] == small[k] for k in keys)  # growth-stable
+    assert set(grown.values()) <= {"train", "eval", "test"}
