@@ -52,8 +52,6 @@ def main() -> None:
     # the IVF centroid BUILD stage in isolation (VERDICT r3 #1): sampled,
     # no join keyed on the vector id anywhere in the build
     def q_ivf_build(_spark, sf):
-        from pyspark.sql import functions as F
-
         from oplogtoredis_spark.operators.similarity import ivf_centroids
 
         emb = _spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
