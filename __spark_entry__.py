@@ -1323,6 +1323,52 @@ def q_multimodal_stats(spark, sf_dir):
     return stats.join(dec, "asset_id")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """REAL feature extraction through the multimodal seam: the same
+    synthesized PPM assets as multimodal_stats, run through
+    extract_features (operators/multimodal.py) — mean R/G/B computed in
+    Python over the raw pixel payload inside the Arrow batch. The DuckDB
+    oracle recomputes the byte means from the text payload (all-ASCII
+    corpus), so even the pandas-UDF path is VALUE-checked, not just
+    row-counted."""
+    from oplogtoredis_spark.operators.multimodal import extract_features
+
+    w = (F.col("doc_id") % 64 + 1).cast("int")
+    h = (F.col("doc_id") % 32 + 1).cast("int")
+    data = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"), F.col("text"),
+    ).cast("binary")
+    assets = _docs(spark, sf_dir, par=True).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        data.alias("data"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    return extract_features(assets, strict=True)
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH a AS (SELECT doc_id AS asset_id,
+                  ((doc_id % 64) + 1)::INT AS w,
+                  ((doc_id % 32) + 1)::INT AS h, text FROM documents),
+ p AS (SELECT asset_id, least(length(text), w * h * 3)::INT AS plen, text FROM a),
+ e AS (SELECT asset_id, plen, unnest(range(plen))::INT AS i, text
+       FROM p WHERE plen > 0 AND plen % 3 = 0),
+ v AS (SELECT asset_id, plen, i % 3 AS ch, ord(substr(text, i + 1, 1)) AS b FROM e),
+ m AS (SELECT asset_id,
+         round_even(sum(CASE WHEN ch = 0 THEN b END) * 3.0 / plen, 4) AS mean_r,
+         round_even(sum(CASE WHEN ch = 1 THEN b END) * 3.0 / plen, 4) AS mean_g,
+         round_even(sum(CASE WHEN ch = 2 THEN b END) * 3.0 / plen, 4) AS mean_b
+       FROM v GROUP BY asset_id, plen)
+SELECT a.asset_id, 'image' AS kind,
+  CASE WHEN m.asset_id IS NOT NULL THEN 'ppm' END AS codec,
+  m.mean_r, m.mean_g, m.mean_b,
+  CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS DOUBLE) AS duration_s
+FROM a LEFT JOIN m USING (asset_id)
+"""
+
+
 SQL_MULTIMODAL_STATS = """
 WITH a AS (SELECT doc_id AS asset_id,
   'P6' || chr(10) || (doc_id % 64 + 1)::VARCHAR || ' ' ||
@@ -1388,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "multimodal_stats": q_multimodal_stats,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1433,4 +1480,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_ANN_IVF,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "simhash_dup_pairs",
+    "multimodal_features",
 ]
 
 

@@ -15,6 +15,10 @@ plumbing (schema, batching, null handling) is exercised for every kind.
 
   * decode_assets: mapInPandas over (asset_id, kind, data binary, meta json)
     producing typed metadata (width/height/frames/channels/sample_rate).
+  * extract_features: REAL per-asset features — mean R/G/B over raw PPM
+    pixels, normalized RMS + duration from WAV samples.
+  * resize_images: REAL nearest-neighbor PPM resize (valid PPM out);
+    non-images pass through.
   * asset_stats: native-expression metadata (byte length, sha256) — the
     zero-copy path that needs no decode at all.
   * frame_sample: per-sampled-frame rows — pure sequence/explode.
@@ -218,6 +222,200 @@ def decode_assets(assets: DataFrame, strict: bool = False) -> DataFrame:
             yield out
 
     return assets.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),   # images (PPM)
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),      # audio (WAV, 16-bit)
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _ppm_features(b: bytes) -> dict | None:
+    """Mean R/G/B over the raw pixel payload — REAL image statistics, no
+    libraries (P6 payload is bytes, 3 per pixel). None on malformed."""
+    hdr = _decode_ppm(b)
+    if not hdr:
+        return None
+    # payload starts after the third header token's single whitespace
+    i, toks = 2, 0
+    n = len(b)
+    while toks < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        while i < n and not b[i : i + 1].isspace():
+            i += 1
+        toks += 1
+    i += 1  # the single whitespace after maxval
+    px = b[i : i + hdr["width"] * hdr["height"] * 3]
+    if not px or len(px) % 3:
+        return None
+    tot = [0, 0, 0]
+    for j in range(0, len(px), 3):
+        tot[0] += px[j]
+        tot[1] += px[j + 1]
+        tot[2] += px[j + 2]
+    k = len(px) // 3
+    return {
+        "codec": "ppm",
+        "mean_r": round(tot[0] / k, 4),
+        "mean_g": round(tot[1] / k, 4),
+        "mean_b": round(tot[2] / k, 4),
+    }
+
+
+def _wav_features(b: bytes) -> dict | None:
+    """RMS amplitude (normalized, 16-bit PCM) + duration — REAL audio
+    statistics from the data chunk. None on malformed / non-16-bit."""
+    import struct
+
+    hdr = _decode_wav(b)
+    if not hdr or not hdr.get("sample_rate"):
+        return None
+    # find the data chunk again to read the samples
+    i, n = 12, len(b)
+    raw = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"data":
+            raw = b[i + 8 : i + 8 + clen]
+            break
+        i += 8 + clen + (clen & 1)
+    if raw is None or len(raw) < 2:
+        return None
+    m = len(raw) // 2
+    samples = struct.unpack(f"<{m}h", raw[: m * 2])
+    rms = (sum(s * s for s in samples) / m) ** 0.5 / 32768.0
+    return {
+        "codec": "wav",
+        "rms": round(rms, 4),
+        "duration_s": round(hdr["frames"] / hdr["sample_rate"], 4),
+    }
+
+
+def extract_features(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction via mapInPandas — the second stage
+    of the brief's decode → feature-extract chain, REAL for PPM (mean
+    R/G/B over raw pixels) and WAV (normalized RMS + duration). Other
+    formats are the PIL/torchaudio plug point (``strict=True`` raises
+    there); malformed payloads yield null features, never a failed batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["codec", "mean_r", "mean_g", "mean_b", "rms", "duration_s"]
+
+        def one(b):
+            if b is None:
+                return {}
+            b = bytes(b)
+            if b.startswith(b"P6"):
+                return _ppm_features(b) or {}
+            if b.startswith(b"RIFF"):
+                return _wav_features(b) or {}
+            if strict:
+                raise NotImplementedError(
+                    "real feature extractor not available in this "
+                    "environment; plug PIL/torchaudio here on a real cluster"
+                )
+            return {}
+
+        for pdf in batches:
+            feats = pdf["data"].map(one)
+            out = pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "kind": pdf["kind"]}
+            )
+            for c in cols:
+                out[c] = feats.map(lambda d: d.get(c))
+            yield out
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _resize_ppm(b: bytes, ow: int, oh: int) -> bytes | None:
+    """REAL nearest-neighbor resize of a P6 payload — returns a valid PPM
+    of the target size. None on malformed/truncated input."""
+    hdr = _decode_ppm(b)
+    if not hdr:
+        return None
+    sw, sh = hdr["width"], hdr["height"]
+    # locate payload (same walk as _ppm_features)
+    i, toks, n = 2, 0, len(b)
+    while toks < 3 and i < n:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        while i < n and not b[i : i + 1].isspace():
+            i += 1
+        toks += 1
+    i += 1
+    px = b[i:]
+    if len(px) < sw * sh * 3:
+        return None
+    out = bytearray()
+    for y in range(oh):
+        sy = (y * sh) // oh
+        row = sy * sw * 3
+        for x in range(ow):
+            sx = (x * sw) // ow
+            j = row + sx * 3
+            out += px[j : j + 3]
+    return f"P6\n{ow} {oh}\n255\n".encode() + bytes(out)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize via mapInPandas: (asset_id, kind,
+    data binary) with every PPM payload really resized (nearest neighbor)
+    to ``width``×``height``; non-image payloads pass through unchanged,
+    malformed PPMs become null data (log-and-skip). The PIL plug point for
+    JPEG/PNG sits behind ``strict`` exactly like the decode seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if b.startswith(b"P6"):
+                return _resize_ppm(b, width, height)
+            if strict and b[:4] not in (b"RIFF",):
+                raise NotImplementedError(
+                    "real image resize not available in this environment; "
+                    "plug PIL here on a real cluster"
+                )
+            return b  # non-image payloads pass through
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "data": pdf["data"].map(one),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("data", T.BinaryType(), True),
+        ]
+    )
+    return assets.mapInPandas(run, schema=schema)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 10) -> DataFrame:

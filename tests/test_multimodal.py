@@ -115,3 +115,82 @@ def test_wav_sub_byte_bits_decodes_to_null_not_crash(spark):
         .toPandas().set_index("asset_id")
     )
     assert pd.isna(out.loc[0, "channels"]) and pd.isna(out.loc[0, "frames"])
+
+
+def test_extract_features_real_ppm_and_wav(spark):
+    """Feature extraction is REAL: mean R/G/B computed from the raw PPM
+    pixel payload; RMS + duration from the WAV sample data."""
+    import struct
+
+    import pandas as pd
+
+    from oplogtoredis_spark.operators.multimodal import extract_features, make_ppm
+
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])  # 2x2 RGB
+    ppm = make_ppm(2, 2, px)
+    # 16-bit mono square wave at half amplitude: rms = 0.5 exactly
+    sr, n = 8000, 400
+    data = struct.pack(f"<{n}h", *([16384, -16384] * (n // 2)))
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rows = [
+        (0, "image", ppm, None),
+        (1, "audio", wav, None),
+        (2, "image", b"P6\nbroken", None),  # malformed: null features
+    ]
+    out = (
+        extract_features(spark.createDataFrame(rows, ASSET_SCHEMA), strict=True)
+        .toPandas().set_index("asset_id")
+    )
+    assert (out.loc[0, "mean_r"], out.loc[0, "mean_g"], out.loc[0, "mean_b"]) == (
+        55.0, 65.0, 75.0
+    )
+    assert out.loc[1, "rms"] == 0.5
+    assert out.loc[1, "duration_s"] == round(n / sr, 4)
+    assert pd.isna(out.loc[2, "mean_r"])
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """The resize is REAL: output is a valid PPM of the target size whose
+    pixels are nearest-neighbor picks from the source; chains into
+    decode/extract like any asset."""
+    import pandas as pd
+
+    from oplogtoredis_spark.operators.multimodal import (
+        decode_assets,
+        extract_features,
+        make_ppm,
+        resize_images,
+    )
+
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])  # 2x2
+    rows = [
+        (0, "image", make_ppm(2, 2, px), None),
+        (1, "image", make_ppm(2, 2, px[:6]), None),  # truncated: null out
+        (2, "audio", b"RIFFxxxxWAVE", None),         # passes through
+    ]
+    small = resize_images(
+        spark.createDataFrame(rows, ASSET_SCHEMA).withColumn("meta", F.lit(None).cast("string")),
+        width=1, height=1,
+    )
+    got = small.toPandas().set_index("asset_id")
+    assert bytes(got.loc[0, "data"]).endswith(bytes([10, 20, 30]))  # NN = top-left
+    assert got.loc[1, "data"] is None
+    assert bytes(got.loc[2, "data"]) == b"RIFFxxxxWAVE"
+    # the resized asset decodes and featurizes like any other
+    dec = decode_assets(small.withColumn("meta", F.lit(None).cast("string"))).toPandas().set_index("asset_id")
+    assert (dec.loc[0, "width"], dec.loc[0, "height"]) == (1, 1)
+    feat = extract_features(
+        small.withColumn("meta", F.lit(None).cast("string"))
+    ).toPandas().set_index("asset_id")
+    assert (feat.loc[0, "mean_r"], feat.loc[0, "mean_b"]) == (10.0, 30.0)
+    # upscale: every output pixel still sourced from the 2x2 grid
+    big = resize_images(
+        spark.createDataFrame(rows[:1], ASSET_SCHEMA), width=4, height=4
+    ).toPandas()
+    payload = bytes(big.iloc[0]["data"]).split(b"\n255\n", 1)[1]
+    assert len(payload) == 4 * 4 * 3
+    srcpx = {px[i:i+3] for i in range(0, 12, 3)}
+    assert {payload[i:i+3] for i in range(0, len(payload), 3)} <= srcpx
