@@ -1249,6 +1249,52 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """int8 scalar quantization + asymmetric top-k
+    (operators/similarity.py): the ANN storage path — per-dimension
+    (min, max) codebook from the bounded smallest-id 256-vector sample,
+    codes in [0,255] (4-8x smaller than float vectors), exact cosine of
+    float queries against DEQUANTIZED corpus vectors. Integer codes +
+    identical double formulas make the whole path value-reproducible in
+    DuckDB."""
+    from oplogtoredis_spark.operators.similarity import ann_quantized_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_quantized_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, sample_k=256
+    )
+
+
+SQL_ANN_QUANTIZED = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ smp AS (SELECT * FROM v ORDER BY vec_id LIMIT 256),
+ ex AS (SELECT u.d AS d, u.x AS x FROM (
+    SELECT unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp)),
+ per_d AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+ st AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM per_d),
+ qz AS (SELECT vec_id AS nid,
+          list_transform(v.e, (x, i) -> CASE WHEN st.maxs[i] - st.mins[i] = 0 THEN 0
+            ELSE least(greatest(CAST(round((x - st.mins[i]) * 255.0
+                     / (st.maxs[i] - st.mins[i]), 0) AS INT), 0), 255) END) AS qv
+        FROM v, st),
+ dq AS (SELECT nid,
+          list_transform(qv, (q, i) -> st.mins[i]
+              + q * (st.maxs[i] - st.mins[i]) / 255.0) AS cv
+        FROM qz, st),
+ dn AS (SELECT nid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM dq),
+ qq AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qnorm
+        FROM v WHERE vec_id < 3),
+ sc AS (SELECT qid AS query_id, nid AS neighbor_id,
+          round(list_dot_product(qe, cv) / (qnorm * cnorm), 4) AS cosine_q
+        FROM dn, qq WHERE nid != qid)
+SELECT query_id, neighbor_id, rank, cosine_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM sc) WHERE rank <= 5
+"""
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs over the production-width 60-bit fingerprint
     (two portable 31-bit hash lanes — operators/dedup.py simhash60): banded
@@ -1432,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
@@ -1478,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_quantized_topk": SQL_ANN_QUANTIZED,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

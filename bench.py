@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized_topk",
     "simhash_dup_pairs",
     "multimodal_features",
 ]

@@ -152,3 +152,30 @@ def test_ivf_no_cartesian_beyond_centroid_broadcast(spark, embeddings):
     # the only nested-loop joins allowed are against the broadcast
     # constant-size centroid table; candidate/vector joins must be equality
     assert "CartesianProduct" not in plan
+
+
+def test_quantization_bounded_deterministic_and_accurate(spark, embeddings):
+    """int8 scalar quantization: codes in [0,255], two builds identical,
+    and asymmetric top-k over dequantized vectors recalls most of the
+    exact float top-k (the storage-for-accuracy trade, quantified)."""
+    from oplogtoredis_spark.operators.similarity import (
+        ann_quantized_topk,
+        quantization_stats,
+        quantize_embeddings,
+    )
+
+    stats = quantization_stats(embeddings, sample_k=256)
+    qz = quantize_embeddings(embeddings, stats).toPandas()
+    assert all(0 <= v <= 255 for row in qz["qv"] for v in row)
+    qz2 = quantize_embeddings(embeddings, quantization_stats(embeddings, sample_k=256)).toPandas()
+    a = qz.sort_values("nid").reset_index(drop=True)
+    b = qz2.sort_values("nid").reset_index(drop=True)
+    assert all(list(x) == list(y) for x, y in zip(a["qv"], b["qv"]))
+
+    q = embeddings.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(embeddings, q, k=5).toPandas()
+    quant = ann_quantized_topk(embeddings, q, k=5).toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    qk = {(r.query_id, r.neighbor_id) for r in quant.itertuples()}
+    recall = len(ek & qk) / len(ek)
+    assert recall >= 0.6, f"int8 recall {recall}"
