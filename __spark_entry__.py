@@ -835,6 +835,59 @@ FROM c
 """
 
 
+def q_fuzzy_dedup_pipeline(spark, sf_dir):
+    """The NEAR-duplicate end of the composed pipeline: exact n-gram
+    Jaccard pairs → connected components (alternating star rounds) → keep
+    only each cluster's canonical survivor (smallest doc id) → chunk →
+    deterministic split. Complements corpus_pipeline (which dedups
+    exactly): together they are the two dedup postures of a real corpus
+    build, both value-oracled end-to-end (this one through the recursive
+    transitive closure)."""
+    from oplogtoredis_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from oplogtoredis_spark.operators.sampling import hash_split
+    from oplogtoredis_spark.operators.text import chunk_documents
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.9, max_shingle_freq=50
+    )
+    clusters = dedup_clusters(pairs, docs, id_col="doc_id")
+    survivors = clusters.where(F.col("doc_id") == F.col("cluster_id"))
+    deduped = docs.join(survivors.select("doc_id"), "doc_id")
+    chunks = chunk_documents(deduped, chunk_tokens=40, overlap=8)
+    return hash_split(chunks, "doc_id").select(
+        "doc_id", "split", "chunk_idx", "n_tokens"
+    )
+
+
+def _sql_fuzzy_dedup_pipeline() -> str:
+    from oplogtoredis_spark.operators.sampling import sample_hash_sql
+
+    h = sample_hash_sql("doc_id", "")
+    return f"""
+WITH clusters AS ({{clusters}}),
+ surv AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+ t AS (SELECT d.doc_id, {_TOKS.format(x='d.text')} AS toks
+       FROM documents d JOIN surv USING (doc_id)),
+ n AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((len(toks) - 8) / 32.0) AS INT), 1) AS n_chunks
+       FROM t),
+ e AS (SELECT doc_id, toks, unnest(range(n_chunks))::INT AS chunk_idx FROM n),
+ c AS (SELECT doc_id, chunk_idx,
+              toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 40] AS piece
+       FROM e)
+SELECT doc_id,
+  CASE WHEN {h} < 900000 THEN 'train'
+       WHEN {h} < 950000 THEN 'eval'
+       ELSE 'test' END AS split,
+  chunk_idx, len(piece) AS n_tokens
+FROM c
+"""
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The composed training-data golden path, end to end in ONE plan:
     quality gate (keep) → exact dedup (smallest-id survivor per content
@@ -1057,6 +1110,11 @@ WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS.format(x='text')} AS t FROM docume
  )
 SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 """
+
+SQL_FUZZY_DEDUP_PIPELINE = _sql_fuzzy_dedup_pipeline().format(
+    clusters=SQL_DEDUP_CLUSTERS
+)
+
 
 
 def q_simhash(spark, sf_dir):
@@ -1469,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
+        "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1516,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "corpus_pipeline": SQL_CORPUS_PIPELINE,
+        "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -52,6 +52,7 @@ HEADLINE = [
     "quality_filter",
     "chunk_documents",
     "corpus_pipeline",
+    "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
     "ngram_jaccard_pairs",
