@@ -143,11 +143,17 @@ def main() -> None:
 
     spark.range(10000).repartition(CPUS).select(_F.sum(_warm(_F.col("id")))).collect()
 
-    # The CDC section runs FIRST (warm-but-clean JVM): measured after the
-    # 30+ headline queries it degraded 3-4x from accumulated session state
-    # (broadcasts, code cache, GC pressure) — position noise, not engine
-    # cost. The reference-comparable numbers deserve the clean measurement;
-    # the small per-query timings are position-insensitive (best-of-2).
+    qmap = entry_mod.queries()
+    for name in HEADLINE:
+        # best-of-2: the sandbox shares a noisy host; the minimum is the
+        # faithful estimate of the engine's cost
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(qmap[name](spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # --- CDC batch replay over the generated log ---
     from oplogtoredis_spark.plans.replay import replay_events_path
@@ -223,19 +229,6 @@ def main() -> None:
         assert table.read(spark).count() == cow_rows  # same final state
     timings["cdc_stream_apply_mor"] = round(mor_secs, 3)
     timings["cdc_mor_compact"] = round(compact_secs, 3)
-
-    # --- headline query suite ---
-    qmap = entry_mod.queries()
-    for name in HEADLINE:
-        # best-of-2: the sandbox shares a noisy host; the minimum is the
-        # faithful estimate of the engine's cost
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            _force(qmap[name](spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
