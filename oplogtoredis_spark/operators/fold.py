@@ -121,7 +121,7 @@ def fold_diff_events(events: DataFrame) -> DataFrame:
     document state by in-order application. op: 'i' insert (doc = full),
     'u' update (doc = modifier/replacement), 'd' delete."""
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "tx_idx"], kind="stable").drop_duplicates(
             subset=["ts", "tx_idx"], keep="first"
         )

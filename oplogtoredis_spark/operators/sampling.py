@@ -53,7 +53,12 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff its key hashes under
     the fraction threshold. Same key ⇒ same verdict, forever."""
-    return df.where(_sample_hash(F.col(key_col), salt) < F.lit(int(fraction * _D)))
+    # round(), not truncation: fractions not exactly representable in binary
+    # (0.29 → 289999.999…) would otherwise shift the threshold by one hash
+    # value versus the requested fraction (ADVICE r4)
+    return df.where(
+        _sample_hash(F.col(key_col), salt) < F.lit(int(round(fraction * _D)))
+    )
 
 
 def hash_split(
@@ -77,7 +82,7 @@ def hash_split(
     acc = 0.0
     for name, frac in splits[:-1]:
         acc += frac
-        cond = h < F.lit(int(acc * _D))
+        cond = h < F.lit(int(round(acc * _D)))  # round, not truncate (ADVICE r4)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = (
         F.lit(splits[-1][0]) if expr is None else expr.otherwise(F.lit(splits[-1][0]))

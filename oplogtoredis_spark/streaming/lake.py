@@ -181,10 +181,15 @@ class LakeTable:
 
         Defense in depth for the remaining TOCTOU (a reclaimer could replace
         this writer's claim after its staleness check raced): every attempt
-        embeds a fresh ``writer_token``; after advancing CURRENT the token is
-        re-read, and a mismatch raises — CURRENT then points at the OTHER
-        writer's fully-committed manifest, so the table stays consistent and
-        exactly one attempt per version reports success.
+        embeds a fresh ``writer_token``. IMMEDIATELY before advancing
+        CURRENT the token and CURRENT are both re-read — a writer that
+        stalled past ORPHAN_STALENESS between claim and advance therefore
+        cannot regress CURRENT over a reclaimer's commits (ADVICE r4). After
+        the advance the token is re-read once more; a mismatch means a
+        reclaimer raced inside that two-syscall window, so CURRENT is
+        repaired monotonically (``_repair_current_monotonic``) before the
+        loss is raised — the table stays consistent and exactly one attempt
+        per version reports success.
 
         Structured Streaming runs a single writer per table so the conflict
         arms never fire in normal operation — they are the safety net the
@@ -225,6 +230,33 @@ class LakeTable:
                 os.replace(tmp, mpath)
         else:
             os.replace(tmp, mpath)
+        if v > 0:
+            # Pre-advance guard (ADVICE r4): a writer stalled past
+            # ORPHAN_STALENESS between its claim above and this point may
+            # have been reclaimed, and the reclaimer (plus successors) may
+            # have committed v and beyond — blindly advancing CURRENT here
+            # would move it BACKWARD, hiding fully-committed epochs and
+            # exposing them to orphan reclamation. Re-check both sides of
+            # the claim immediately before the advance.
+            with open(mpath) as f:
+                claimed_token = json.load(f).get("writer_token")
+            if self.current_version() >= v:
+                if claimed_token == token:
+                    # our manifest IS the committed one and CURRENT already
+                    # covers it (another writer advanced past our claim):
+                    # the commit stands — nothing left to do
+                    return
+                raise ConcurrentCommitError(
+                    f"CURRENT is already at or past version {v} with another "
+                    "writer's manifest committed; advancing would regress it "
+                    "— re-read the table and retry"
+                )
+            if claimed_token != token:
+                raise ConcurrentCommitError(
+                    f"lost the claim on version {v} before advancing CURRENT "
+                    "(reclaimed as a stale orphan by another writer); "
+                    "re-read the table and retry"
+                )
         cur_tmp = os.path.join(self._manifest_dir, f".current-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(v))
@@ -234,11 +266,37 @@ class LakeTable:
             with open(mpath) as f:
                 committed_token = json.load(f).get("writer_token")
             if committed_token != token:
+                # a reclaimer raced inside the (now two-syscall) window
+                # between the guard above and our os.replace — our advance
+                # may have regressed CURRENT over its commit(s); restore
+                # monotonicity before reporting the loss (ADVICE r4)
+                self._repair_current_monotonic()
                 raise ConcurrentCommitError(
                     f"lost the claim on version {v} after advancing CURRENT "
                     "(another writer's token is in the committed manifest); "
                     "its commit stands — re-read the table and retry"
                 )
+
+    def _repair_current_monotonic(self) -> None:
+        """Raise CURRENT to the highest linked manifest version if it fell
+        behind. Sound because a manifest can only be claimed at version w
+        when CURRENT had already reached w-1 (so every version < w is fully
+        committed), and a linked manifest is complete-on-link (data files
+        are written before the claim) — making it visible early is safe; its
+        writer's own advance then lands in the already-covered arm above.
+        Only ever raises CURRENT, never lowers it."""
+        versions = [
+            int(n[1:-5])
+            for n in os.listdir(self._manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        ]
+        h = max(versions, default=0)
+        if self.current_version() >= h:
+            return
+        cur_tmp = os.path.join(self._manifest_dir, f".current-{uuid.uuid4().hex}")
+        with open(cur_tmp, "w") as f:
+            f.write(str(h))
+        os.replace(cur_tmp, os.path.join(self._manifest_dir, _CURRENT))
 
     def current_version(self) -> int:
         with open(os.path.join(self._manifest_dir, _CURRENT)) as f:
@@ -380,10 +438,16 @@ class LakeTable:
             d = conform_to_schema(
                 spark.read.option("mergeSchema", "true").parquet(*dirs), schema
             )
+        # anchored to the table-relative suffix (delta-dir/pb=N/file at the
+        # END of the path): a table path that itself contains a
+        # "delta/vNNNNNNNN-" substring can no longer alias every delta to the
+        # same seq (ADVICE r4 — first-match regexp was unanchored)
         d = d.withColumn(
             "_seq",
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"delta/v(\d{8})-", 1
+                F.col("_metadata.file_path"),
+                r"delta/v(\d{8})-[0-9a-f]+/pb=\d+/[^/]+$",
+                1,
             ).cast("long"),
         )
         u = base.withColumn("_seq", F.lit(-1).cast("long")).unionByName(d)

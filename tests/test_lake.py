@@ -298,11 +298,13 @@ def test_fresh_claim_is_not_reclaimed_as_orphan(spark, tmp_path):
     assert t.current_version() == m["version"]
 
 
-def test_token_mismatch_after_current_advance_raises(spark, tmp_path, monkeypatch):
+def test_token_mismatch_before_current_advance_raises(spark, tmp_path, monkeypatch):
     """Defense-in-depth for the reclaim TOCTOU: if another writer replaces
-    this writer's claimed manifest after the link but before/around the
-    CURRENT advance, the post-advance writer-token re-read detects it and
-    raises — never two successes for one version."""
+    this writer's claimed manifest after the link, the PRE-advance
+    writer-token re-read (ADVICE r4) detects it and raises WITHOUT touching
+    CURRENT — the other writer's claim is still mid-commit, so advancing
+    CURRENT for it would publish a version its writer hasn't finished
+    committing (and would previously have claimed success for US)."""
     import json
     import os
     from oplogtoredis_spark.streaming.lake import ConcurrentCommitError
@@ -323,14 +325,76 @@ def test_token_mismatch_after_current_advance_raises(spark, tmp_path, monkeypatc
         os.replace(tmp2, dst)
 
     monkeypatch.setattr(os, "link", hijacked_link)
-    with pytest.raises(ConcurrentCommitError, match="token"):
+    with pytest.raises(ConcurrentCommitError, match="lost the claim"):
         t._write_manifest({**m, "version": v})
     monkeypatch.undo()
-    # the table stays consistent: CURRENT points at the other writer's
-    # fully-written manifest — exactly one commit stands for version v
-    assert t.current_version() == v
+    # we never advanced CURRENT (the other claim is not committed yet) and
+    # the other writer's manifest claim survives intact
+    assert t.current_version() == m["version"]
     with open(mpath) as f:
         assert json.load(f)["writer_token"] == "someone-else"
+
+
+def test_stalled_writer_cannot_regress_current(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (medium): writer A stalls >ORPHAN_STALENESS between its
+    manifest claim and its CURRENT advance; a reclaimer adopts A's orphaned
+    claim, commits v, and a successor commits v+1. When A resumes it must
+    NOT os.replace CURRENT back to v — that would hide the committed v+1
+    and expose it to a later orphan reclaim (committed-epoch loss)."""
+    import json
+    import os
+    from oplogtoredis_spark.streaming.lake import ConcurrentCommitError
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    m = t.manifest()
+    v = m["version"] + 1
+    real_link = os.link
+
+    def stall_then_reclaim(src, dst, **kw):
+        real_link(src, dst, **kw)
+        # while A is "stalled": reclaimer adopts A's claim and commits v,
+        # then a successor commits v+1 — CURRENT ends at v+1
+        for w, tok in ((v, "reclaimer"), (v + 1, "successor")):
+            other = {**m, "version": w, "writer_token": tok}
+            wpath = os.path.join(t._manifest_dir, f"v{w:08d}.json")
+            tmp2 = wpath + ".race"
+            with open(tmp2, "w") as f:
+                json.dump(other, f)
+            os.replace(tmp2, wpath)
+            cur = os.path.join(t._manifest_dir, ".cur.race")
+            with open(cur, "w") as f:
+                f.write(str(w))
+            os.replace(cur, os.path.join(t._manifest_dir, "CURRENT"))
+
+    monkeypatch.setattr(os, "link", stall_then_reclaim)
+    with pytest.raises(ConcurrentCommitError, match="regress"):
+        t._write_manifest({**m, "version": v})
+    monkeypatch.undo()
+    # the committed v+1 is still visible — CURRENT never moved backward
+    assert t.current_version() == v + 1
+    with open(os.path.join(t._manifest_dir, f"v{v + 1:08d}.json")) as f:
+        assert json.load(f)["writer_token"] == "successor"
+
+
+def test_repair_current_monotonic_restores_highest_manifest(spark, tmp_path):
+    """The post-advance mismatch arm's repair: CURRENT behind the highest
+    linked manifest is raised back to it (manifest existence at w proves all
+    versions < w committed; a linked manifest is complete-on-link)."""
+    import json
+    import os
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    m = t.manifest()
+    for w in (1, 2):
+        with open(os.path.join(t._manifest_dir, f"v{w:08d}.json"), "w") as f:
+            json.dump({**m, "version": w, "writer_token": f"w{w}"}, f)
+    # simulate the regression the mismatch arm repairs: CURRENT stomped to 0
+    assert t.current_version() == 0
+    t._repair_current_monotonic()
+    assert t.current_version() == 2
+    # idempotent / never lowers
+    t._repair_current_monotonic()
+    assert t.current_version() == 2
 
 
 @pytest.mark.parametrize("newer_first", [True, False])

@@ -290,3 +290,25 @@ def test_mor_compact_folds_deltas_and_expire_reclaims(spark, tmp_path):
     assert not any(os.path.isdir(p) for p in delta_dirs)  # folded deltas gone
     # the live delta (epoch 2, referenced by the current manifest) survives
     assert len(_state(spark, t)) == len(after) + 1
+
+
+def test_mor_delta_seq_is_path_anchored(spark, tmp_path):
+    """ADVICE r4: a TABLE PATH that itself contains a 'delta/vNNNNNNNN-'
+    substring must not alias every delta to the same seq — the oldest-delta-
+    wins exact-tie rule depends on per-epoch seqs. The extraction is now
+    anchored to the table-relative suffix (delta-dir/pb=N/file at path END)."""
+    poisoned = tmp_path / "delta" / "v00000099-deadbeef" / "t"
+    t = LakeTable.create(str(poisoned), TARGET_SCHEMA, n_buckets=4)
+    # same identity twice as deltas: FIRST (oldest epoch) must win the tie;
+    # with the unanchored regexp both deltas extract seq=99 and the tie is
+    # broken arbitrarily
+    t.merge_batch(_batch(spark, [("r/b", "g.py", 7 << 32, 0, "i", "c1", "py", "first")]),
+                  0, epoch_ns="m", merge_mode="mor")
+    t.merge_batch(_batch(spark, [("r/b", "g.py", 7 << 32, 0, "i", "c2", "py", "second")]),
+                  1, epoch_ns="m", merge_mode="mor")
+    got = _state(spark, t)
+    assert list(got["content"]) == ["first"]
+    # and newest-wins still resolves across the poisoned path
+    t.merge_batch(_batch(spark, [("r/b", "g.py", 9 << 32, 0, "u", "c3", "py", "newer")]),
+                  2, epoch_ns="m", merge_mode="mor")
+    assert list(_state(spark, t)["content"]) == ["newer"]

@@ -71,3 +71,19 @@ def test_stratified_sample_plan_has_group_limit_pushdown(spark):
     out = stratified_sample(df, ("lang", "source"), k=3, key_col="doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_hash_fraction_thresholds_round_not_truncate(spark):
+    """ADVICE r4: fractions not exactly representable in binary (0.29 →
+    int(289999.999…) = 289999 under truncation) must round to the exact
+    requested threshold so arbitrary fractions match a round()-based oracle."""
+    from oplogtoredis_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    plan = hash_sample(df, "k", 0.29)._jdf.queryExecution().analyzed().toString()
+    assert "290000" in plan and "289999" not in plan
+    plan2 = (
+        hash_split(df, "k", splits=(("a", 0.29), ("b", 0.71)))
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "290000" in plan2 and "289999" not in plan2
