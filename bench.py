@@ -17,6 +17,17 @@ size $OTR_BENCH_EVENTS, default 2M) and measures:
 Each query is forced with the noop sink (full materialization, no output
 cost). Scaling evidence (local[8] vs local[32]) is produced by
 scripts/run_scaling.py, which invokes this file twice in fresh JVMs.
+
+SELF-ADJUDICATION (VERDICT r4 #1): this host is shared and its 1-min load
+swings 0→20 from foreign tenants, so a single wall-clock number cannot
+distinguish a regression from noise. Every published timing is therefore the
+MINIMUM of $OTR_BENCH_REPS (default 3) reps, the raw reps ship in the
+artifact under "reps" as [sec, load1m_at_start] pairs, and the whole run is
+book-ended by os.getloadavg() stamps under "load" — a slow rep taken at high
+ambient load adjudicates itself. An optional quiet-window gate
+($OTR_BENCH_QUIET_WAIT secs, default 180) delays the start while load1m >=
+$OTR_BENCH_QUIET_LOAD (default 8) so the driver's once-per-round artifact is
+taken in the best window available, never blocked indefinitely.
 """
 
 from __future__ import annotations
@@ -35,6 +46,9 @@ N_EVENTS = int(os.environ.get("OTR_BENCH_EVENTS", "2000000"))
 EVENTS_CACHE = os.environ.get(
     "OTR_BENCH_EVENTS_DIR", f"/tmp/otr_bench_events_{N_EVENTS}"
 )
+REPS = max(1, int(os.environ.get("OTR_BENCH_REPS", "3")))
+QUIET_WAIT = float(os.environ.get("OTR_BENCH_QUIET_WAIT", "180"))
+QUIET_LOAD = float(os.environ.get("OTR_BENCH_QUIET_LOAD", "8"))
 
 HEADLINE = [
     "cdc_final_state",
@@ -73,6 +87,28 @@ HEADLINE = [
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _timed_reps(fn, reps: int = REPS) -> tuple[float, list[list[float]]]:
+    """Run ``fn`` ``reps`` times; return (min seconds, raw reps) where each
+    raw rep is [seconds, 1-min loadavg at rep start]. The minimum is the
+    faithful engine-cost estimate on a noisy shared host; the per-rep load
+    stamp lets the artifact adjudicate slow reps itself (VERDICT r4 #1)."""
+    raw: list[list[float]] = []
+    for _ in range(reps):
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        fn()
+        raw.append([round(time.time() - t0, 3), round(load1, 2)])
+    return min(r[0] for r in raw), raw
+
+
+def _wait_for_quiet() -> None:
+    """Best-effort quiet-window gate: wait (bounded) for ambient load to
+    drop before measuring, but never block the driver indefinitely."""
+    deadline = time.time() + QUIET_WAIT
+    while time.time() < deadline and os.getloadavg()[0] >= QUIET_LOAD:
+        time.sleep(5.0)
 
 
 def _ensure_events() -> str:
@@ -130,6 +166,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[list[float]]] = {}
 
     # warm the JVM/codegen and the Python UDF workers once (cold worker
     # spawn across all cores otherwise lands on whichever query runs first)
@@ -143,38 +180,32 @@ def main() -> None:
 
     spark.range(10000).repartition(CPUS).select(_F.sum(_warm(_F.col("id")))).collect()
 
+    _wait_for_quiet()
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    t_suite0 = time.time()
+
     qmap = entry_mod.queries()
     for name in HEADLINE:
-        # best-of-2: the sandbox shares a noisy host; the minimum is the
-        # faithful estimate of the engine's cost
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            _force(qmap[name](spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        best, raw = _timed_reps(lambda: _force(qmap[name](spark, SF_DIR)))
         timings[name] = round(best, 3)
+        raw_reps[name] = raw
 
     # --- CDC batch replay over the generated log ---
     from oplogtoredis_spark.plans.replay import replay_events_path
 
-    batch_secs = None
-    for _ in range(2):
-        t0 = time.time()
-        _force(replay_events_path(spark, events_dir, cfg))
-        dt = time.time() - t0
-        batch_secs = dt if batch_secs is None else min(batch_secs, dt)
+    batch_secs, raw = _timed_reps(
+        lambda: _force(replay_events_path(spark, events_dir, cfg))
+    )
     batch_secs = round(batch_secs, 3)
     timings["cdc_batch_replay"] = batch_secs
+    raw_reps["cdc_batch_replay"] = raw
 
     # --- CDC streaming apply (the reference-comparable path) ---
     from oplogtoredis_spark.streaming.runner import run_to_completion
 
-    stream_secs = None
-    for _ in range(2):
+    def _run_stream_cow():
         work = f"/tmp/otr_bench_stream_{CPUS}"
         shutil.rmtree(work, ignore_errors=True)
-        t0 = time.time()
         run_to_completion(
             spark,
             events_dir,
@@ -193,10 +224,11 @@ def main() -> None:
             # touch a small fraction of thousands of buckets)
             merge_prune=False,
         )
-        dt = time.time() - t0
-        stream_secs = dt if stream_secs is None else min(stream_secs, dt)
+
+    stream_secs, raw = _timed_reps(_run_stream_cow)
     stream_secs = round(stream_secs, 3)
     timings["cdc_stream_apply"] = stream_secs
+    raw_reps["cdc_stream_apply"] = raw
 
     # --- CDC streaming apply, merge-on-read (write-optimized ingest) ---
     # Deltas only, no target read per epoch; the deferred merge is then paid
@@ -205,12 +237,15 @@ def main() -> None:
     from oplogtoredis_spark.streaming.lake import LakeTable
 
     mor_secs = compact_secs = None
+    raw_reps["cdc_stream_apply_mor"] = []
+    raw_reps["cdc_mor_compact"] = []
     cow_rows = LakeTable(os.path.join(f"/tmp/otr_bench_stream_{CPUS}", "tbl")).read(
         spark
     ).count()
-    for _ in range(2):
+    for _ in range(REPS):
         work = f"/tmp/otr_bench_stream_mor_{CPUS}"
         shutil.rmtree(work, ignore_errors=True)
+        load1 = os.getloadavg()[0]
         t0 = time.time()
         table = run_to_completion(
             spark, events_dir,
@@ -221,14 +256,28 @@ def main() -> None:
             merge_mode="mor",
         )
         dt = time.time() - t0
+        raw_reps["cdc_stream_apply_mor"].append([round(dt, 3), round(load1, 2)])
         mor_secs = dt if mor_secs is None else min(mor_secs, dt)
+        load1 = os.getloadavg()[0]
         t0 = time.time()
         table.compact(spark, drop_tombstones_older_than_ts=0)
         dt = time.time() - t0
+        raw_reps["cdc_mor_compact"].append([round(dt, 3), round(load1, 2)])
         compact_secs = dt if compact_secs is None else min(compact_secs, dt)
         assert table.read(spark).count() == cow_rows  # same final state
     timings["cdc_stream_apply_mor"] = round(mor_secs, 3)
     timings["cdc_mor_compact"] = round(compact_secs, 3)
+
+    try:
+        import subprocess
+
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_rev = None
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -242,6 +291,19 @@ def main() -> None:
         "cdc_batch_events_per_sec": round(n_events_total / batch_secs, 1),
         "cdc_stream_events_per_sec": round(n_events_total / stream_secs, 1),
         "cdc_stream_mor_events_per_sec": round(n_events_total / mor_secs, 1),
+        # self-adjudication (VERDICT r4 #1): published numbers are minima of
+        # `reps_per_query` reps; "reps" carries every raw [sec, load1m] pair
+        # and "load" book-ends the suite — tenancy noise is visible in the
+        # artifact itself, no out-of-band STATUS claims needed
+        "reps_per_query": REPS,
+        "reps": raw_reps,
+        "load": {
+            "host_cpus": os.cpu_count(),
+            "start_1m_5m_15m": load_start,
+            "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+            "suite_wall_sec": round(time.time() - t_suite0, 3),
+        },
+        "git_rev": git_rev,
     }
     print(json.dumps(out))
     spark.stop()

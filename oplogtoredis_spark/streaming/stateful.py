@@ -38,6 +38,8 @@ def interval_max_stream(
     value_col: str,
     interval_ms: int,
     state_ttl_ms: int | None = None,
+    ttl_clock: str = "processing",
+    watermark_delay_ms: int = 0,
 ) -> DataFrame:
     """Streaming completed-interval maxima: (key, interval_start_ms,
     max_value), one row per key per RETIRED interval bucket.
@@ -73,8 +75,37 @@ def interval_max_stream(
     then-late bucket is dropped by the downstream consumer's idempotence the
     same way a restarted reference process re-registers its gauges. Default
     ``None`` keeps state forever (the reference's plain non-vec gauge).
+
+    ``ttl_clock`` picks WHICH clock judges idleness (VERDICT r4 #3):
+
+      * ``"processing"`` (default) — wall-clock ProcessingTimeTimeout,
+        parity with the reference's vec expiry (interval_max_metric.go is
+        wall-clock too). Caveat: under replay/backfill (hours of log in
+        seconds) idle-key retirement fires on the WRONG clock, and a
+        ProcessingTimeTimeout query schedules timeout-check batches forever
+        (starves processAllAvailable — poll the sink instead).
+      * ``"event"`` — watermark-driven EventTimeTimeout, the Spark-native
+        posture: a key retires when the stream's watermark passes
+        ``state_ttl_ms`` beyond the END of its current bucket, so TTL
+        behavior is REPLAY-SPEED INVARIANT (an hour-long TTL expires in a
+        seconds-long backfill exactly where it would have live) and no
+        perpetual timeout batches are scheduled. A watermark is applied
+        internally on ``ts_ms_col`` with ``watermark_delay_ms`` slack; note
+        the watermark also formalizes the late-data horizon this operator
+        already enforces at batch boundaries.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"ttl_clock must be 'processing' or 'event', got {ttl_clock!r}")
+    use_event = state_ttl_ms is not None and ttl_clock == "event"
+    if use_event:
+        # EventTimeTimeout requires a watermark on a timestamp column;
+        # derive it from the epoch-ms column the operator already keys on
+        events = events.withColumn(
+            "_event_ts", F.timestamp_millis(F.col(ts_ms_col).cast("long"))
+        ).withWatermark("_event_ts", f"{int(watermark_delay_ms)} milliseconds")
 
     def fold(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -119,18 +150,32 @@ def interval_max_stream(
         if cur_b is not None:
             state.update((int(cur_b), float(cur_m)))
             if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
+                if use_event:
+                    # retire when the watermark passes TTL beyond the end of
+                    # the key's current bucket — data-clock idleness, so a
+                    # backfill replaying hours in seconds expires exactly
+                    # where a live stream would have. Spark requires the
+                    # timeout timestamp to be ahead of the current watermark.
+                    expiry = int(cur_b) + interval_ms + state_ttl_ms
+                    state.setTimeoutTimestamp(
+                        max(expiry, state.getCurrentWatermarkMs() + 1)
+                    )
+                else:
+                    state.setTimeoutDuration(state_ttl_ms)
         if completed:
             yield pd.DataFrame(completed, columns=cols)
+
+    if state_ttl_ms is None:
+        timeout_conf = GroupStateTimeout.NoTimeout
+    elif use_event:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
 
     return events.groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if state_ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=timeout_conf,
     )

@@ -206,3 +206,70 @@ def test_restart_resumes_state_from_checkpoint(spark, tmp_path):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["key"], r["interval_start_ms"], r["max_value"]) == ("a", 0, 5.0)
+
+
+def test_event_time_ttl_is_replay_speed_invariant(spark, tmp_path):
+    """ttl_clock="event" (VERDICT r4 #3): an HOUR-long TTL must retire idle
+    keys in a seconds-long backfill because expiry rides the WATERMARK (the
+    data's clock), not wall time — and, unlike ProcessingTimeTimeout, an
+    availableNow run terminates cleanly (no perpetual timeout-check batches),
+    so awaitTermination works."""
+    interval = 60_000           # 1-minute buckets
+    ttl = 3_600_000             # 1-hour idle TTL — wall-clock could never fire here
+    batches = [
+        [("a", 30_000, 5.0)],                # a: bucket 0
+        [("b", 10_000_000, 2.0)],            # watermark jumps ~2.7h of data time
+        [("b", 20_000_000, 3.0)],            # watermark 10M > a's expiry 3.66M
+    ]
+    src = _write_batches(tmp_path, batches)
+    events = (
+        spark.readStream.schema("key string, ts_ms long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = interval_max_stream(
+        events, "key", "ts_ms", "value", interval,
+        state_ttl_ms=ttl, ttl_clock="event",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("imax_ettl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["interval_start_ms"]): r["max_value"]
+        for r in spark.table("imax_ettl").collect()
+    }
+    assert got == {
+        ("a", 0): 5.0,            # retired by EVENT-time TTL during the replay
+        ("b", 9_960_000): 2.0,    # retired by b's own bucket advance
+        # b's bucket 19_980_000 in flight: withheld (incomplete)
+    }
+    # bounded state on the data's clock: a was evicted while b stayed live
+    counts = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert counts and max(counts) <= 2 and counts[-1] == 1
+
+
+def test_ttl_clock_validation_and_processing_default(spark, tmp_path):
+    """Bad ttl_clock fails loud; default stays the reference-parity
+    processing clock (plan uses ProcessingTimeTimeout only when a TTL is
+    set, NoTimeout otherwise — existing tests pin those behaviors)."""
+    import pytest as _pytest
+
+    events = (
+        spark.readStream.schema("key string, ts_ms long, value double")
+        .parquet(str(tmp_path))
+    )
+    with _pytest.raises(ValueError, match="ttl_clock"):
+        interval_max_stream(
+            events, "key", "ts_ms", "value", 1000,
+            state_ttl_ms=100, ttl_clock="lamport",
+        )
