@@ -1353,6 +1353,83 @@ SELECT query_id, neighbor_id, rank, cosine_q FROM (
 """
 
 
+def q_ann_ivf_quantized_topk(spark, sf_dir):
+    """IVF x int8 quantization (operators/similarity.py
+    ann_ivf_quantized_topk) — the IVF-PQ-shaped 100 TB ANN posture
+    (VERDICT r4 #4): inverted lists store int8 codes (4-8x smaller, so the
+    probed lists stay executor-resident at 10^9 vectors), routing at ingest
+    uses the float vector, and query-time scoring is asymmetric (float
+    query x dequantized candidate). Both the coarse quantizer and the
+    codebook come from the bounded smallest-id 256-vector sample, so the
+    DuckDB oracle rebuilds the identical centroids, lists, codes, probes,
+    and ranks."""
+    from oplogtoredis_spark.operators.similarity import ann_ivf_quantized_topk
+
+    emb = _emb(spark, sf_dir)
+    return ann_ivf_quantized_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5, n_centroids=8, n_probe=3,
+        sample_per_centroid=32, sample_k=256,
+    )
+
+
+SQL_ANN_IVF_QUANTIZED = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ smp AS (SELECT * FROM vn ORDER BY vec_id LIMIT 256),
+ seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+                  nrm AS cenorm
+           FROM smp ORDER BY vec_id LIMIT 8),
+ a1 AS (SELECT vec_id, cid FROM (
+    SELECT smp.vec_id, s.cid,
+      row_number() OVER (PARTITION BY smp.vec_id
+        ORDER BY round(list_dot_product(smp.e, s.ce) / (smp.nrm * s.cenorm), 4)
+          DESC, s.cid ASC) rn
+    FROM smp, seeds s) WHERE rn = 1),
+ ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp)),
+ mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
+ cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
+ cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents),
+ a2 AS (SELECT vec_id AS nid, cid FROM (
+    SELECT vn.vec_id, c.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, c.ce) / (vn.nrm * c.cenorm), 4)
+          DESC, c.cid ASC) rn
+    FROM vn, cn c) WHERE rn = 1),
+ per_d AS (SELECT u.d AS d, min(u.x) AS mn, max(u.x) AS mx FROM (
+    SELECT unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp) GROUP BY u.d),
+ st AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM per_d),
+ qz AS (SELECT vec_id AS nid,
+          list_transform(v.e, (x, i) -> CASE WHEN st.maxs[i] - st.mins[i] = 0 THEN 0
+            ELSE least(greatest(CAST(round((x - st.mins[i]) * 255.0
+                     / (st.maxs[i] - st.mins[i]), 0) AS INT), 0), 255) END) AS qv
+        FROM v, st),
+ dq AS (SELECT nid,
+          list_transform(qv, (q, i) -> st.mins[i]
+              + q * (st.maxs[i] - st.mins[i]) / 255.0) AS cv
+        FROM qz, st),
+ dn AS (SELECT nid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm FROM dq),
+ q AS (SELECT vec_id qid, e qe, nrm qnorm FROM vn WHERE vec_id < 3),
+ probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY round(list_dot_product(q.qe, c.ce) / (q.qnorm * c.cenorm), 4)
+          DESC, c.cid ASC) pr
+    FROM q, cn c) WHERE pr <= 3),
+ cand AS (SELECT qid, nid FROM probes JOIN a2 USING (cid) WHERE nid != qid),
+ scored AS (SELECT cand.qid query_id, cand.nid neighbor_id,
+    round(list_dot_product(qv.qe, cv.cv) / (qv.qnorm * cv.cnorm), 4) cosine_q
+   FROM cand JOIN q qv ON qv.qid = cand.qid JOIN dn cv ON cv.nid = cand.nid)
+SELECT query_id, neighbor_id, rank, cosine_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine_q DESC, neighbor_id ASC) rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs over the production-width 60-bit fingerprint
     (two portable 31-bit hash lanes — operators/dedup.py simhash60): banded
@@ -1538,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
@@ -1586,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
+        "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized_topk",
+    "ann_ivf_quantized_topk",
     "simhash_dup_pairs",
     "multimodal_features",
 ]

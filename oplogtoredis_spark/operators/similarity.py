@@ -481,3 +481,90 @@ def ann_ivf_topk(
             "cosine",
         )
     )
+
+
+def ann_ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    sample_per_centroid: int = 32,
+    sample_k: int = 256,
+) -> DataFrame:
+    """IVF x int8 quantization — the IVF-PQ-shaped composition that is the
+    real 100 TB ANN posture (VERDICT r4 #4): the inverted lists STORE
+    quantized codes (4-8x smaller, so the probed lists are executor-resident
+    at 10^9 vectors), routing happens at ingest with the float vector, and
+    query-time scoring is ASYMMETRIC — float query against the dequantized
+    candidate, exactly what the stored shape can serve.
+
+    (query_id, neighbor_id, rank, cosine_q). Plan shape: both the coarse
+    quantizer and the codebook are built from bounded deterministic samples;
+    list assignment and encoding are map-side against broadcast constants;
+    the only non-broadcast join is the equality join on cid (probed lists)
+    plus the candidate-gated join back to the quantized store — no
+    all-pairs product anywhere (pinned in tests/test_similarity.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, sample_per_centroid)
+    v = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    # ingest-time routing: the ORIGINAL vector picks the list (standard
+    # IVF-SQ practice — routing error should not compound coding error)
+    lists = _assign_nearest(v, cents)
+    # the stored shape: int8 codes per vector (quantize_embeddings), read
+    # back dequantized for scoring — norms are of the DEQUANTIZED vector,
+    # because that is the vector the store can reconstruct
+    stats = quantization_stats(corpus, id_col, vec_col, sample_k)
+    qz = quantize_embeddings(corpus, stats, id_col, vec_col)
+    dq = (
+        qz.crossJoin(F.broadcast(stats))
+        .select(
+            "nid",
+            F.zip_with(
+                F.zip_with(
+                    F.col("qv").cast("array<double>"),
+                    F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn),
+                    lambda q, r: q * r / 255.0,
+                ),
+                F.col("mins"),
+                lambda scaled, mn: mn + scaled,
+            ).alias("cv"),
+        )
+        .withColumn("cnorm", _norm(F.col("cv")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qnorm", _norm(F.col("qv")))
+    pw = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "cid", _sim("qv", "ce", "qnorm", "cenorm").alias("sim"))
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= n_probe)
+        .select("qid", "cid")
+    )
+    cand = probes.join(lists, "cid").where(F.col("nid") != F.col("qid"))
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(dq, "nid")
+        .select("qid", "nid", _sim("qv", "cv", "qnorm", "cnorm").alias("cosine_q"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine_q").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            "cosine_q",
+        )
+    )

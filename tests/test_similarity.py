@@ -179,3 +179,55 @@ def test_quantization_bounded_deterministic_and_accurate(spark, embeddings):
     qk = {(r.query_id, r.neighbor_id) for r in quant.itertuples()}
     recall = len(ek & qk) / len(ek)
     assert recall >= 0.6, f"int8 recall {recall}"
+
+
+def test_ivf_quantized_full_probe_equals_quantized_exhaustive(spark, embeddings):
+    """VERDICT r4 #4 composition: probing EVERY list makes IVF-SQ exhaustive
+    over the quantized store, so its output must equal ann_quantized_topk
+    exactly (same codes, same asymmetric scoring, same ranks)."""
+    from oplogtoredis_spark.operators.similarity import (
+        ann_ivf_quantized_topk,
+        ann_quantized_topk,
+    )
+
+    q = embeddings.where(F.col("vec_id") < 3)
+    full = ann_ivf_quantized_topk(
+        embeddings, q, k=5, n_centroids=8, n_probe=8
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ex = ann_quantized_topk(embeddings, q, k=5).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    assert full.equals(ex)
+
+
+def test_ivf_quantized_recall_and_plan(spark, embeddings):
+    """Partial probing recalls most of the exact float top-k (both the
+    routing loss and the coding loss are bounded on this corpus), and the
+    plan has no Cartesian product — broadcasts + equality joins only."""
+    from oplogtoredis_spark.operators.similarity import ann_ivf_quantized_topk
+
+    q = embeddings.where(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(embeddings, q, k=5).toPandas()
+    approx_df = ann_ivf_quantized_topk(embeddings, q, k=5, n_centroids=8, n_probe=4)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = approx_df.toPandas()
+    ek = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    ak = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(ek & ak) / len(ek)
+    assert recall >= 0.5, f"IVF-SQ recall {recall} too low at n_probe=half"
+
+
+def test_ivf_quantized_duplicate_rank1(spark):
+    rows = [(i, [float(i % 7 == j) for j in range(8)]) for i in range(7)]
+    rows.append((100, rows[2][1]))  # exact duplicate of vec 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    from oplogtoredis_spark.operators.similarity import ann_ivf_quantized_topk
+
+    out = ann_ivf_quantized_topk(
+        df, q, k=3, n_centroids=4, n_probe=4, sample_k=8
+    ).toPandas()
+    # exhaustive probing: the duplicate must rank first even through int8
+    assert out.iloc[0]["neighbor_id"] == 2
+    assert out.iloc[0]["cosine_q"] >= 0.99
