@@ -954,6 +954,34 @@ FROM c
 SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
 
 
+def q_incremental_corpus_pipeline(spark, sf_dir):
+    """The INCREMENTAL corpus build (VERDICT r4 #5,
+    operators/incremental_corpus.py): the documents table is replayed as
+    three insert epochs (doc_id mod 3 — later epochs carry smaller ids, so
+    exact-dedup survivor seats genuinely flip mid-stream and the earlier
+    survivor's chunks are retired); each epoch's work is bounded by its
+    affected hash groups, state lives as LWW delta logs, and the final
+    chunk state must equal the batch recompute — the oracle IS
+    corpus_pipeline's full-recompute SQL, unchanged."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.incremental_corpus import IncrementalCorpus
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
+    state = IncrementalCorpus(
+        tempfile.mkdtemp(prefix="otr_inc_corpus_"),
+        min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",),
+        chunk_tokens=40, overlap=8,
+    )
+    for e in range(3):
+        batch = (
+            docs.where(F.col("doc_id") % 3 == e)
+            .select("doc_id", "text", F.lit("u").alias("op"))
+        )
+        state.apply_epoch(spark, batch, e)
+    return state.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1604,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
+        "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -1653,6 +1682,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "corpus_pipeline": SQL_CORPUS_PIPELINE,
+        # the incremental build must equal the batch recompute — the oracle
+        # is corpus_pipeline's full-recompute SQL, UNCHANGED by design
+        "incremental_corpus_pipeline": SQL_CORPUS_PIPELINE,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,

@@ -66,6 +66,7 @@ HEADLINE = [
     "quality_filter",
     "chunk_documents",
     "corpus_pipeline",
+    "incremental_corpus_pipeline",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
