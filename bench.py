@@ -270,6 +270,45 @@ def main() -> None:
     timings["cdc_stream_apply_mor"] = round(mor_secs, 3)
     timings["cdc_mor_compact"] = round(compact_secs, 3)
 
+    # read latency of the UNBOUNDED-delta MoR table (the table compact()
+    # just folded is gone, so re-run one MoR stream without compaction and
+    # read it) vs the AUTO-COMPACTED posture (threshold policy inside the
+    # stream, VERDICT r4 #6) — the pair quantifies what maybe_compact buys
+    mft = max(
+        4, len([f for f in os.listdir(events_dir) if f.endswith(".parquet")]) // 8
+    )
+    work = f"/tmp/otr_bench_stream_mor_nc_{CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    t_nc = run_to_completion(
+        spark, events_dir,
+        os.path.join(work, "tbl"), os.path.join(work, "ckpt"), cfg,
+        max_files_per_trigger=mft, merge_mode="mor",
+    )
+    rl_unbounded, raw = _timed_reps(lambda: _force(t_nc.read(spark)))
+    timings["cdc_mor_read_unbounded"] = round(rl_unbounded, 3)
+    raw_reps["cdc_mor_read_unbounded"] = raw
+
+    ac_secs = None
+    raw_reps["cdc_stream_apply_mor_ac"] = []
+    for _ in range(REPS):
+        work = f"/tmp/otr_bench_stream_mor_ac_{CPUS}"
+        shutil.rmtree(work, ignore_errors=True)
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        t_ac = run_to_completion(
+            spark, events_dir,
+            os.path.join(work, "tbl"), os.path.join(work, "ckpt"), cfg,
+            max_files_per_trigger=mft, merge_mode="mor", compact_min_deltas=3,
+        )
+        dt = time.time() - t0
+        raw_reps["cdc_stream_apply_mor_ac"].append([round(dt, 3), round(load1, 2)])
+        ac_secs = dt if ac_secs is None else min(ac_secs, dt)
+    timings["cdc_stream_apply_mor_ac"] = round(ac_secs, 3)
+    rl_ac, raw = _timed_reps(lambda: _force(t_ac.read(spark)))
+    timings["cdc_mor_read_autocompacted"] = round(rl_ac, 3)
+    raw_reps["cdc_mor_read_autocompacted"] = raw
+    assert t_ac.read(spark).count() == cow_rows
+
     try:
         import subprocess
 

@@ -54,6 +54,17 @@ from pyspark.sql.window import Window
 from .sampling import hash_split
 from .text import chunk_documents, quality_filter
 
+def _footer_rows(pdir: str) -> int:
+    """Row count from parquet footers — driver-side metadata, no Spark job."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+
+
 MEMBER_SCHEMA = (
     "epoch long, op string, doc_id long, content_hash string, text string"
 )
@@ -147,13 +158,16 @@ class IncrementalCorpus:
         if epoch in self.applied_epochs():
             return {"skipped_replay": True}
 
-        members_prev = self.members(spark)
+        # the folded state and the batch's kept rows each feed THREE
+        # downstream branches (prev-hash lookup, next-state, survivor
+        # elections) — persist them so one epoch runs one fold, not three
+        members_prev = self.members(spark).persist()
 
         up = batch.where(F.col("op") != "d").select("doc_id", "text")
         kept, _rej = quality_filter(up, **self.gate)
         new_rows = kept.select(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_hash"), "text"
-        )
+        ).persist()
         # removals: explicit deletes + upserts that now FAIL the gate (a doc
         # whose text degraded must leave the dedup ledger)
         gone = batch.select("doc_id").join(
@@ -166,7 +180,7 @@ class IncrementalCorpus:
         ).select("content_hash")
         affected = (
             new_rows.select("content_hash").union(prev_of_batch).distinct()
-        )
+        ).persist()
 
         members_next = members_prev.join(
             batch.select("doc_id"), "doc_id", "left_anti"
@@ -194,7 +208,7 @@ class IncrementalCorpus:
         add_docs = flips.where(
             F.col("new_id").isNotNull()
             & (F.col("old_id").isNull() | (F.col("old_id") != F.col("new_id")))
-        ).select(F.col("new_id").alias("doc_id"), "text")
+        ).select(F.col("new_id").alias("doc_id"), "text").persist()
         # retire old survivors that lost the seat — unless the same doc is
         # being re-added this epoch (its add rows replace wholesale)
         del_ids = (
@@ -241,8 +255,12 @@ class IncrementalCorpus:
 
         mdir = os.path.join(self._members_dir, f"e{epoch:06d}")
         cdir = os.path.join(self._chunks_dir, f"e{epoch:06d}")
-        member_delta.write.mode("overwrite").parquet(mdir)
-        chunk_adds.unionByName(chunk_dels).write.mode("overwrite").parquet(cdir)
+        try:
+            member_delta.write.mode("overwrite").parquet(mdir)
+            chunk_adds.unionByName(chunk_dels).write.mode("overwrite").parquet(cdir)
+        finally:
+            for df in (members_prev, new_rows, affected, add_docs):
+                df.unpersist()
 
         epochs = self.applied_epochs() + [epoch]
         tmp = self._marker + ".tmp"
@@ -251,8 +269,10 @@ class IncrementalCorpus:
         os.replace(tmp, self._marker)
         return {
             "epoch": epoch,
-            "member_delta_rows": spark.read.parquet(mdir).count(),
-            "chunk_delta_rows": spark.read.parquet(cdir).count(),
+            # driver-side footer metadata, not Spark jobs (same discipline
+            # as LakeTable's per-bucket lineage counts)
+            "member_delta_rows": _footer_rows(mdir),
+            "chunk_delta_rows": _footer_rows(cdir),
         }
 
     # ---------------- maintenance ----------------

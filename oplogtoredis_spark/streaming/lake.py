@@ -1068,6 +1068,88 @@ class LakeTable:
         self._append_lineage(f"compact:{new_version}", stats)
         return stats
 
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        buckets: list[int],
+        drop_tombstones_older_than_ts: int = 0,
+    ) -> dict:
+        """Bucket-SCOPED delta fold: resolve base ∪ deltas for only the
+        given buckets, rewrite those buckets' bases, clear their delta
+        entries — untouched buckets keep their files and manifest entries
+        verbatim. This is the 100 TB compaction unit (Iceberg's
+        rewrite_data_files with a partition filter): a table with thousands
+        of buckets compacts the handful over threshold, never the world.
+        Runs as its own snapshot commit (single-writer discipline applies,
+        same as compact)."""
+        m = self.manifest()
+        sel = sorted(int(b) for b in buckets)
+        if not sel:
+            return {"compacted": False, "buckets": []}
+        live = self.read(spark, include_deleted=True, buckets=sel)
+        kept = live.where(
+            (~F.col("deleted"))
+            | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
+        )
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            kept.withColumn("pb", F.col("bucket"))
+            .repartition(len(sel), F.col("pb"))
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets_map = dict(m["buckets"])
+        bsid = dict(m.get("bucket_schema_id", {}))
+        bdeltas = {b: list(ds) for b, ds in m.get("bucket_deltas", {}).items()}
+        cur_sid = int(m.get("schema_id", 0))
+        for b in sel:
+            bdir = os.path.join(out_dir, f"pb={b}")
+            if os.path.exists(bdir):
+                buckets_map[str(b)] = os.path.join(rel_dir, f"pb={b}")
+                bsid[str(b)] = cur_sid
+            else:
+                buckets_map.pop(str(b), None)
+                bsid.pop(str(b), None)
+            bdeltas.pop(str(b), None)
+        self._write_manifest(
+            {
+                **m,
+                "version": new_version,
+                "buckets": buckets_map,
+                "bucket_schema_id": bsid,
+                "bucket_deltas": bdeltas,
+            }
+        )
+        stats = {"compacted": True, "version": new_version, "buckets": sel}
+        self._append_lineage(f"compact_buckets:{new_version}", stats)
+        return stats
+
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        min_deltas_per_bucket: int,
+        drop_tombstones_older_than_ts: int = 0,
+    ) -> dict:
+        """Threshold compaction policy (VERDICT r4 #6 — Iceberg's
+        commit.manifest.min-count-to-merge posture): fold exactly the
+        buckets whose live delta count reached the threshold. Called by the
+        streaming runner after each MoR merge, it keeps every bucket's
+        delta count < threshold for the stream's lifetime, so read latency
+        stays bounded instead of degrading with epoch count (0.48→1.09 s
+        measured unbounded in BENCH/MOR.md)."""
+        m = self.manifest()
+        over = [
+            int(b)
+            for b, ds in m.get("bucket_deltas", {}).items()
+            if len(ds) >= min_deltas_per_bucket
+        ]
+        if not over:
+            return {"compacted": False, "buckets": []}
+        return self.compact_buckets(spark, over, drop_tombstones_older_than_ts)
+
     def expire_snapshots(self, keep_last: int = 3) -> int:
         """Delete data directories referenced only by manifests older than
         the last ``keep_last`` versions (Iceberg's expire_snapshots

@@ -40,6 +40,7 @@ def make_batch_applier(
     sink_factory=LakeTable,
     merge_prune: bool = True,
     merge_mode: str = "cow",
+    compact_min_deltas: int | None = None,
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
@@ -47,7 +48,14 @@ def make_batch_applier(
     N-1 commits, and a restarted query must replay batch N-1' safely.
 
     ``sink_factory(path) -> UpsertSink`` (sink.py): the runner depends only
-    on the protocol — swap in an Iceberg-backed sink on a cluster."""
+    on the protocol — swap in an Iceberg-backed sink on a cluster.
+
+    ``compact_min_deltas`` (MoR only): after each merge, fold any bucket
+    whose delta count reached the threshold (LakeTable.maybe_compact —
+    Iceberg's commit.manifest.min-count-to-merge posture), so a long-lived
+    stream keeps per-bucket delta counts, and therefore read latency,
+    bounded. Runs inside the foreachBatch loop ⇒ the single-writer
+    discipline holds by construction."""
     seen = {"n": 0}
     # ONE sink instance for the stream's lifetime (not one per batch): the
     # sink may carry per-stream caches — LakeTable reuses its batch-invariant
@@ -72,6 +80,12 @@ def make_batch_applier(
             batch_df, batch_id, extra_payload_cols=extra_payload_cols,
             epoch_ns=epoch_ns, **kw,
         )
+        if (
+            compact_min_deltas is not None
+            and merge_mode == "mor"
+            and sink_factory is LakeTable
+        ):
+            table.maybe_compact(batch_df.sparkSession, compact_min_deltas)
 
     return apply
 
@@ -178,6 +192,7 @@ def start_stream(
     source_format: str = "parquet",
     merge_prune: bool = True,
     merge_mode: str = "cow",
+    compact_min_deltas: int | None = None,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -232,6 +247,7 @@ def start_stream(
             sink_factory=sink_factory,
             merge_prune=merge_prune,
             merge_mode=merge_mode,
+            compact_min_deltas=compact_min_deltas,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -312,3 +312,59 @@ def test_mor_delta_seq_is_path_anchored(spark, tmp_path):
     t.merge_batch(_batch(spark, [("r/b", "g.py", 9 << 32, 0, "u", "c3", "py", "newer")]),
                   2, epoch_ns="m", merge_mode="mor")
     assert list(_state(spark, t)["content"]) == ["newer"]
+
+
+def test_bucket_scoped_compaction_folds_only_selected(spark, tmp_path):
+    """compact_buckets rewrites ONLY the given buckets: their deltas fold
+    into fresh bases, other buckets keep files, schema ids, and delta
+    entries verbatim — the 100 TB compaction unit (rewrite_data_files with
+    a partition filter)."""
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    ev = generate_events(n_events=600, n_repos=10, seed=3)
+    sdf = spark.createDataFrame(ev)
+    t.merge_batch(sdf.where(F.col("seq") < 300), 0, epoch_ns="m", merge_mode="mor")
+    t.merge_batch(sdf.where(F.col("seq") >= 300), 1, epoch_ns="m", merge_mode="mor")
+    before = _state(spark, t)
+    m0 = t.manifest()
+    touched = sorted(int(b) for b in m0["bucket_deltas"])
+    assert len(touched) >= 2
+    sel, untouched = touched[:1], touched[1:]
+    st = t.compact_buckets(spark, sel)
+    assert st["compacted"] and st["buckets"] == sel
+    m1 = t.manifest()
+    # selected: folded (base present, deltas gone); others: verbatim
+    assert str(sel[0]) in m1["buckets"] and str(sel[0]) not in m1["bucket_deltas"]
+    for b in untouched:
+        assert m1["bucket_deltas"][str(b)] == m0["bucket_deltas"][str(b)]
+        assert m1["buckets"].get(str(b)) == m0["buckets"].get(str(b))
+    assert _state(spark, t).equals(before)
+
+
+def test_streaming_auto_compaction_bounds_delta_count(spark, tmp_path):
+    """VERDICT r4 #6: a long MoR stream with compact_min_deltas keeps every
+    bucket's delta count under the threshold for the stream's LIFETIME (not
+    just at the end), state stays correct, and compaction events land in
+    lineage."""
+    ev = generate_events(n_events=1600, n_repos=16, seed=33, dup_frac=0.1)
+    d = str(tmp_path / "ev")
+    write_events(ev, d, n_files=8)  # 8 micro-batches at maxFilesPerTrigger=1
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    table = run_to_completion(
+        spark, d, tbl, ckpt, CFG, max_files_per_trigger=1,
+        merge_mode="mor", compact_min_deltas=3,
+    )
+    assert_parity(_state(spark, table), replay_oracle(ev, DENY))
+    # lifetime bound: replay the manifest history — no snapshot ever holds
+    # a bucket at >= threshold + 1 deltas (the merge that crosses the
+    # threshold is immediately followed by the fold)
+    worst = 0
+    for h in table.history():
+        mv = table.manifest(h["version"])
+        for ds in mv.get("bucket_deltas", {}).values():
+            worst = max(worst, len(ds))
+    assert worst <= 3, f"a bucket reached {worst} live deltas"
+    # compaction actually fired (8 epochs over dense buckets must cross 3)
+    compacts = [x for x in table.lineage() if x.get("compacted")]
+    assert compacts, "threshold compaction never fired"
+    # and the final read is delta-light: every bucket under threshold
+    assert all(len(ds) < 3 for ds in table.manifest()["bucket_deltas"].values())
