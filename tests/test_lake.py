@@ -492,3 +492,67 @@ def test_entry_size_histogram_in_lineage(spark, tmp_path):
     h = lineage_histograms(t.lineage())
     assert h["entry_size"] == {"8": 2, "16": 1, "128": 1, "2048": 1}
     assert h["batch_size"] == {"8": 2}  # two applied batches of <=8 events
+
+
+def test_adaptive_pruning_dense_skips_discovery_sparse_resumes(spark, tmp_path):
+    """VERDICT r4 #2 serial-term fix: after TWO consecutive dense
+    measurements on a small table, merge_batch(prune=True) skips the
+    per-epoch bucket-discovery job (adaptive_dense in lineage); a sparse
+    epoch recalibrates the estimate (balls-into-bins from the applied
+    count) and the NEXT epoch prunes again with a small affected set —
+    misprediction costs at most one dense rewrite, only on tables small
+    enough that this is cheap (ADAPTIVE_DENSE_MAX_BUCKETS)."""
+    from pyspark.sql import functions as F
+    from oplogtoredis_spark.sources.generator import generate_events
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    ev = generate_events(n_events=1200, n_repos=16, seed=9)
+    sdf = spark.createDataFrame(ev)
+    # epochs 0+1: dense batches — discovery still runs (needs two dense
+    # measurements before skipping)
+    s0 = t.merge_batch(sdf.where(F.col("seq") < 400), 0, epoch_ns="s")
+    s1 = t.merge_batch(
+        sdf.where((F.col("seq") >= 400) & (F.col("seq") < 800)), 1, epoch_ns="s"
+    )
+    assert s0["adaptive_dense"] is False and s1["adaptive_dense"] is False
+    m = t.manifest()
+    assert m["affected_frac"] >= 0.6 and m["affected_frac_prev"] >= 0.6
+    # epoch 2: two dense measurements on record — discovery skipped
+    s2 = t.merge_batch(sdf.where(F.col("seq") >= 800), 2, epoch_ns="s")
+    assert s2["adaptive_dense"] is True
+    assert s2["affected_buckets"] == len(t.manifest()["buckets"])
+    # epoch 3: ONE key (sparse) — still dense-skipped (one-epoch lag), but
+    # the applied count recalibrates the estimate well below the threshold
+    s3 = t.merge_batch(
+        _batch(spark, [("org0/repo0", "zzz.py", 1 << 42, 0, "i", "c", "py", "x")]),
+        3, epoch_ns="s",
+    )
+    assert s3["adaptive_dense"] is True
+    assert t.manifest()["affected_frac"] < LakeTable.ADAPTIVE_DENSE_FRAC
+    # epoch 4: pruning resumed — discovery runs, touches only 1 bucket
+    s4 = t.merge_batch(
+        _batch(spark, [("org0/repo0", "zzz.py", 2 << 42, 0, "u", "c2", "py", "y")]),
+        4, epoch_ns="s",
+    )
+    assert s4["adaptive_dense"] is False
+    assert s4["affected_buckets"] == 1
+    got = t.read(spark).toPandas()
+    assert got.set_index(["repo", "path"]).loc[("org0/repo0", "zzz.py")]["content"] == "y"
+
+
+def test_adaptive_dense_gated_off_for_many_bucket_tables(spark, tmp_path, monkeypatch):
+    """Misprediction on a big table costs an O(live-buckets) rewrite, so the
+    dense skip is hard-gated by bucket count: above the cap, discovery
+    always runs no matter how dense the history says the table is."""
+    monkeypatch.setattr(LakeTable, "ADAPTIVE_DENSE_MAX_BUCKETS", 2)
+    from pyspark.sql import functions as F
+    from oplogtoredis_spark.sources.generator import generate_events
+
+    t = LakeTable.create(str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    ev = generate_events(n_events=900, n_repos=16, seed=11)
+    sdf = spark.createDataFrame(ev)
+    for e, (lo, hi) in enumerate(((0, 300), (300, 600), (600, 900))):
+        s = t.merge_batch(
+            sdf.where((F.col("seq") >= lo) & (F.col("seq") < hi)), e, epoch_ns="s"
+        )
+        assert s["adaptive_dense"] is False  # gate holds at every epoch
