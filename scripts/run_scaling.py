@@ -205,6 +205,19 @@ def wait_quiet() -> float:
     return os.getloadavg()[0]
 
 
+def git_rev() -> str | None:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=REPO, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def run_level(cpus: int, events_total: int) -> dict:
     load = wait_quiet()
     env = dict(os.environ)
@@ -221,6 +234,7 @@ def run_level(cpus: int, events_total: int) -> dict:
     r = json.loads(lines[-1])
     r["load_before"] = round(load, 2)
     r["cpus"] = cpus
+    r["git_rev"] = git_rev()
     return r
 
 
@@ -239,6 +253,13 @@ def measure_pair(levels: tuple[int, int], n_events: int) -> dict:
     if os.path.exists(prev):
         with open(prev) as f:
             runs = json.load(f)["runs"]
+        # engine-version hygiene (CLAUDE.md): never mix engine versions in
+        # one minima statistic — keep only runs stamped with the CURRENT
+        # rev (older runs stay in git history). OTR_SCALING_KEEP_ALL=1
+        # overrides when the intervening commits are known perf-neutral.
+        if os.environ.get("OTR_SCALING_KEEP_ALL") != "1":
+            cur = git_rev()
+            runs = [r for r in runs if r.get("git_rev") == cur]
     for _ in range(ROUNDS):
         for cpus in (lo, hi):
             r = run_level(cpus, n_events)

@@ -133,7 +133,8 @@ def test_state_ttl_retires_idle_keys_and_bounds_state(spark, tmp_path):
     # NOTE: no processAllAvailable() here — a ProcessingTimeTimeout query
     # keeps scheduling timeout-check batches forever, which starves that
     # call; poll the sink with a deadline instead.
-    def poll(pred, timeout=60):
+    def poll(pred, timeout=150):  # generous: timeout-check batch scheduling
+        # is wall-clock and this shared host's load swings 0→20
         deadline = time.time() + timeout
         while time.time() < deadline:
             got = {
@@ -162,12 +163,21 @@ def test_state_ttl_retires_idle_keys_and_bounds_state(spark, tmp_path):
         ).to_parquet(p1)
         poll(lambda g: g == {("a", 0): 5.0, ("b", 0): 2.0, ("c", 0): 9.0})
         # bounded state: 3 keys ever seen, but the store never held more
-        # than the 2 concurrently-live ones (a+b), and ends empty
-        counts = [
-            p["stateOperators"][0]["numRowsTotal"]
-            for p in q.recentProgress
-            if p.get("stateOperators")
-        ]
+        # than the 2 concurrently-live ones (a+b), and ends empty. The
+        # sink shows c's eviction BEFORE the evicting batch's progress
+        # entry lands in recentProgress — poll for the zero-state entry
+        # instead of asserting on whatever progress happens to be last.
+        deadline = time.time() + 60
+        counts: list[int] = []
+        while time.time() < deadline:
+            counts = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ]
+            if counts and counts[-1] == 0:
+                break
+            time.sleep(0.5)
         assert counts and max(counts) <= 2
         assert counts[-1] == 0
     finally:
