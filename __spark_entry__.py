@@ -982,6 +982,89 @@ def q_incremental_corpus_pipeline(spark, sf_dir):
     return state.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
 
 
+def q_lake_changes(spark, sf_dir):
+    """LakeTable.changes(): the NET changelog scan between two snapshots
+    (Delta CDF / Iceberg changelog analogue; the reference's downstream
+    contract is the per-op Redis publication stream,
+    lib/redispub/publisher.go:41-62 — this serves "what changed" from the
+    table itself). The events table is replayed as two CDC epochs into a
+    REAL lake (epoch 1 = even event_ids, epoch 2 = odd; 'error' events are
+    deletes), and the output is the net diff of the two committed
+    snapshots: insert / delete / update_preimage+postimage rows. The
+    manifest diff prunes the comparison to buckets the second epoch
+    touched. The oracle recomputes both snapshot states as window
+    functions over the same split and classifies identically."""
+    import tempfile
+
+    from oplogtoredis_spark.streaming.lake import LakeTable
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+
+    ev = _ev(spark, sf_dir, par=True).select(
+        F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        _ts_ms().alias("ts"),
+        F.col("event_id").cast("int").alias("tx_idx"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("event_id").cast("string").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("event_type").alias("content"),
+        F.col("event_id"),
+    )
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_lake_changes_") + "/tbl",
+        TARGET_SCHEMA,
+        n_buckets=8,
+    )
+    env_cols = ["repo", "path", "ts", "tx_idx", "op", "commit", "lang", "content"]
+    t.merge_batch(ev.where(F.col("event_id") % 2 == 0).select(env_cols), 0)
+    v1 = t.current_version()
+    t.merge_batch(ev.where(F.col("event_id") % 2 == 1).select(env_cols), 1)
+    return t.changes(spark, v1).select(
+        "repo",
+        "path",
+        F.col("_change_type").alias("change_type"),
+        "commit",
+        "content",
+        F.col("last_ts").alias("last_ts_ms"),
+        F.col("last_tx_idx").cast("long").alias("last_tx"),
+    )
+
+
+SQL_LAKE_CHANGES = """
+WITH e AS (SELECT 'r' || (user_id % 8)::VARCHAR AS repo, user_id::VARCHAR AS path,
+    epoch_ms(ts) AS ts_ms, event_id,
+    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+    event_id::VARCHAR AS commit, event_type AS content,
+    event_id % 2 AS ep FROM events),
+ s1 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+          ORDER BY ts_ms DESC, event_id DESC) rn FROM e WHERE ep = 0) WHERE rn = 1),
+ s2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY repo, path
+          ORDER BY ts_ms DESC, event_id DESC) rn FROM e) WHERE rn = 1),
+ j AS (SELECT coalesce(s1.repo, s2.repo) AS repo, coalesce(s1.path, s2.path) AS path,
+        s1.op AS op1, s1.event_id AS id1, s1.commit AS c1, s1.content AS t1, s1.ts_ms AS m1,
+        s2.op AS op2, s2.event_id AS id2, s2.commit AS c2, s2.content AS t2, s2.ts_ms AS m2
+      FROM s1 FULL OUTER JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path),
+ cls AS (SELECT *, (op1 IS NOT NULL AND op1 != 'd') AS live1,
+                   (op2 IS NOT NULL AND op2 != 'd') AS live2 FROM j),
+ typed AS (SELECT * FROM (SELECT *, CASE
+        WHEN NOT live1 AND live2 THEN 'insert'
+        WHEN live1 AND NOT live2 THEN 'delete'
+        WHEN live1 AND live2 AND id1 != id2 THEN 'update' END AS ct FROM cls)
+      WHERE ct IS NOT NULL)
+SELECT repo, path,
+       CASE WHEN ct = 'delete' THEN 'delete' ELSE 'update_preimage' END AS change_type,
+       c1 AS commit, t1 AS content, m1 AS last_ts_ms, id1 AS last_tx
+FROM typed WHERE ct != 'insert'
+UNION ALL
+SELECT repo, path,
+       CASE WHEN ct = 'insert' THEN 'insert' ELSE 'update_postimage' END AS change_type,
+       c2 AS commit, t2 AS content, m2 AS last_ts_ms, id2 AS last_tx
+FROM typed WHERE ct != 'delete'
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1633,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
         "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
+        "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -1685,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         # the incremental build must equal the batch recompute — the oracle
         # is corpus_pipeline's full-recompute SQL, UNCHANGED by design
         "incremental_corpus_pipeline": SQL_CORPUS_PIPELINE,
+        "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
