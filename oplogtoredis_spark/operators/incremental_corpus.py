@@ -275,6 +275,76 @@ class IncrementalCorpus:
             "chunk_delta_rows": _footer_rows(cdir),
         }
 
+    # ---------------- follow a CDC lake (changelog-driven epochs) -------
+    def followed_lake_version(self) -> int:
+        """Last lake snapshot this corpus has folded in (-1 = never)."""
+        if not os.path.exists(self._marker):
+            return -1
+        with open(self._marker) as f:
+            return json.load(f).get("lake_version", -1)
+
+    def follow_lake(
+        self, spark: SparkSession, table, repo: str | None = None
+    ) -> dict:
+        """Catch this corpus up to ``table``'s current snapshot using the
+        NET changelog (LakeTable.changes) — the real nightly shape: the CDC
+        lake is the system of record, and the training-corpus state follows
+        it WITHOUT rescanning the corpus or the table (cost is
+        O(changed buckets) for the diff + O(batch) for the epoch fold).
+
+        Document mapping: a corpus document rides the lake as
+        ``path = str(doc_id), content = text`` (optionally under one
+        ``repo``). insert/update_postimage rows become corpus upserts,
+        delete rows become corpus deletes; update_preimage rows carry no
+        new state and are dropped. The corpus epoch number IS the lake
+        snapshot version, so replays are idempotent via the same marker
+        that guards apply_epoch, and interleaved follow/apply_epoch use is
+        rejected rather than silently misordered.
+
+        Validity follows time travel: the last-followed snapshot's data
+        dirs must still be retained (expire_snapshots keep window).
+        """
+        from_v = self.followed_lake_version()
+        to_v = table.current_version()
+        if any(e > to_v for e in self.applied_epochs()):
+            raise ValueError(
+                "corpus holds epochs beyond the lake's current version — "
+                "don't mix follow_lake with manual apply_epoch numbering"
+            )
+        if from_v < 0:
+            # first follow: everything currently live is one insert epoch
+            base = table.read(spark)
+            if repo is not None:
+                base = base.where(F.col("repo") == repo)
+            batch = base.select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.col("content").alias("text"),
+                F.lit("u").alias("op"),
+            )
+        elif to_v <= from_v:
+            return {"lake_version": from_v, "up_to_date": True}
+        else:
+            ch = table.changes(spark, from_v, to_v)
+            if repo is not None:
+                ch = ch.where(F.col("repo") == repo)
+            batch = ch.where(F.col("_change_type") != "update_preimage").select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.col("content").alias("text"),
+                F.when(F.col("_change_type") == "delete", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+            )
+        stats = self.apply_epoch(spark, batch, epoch=to_v)
+        with open(self._marker) as f:
+            meta = json.load(f)
+        meta["lake_version"] = to_v
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._marker)
+        stats["lake_version"] = to_v
+        return stats
+
     # ---------------- maintenance ----------------
     def compact(self, spark: SparkSession) -> None:
         """Fold all deltas into one base per log (bounds the per-read delta
