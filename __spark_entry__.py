@@ -1065,6 +1065,66 @@ FROM typed WHERE ct != 'delete'
 """
 
 
+def q_follow_lake_corpus(spark, sf_dir):
+    """The full CDC-lake → training-corpus composition
+    (IncrementalCorpus.follow_lake + LakeTable.changes): documents ride a
+    REAL lake as change envelopes across two commits — epoch 1 inserts
+    two-thirds of the corpus (with every 5th doc as a DRAFT text that will
+    be updated) plus extra docs that will be deleted; epoch 2 inserts the
+    remaining third, overwrites the drafts with their final text, and
+    deletes the extras. The corpus follows each snapshot via the net
+    changelog (insert/update_postimage → upsert, delete → delete), so the
+    second follow's work is bounded by the changed documents — no rescan of
+    either side. Final live set == the documents table exactly, so the
+    oracle is corpus_pipeline's full-recompute SQL, UNCHANGED: convergence
+    through real lake commits is the assertion."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.incremental_corpus import IncrementalCorpus
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_follow_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    corpus = IncrementalCorpus(
+        tempfile.mkdtemp(prefix="otr_follow_c_"),
+        min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",),
+        chunk_tokens=40, overlap=8,
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    corpus.follow_lake(spark, t, repo="docs")
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    corpus.follow_lake(spark, t, repo="docs")
+    return corpus.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1716,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
         "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
+        "follow_lake_corpus": q_follow_lake_corpus,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1769,6 +1830,10 @@ def oracle_sql() -> dict[str, str]:
         # the incremental build must equal the batch recompute — the oracle
         # is corpus_pipeline's full-recompute SQL, UNCHANGED by design
         "incremental_corpus_pipeline": SQL_CORPUS_PIPELINE,
+        # same invariant for the lake-following build: after both commits
+        # the live set IS the documents table, so the batch recompute SQL
+        # is the oracle for the changelog-driven state too
+        "follow_lake_corpus": SQL_CORPUS_PIPELINE,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
