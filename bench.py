@@ -67,6 +67,7 @@ HEADLINE = [
     "chunk_documents",
     "corpus_pipeline",
     "incremental_corpus_pipeline",
+    "follow_lake_corpus",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
