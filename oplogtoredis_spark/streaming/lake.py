@@ -56,6 +56,16 @@ class ConcurrentCommitError(RuntimeError):
     to claim (optimistic-concurrency loss — re-read and retry)."""
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A time-travel read (``read(version=...)`` / ``changes(from_version)``)
+    named a snapshot whose data directories have been reclaimed by
+    ``expire_snapshots`` — the manifest still exists, but the bytes are
+    gone. Without this guard the failure would surface lazily as an opaque
+    path-not-found from the parquet scan (or, for a changelog consumer,
+    mid-catch-up). Raised eagerly at plan time with the retention cause
+    named (Iceberg raises the same way for expired snapshot ids)."""
+
+
 # --- schema evolution helpers (SURVEY.md §7.1 M5) ---------------------------
 _WIDENINGS = {
     ("int", "bigint"): "bigint",
@@ -403,6 +413,24 @@ class LakeTable:
             sel = {b: d for b, d in sel.items() if int(b) in keep}
             dsel = {b: ds for b, ds in dsel.items() if int(b) in keep}
         dirs = [os.path.join(self.path, d) for d in sel.values()]
+        if version is not None:
+            # time travel only (never the hot path): fail loud NOW if the
+            # named snapshot's bytes were reclaimed by expire_snapshots,
+            # instead of an opaque lazy path-not-found at action time
+            ddirs = [
+                os.path.join(self.path, e["dir"])
+                for entries in dsel.values()
+                for e in entries
+            ]
+            missing = [d for d in (*dirs, *ddirs) if not os.path.isdir(d)]
+            if missing:
+                raise SnapshotExpiredError(
+                    f"snapshot v{version} of {self.path} references "
+                    f"{len(missing)} expired data dir(s) (first: "
+                    f"{os.path.relpath(missing[0], self.path)}) — reclaimed "
+                    "by expire_snapshots; only retained snapshots are "
+                    "readable"
+                )
         cur_sid = m.get("schema_id", object())
         if not dirs:
             df = spark.createDataFrame([], schema)

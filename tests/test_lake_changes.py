@@ -184,3 +184,31 @@ def test_changes_across_schema_evolution(spark, table):
     assert set(rows) == {"update_preimage", "update_postimage"}
     assert rows["update_preimage"]["stars"] is None  # pre-evolution snapshot
     assert rows["update_postimage"]["stars"] == 7
+
+
+def test_expired_snapshot_fails_loud(spark, table):
+    """A time-travel or changelog read of a snapshot whose data dirs were
+    reclaimed by expire_snapshots raises SnapshotExpiredError EAGERLY (at
+    plan time, with the retention cause named) — not a lazy opaque
+    path-not-found from the parquet scan at action time."""
+    from oplogtoredis_spark.streaming.lake import SnapshotExpiredError
+
+    for e in range(4):
+        table.merge_batch(
+            _batch(
+                spark,
+                [("r/a", "a.py", (e + 1) << 32, 0, "u", f"c{e}", "py", f"v{e}")],
+            ),
+            e,
+        )
+    v0 = 1  # the first committed snapshot
+    assert table.read(spark, version=v0).count() == 1  # retained: readable
+    removed = table.expire_snapshots(keep_last=1)
+    assert removed > 0
+    with pytest.raises(SnapshotExpiredError, match="expire_snapshots"):
+        table.read(spark, version=v0)
+    with pytest.raises(SnapshotExpiredError, match=f"v{v0}"):
+        table.changes(spark, v0).collect()
+    # the retained current snapshot stays readable, with the newest row
+    cur = table.read(spark).collect()
+    assert len(cur) == 1 and cur[0]["content"] == "v3"
