@@ -136,3 +136,40 @@ def test_compact_preserves_state_and_bounds_deltas(spark, tmp_path):
     # further epochs keep working on the folded base
     c.apply_epoch(spark, _batch(spark, [(0, None, "d")]), 9)
     assert 0 not in set(c.chunks(spark).toPandas()["doc_id"])
+
+
+def test_epoch_shuffle_scale_tracks_state_and_restores(spark, tmp_path):
+    """Epoch jobs run at data-scaled shuffle parallelism: a bounded epoch
+    must not pay the session's reduce-parallelism floor (128 micro-tasks
+    per tiny shuffle — measured ~13 s/epoch at sf0.1/local[32] before the
+    fix), while a large state keeps the session ceiling. The session conf
+    is restored exactly, even across an epoch that raises."""
+    c = IncrementalCorpus(str(tmp_path / "c"), **GATE)
+    ceil_p = spark.conf.get("spark.sql.shuffle.partitions")
+    floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionNum"
+    old_floor = spark.conf.get(floor_key, None)
+
+    # empty state: the minimum parallelism, floor lowered to match
+    with c._epoch_shuffle_scale(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get(floor_key) == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == ceil_p
+    assert spark.conf.get(floor_key, None) == old_floor
+
+    # a real epoch leaves the session conf untouched (scope is the epoch)
+    c.apply_epoch(
+        spark,
+        _batch(
+            spark,
+            [(i, f"alpha beta gamma delta doc{i}", "u") for i in range(6)],
+        ),
+        0,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == ceil_p
+    assert spark.conf.get(floor_key, None) == old_floor
+
+    # large state keeps the session ceiling (no down-scale at 100 TB)
+    c._ROWS_PER_PARTITION = 1  # 1 row per partition => p >= ceiling
+    with c._epoch_shuffle_scale(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == ceil_p
+        assert spark.conf.get(floor_key, None) == old_floor
