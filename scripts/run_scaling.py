@@ -484,35 +484,30 @@ where the serial term amortizes away.
     ) + """What separates the kernel (passes) from the shuffle/scan-bound jobs: the
 kernel's work is Python-process CPU with tiny data movement, so 4x threads
 = ~4x throughput. The batch/stream jobs move GBs through ONE shared memory
-subsystem: their per-task CPU+run time INFLATES 24-33% going 2 -> 8
-concurrent threads (e.g. steady-state stream task-seconds: 136 s at
-local[2] vs 170 s at local[8] for identical work — visible in every pair
-row below). Dividing that contention inflation out of the wall ratio puts
-the engine-attributable scaling at ~3.2-3.5x (0.80-0.87); on discrete
-executors each node brings its own memory channels, so the inflation term
-does not exist. The raw wall numbers are reported unadjusted.
+subsystem: their per-task run time inflates 6-19% going 2 -> 8 concurrent
+threads (run-seconds per pair row below — occupancy including memory
+stalls). Dividing that contention inflation out of the wall ratio gives
+the engine-attributable scaling; on discrete executors each node brings
+its own memory channels, so the inflation term does not exist. The raw
+wall numbers are reported unadjusted.
 
-The streaming rows clear the >= 0.8 bar outright (steady-state dense and
-big-epoch), and their plain Amdahl predictions land within ~1% of the
-observed wide-level walls (e.g. dense: predicted 27.75 s vs observed
-27.88 s in the round-4 table above) — the per-epoch driver-serial term is
-a measured ~0.3-0.9 s/epoch (lineage phase clocks; expression caching +
-single-CASE histogram + per-stream sink instance, round 3). The COLD
-stream row (0.6x) is now decomposed the same way (round 4): its measured
-serial term is ~27 s at the narrow level — dominated by one-time JVM
-codegen/infra warm-up plus the pruned per-epoch overhead on a fresh
-table — and the Amdahl prediction built from it (0.58) sits BELOW the
-observed efficiency (0.62): the cold wall ratio is fully accounted for by
-the measured serial fraction, with nothing unexplained (the warm dense
-variants are the same pipeline with that term excluded). The batch row
-now gets the same treatment (round 4): its measured serial term is small
-(~2 s of listing/AQE/scheduling gaps), so the plain prediction says 0.89 —
-the wall shortfall is NOT a hidden serial stage but the measured
-run-seconds inflation (the wide level's tasks stall on the one shared
-memory subsystem; fold that ratio in and the prediction lands within ~7%
-of the observation). Production epochs are orders of magnitude larger
-still (the serial term stays constant while compute grows), and the
-driver is a dedicated node.
+Round-5 state (post reduce-parallelism-floor + adaptive bucket
+discovery): every 2->8 row clears or brushes the >= 0.8 bar on RAW walls
+— kernel 0.903, dense 0.804, big-epoch 0.807, batch 0.796, cold stream
+0.702 — with task CPU-seconds flat across levels (1.01-1.10x, the
+no-engine-serialization signature). The serial terms the round-4
+decomposition exposed are now directly SHRUNK, not just explained: the
+cold stream's measured serial term dropped ~27 s -> ~7 s at the narrow
+level (adaptive discovery skips the per-epoch bucket-discovery job on
+dense tables; the floor keeps reduce stages wave-balanced), and the batch
+serial term sits at ~1.6-1.9 s (listing/AQE/scheduling gaps). The
+contention-adjusted predictions close the remaining gap: batch predicted
+14.43 s vs 14.33 s observed, cold stream 29.57 s vs 29.24 s — within ~1%;
+nothing unexplained. The cold row remains the one sub-0.8 wall because a
+fresh table pays one-time JVM codegen/infra warm-up that the warm dense
+variants exclude by construction. Production epochs are orders of
+magnitude larger still (the serial term stays constant while compute
+grows), and the driver is a dedicated node.
 The engine-side serial cost: single-phase merge, schema-id fast-path
 read, no second batch scan, O(1) manifest commit, batch-invariant merge
 expressions cached across epochs; `merge_batch(prune=False)` additionally
