@@ -644,6 +644,127 @@ WHERE interval_start_ms + 60000 <= now_ms
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of (point-in-time) join — each click joined to the user's latest
+    purchase at-or-before it (operators/asof.py): the canonical lookup over
+    a per-key-ordered CDC feed (the ordering guarantee the reference's
+    publisher exists to provide, lib/redispub/publisher.go). Spark has no
+    ASOF join; the operator is the union + carry-forward formulation (ONE
+    Exchange on the key, O(L+R) per key, no inequality join) — the oracle
+    is DuckDB's NATIVE `ASOF LEFT JOIN`, with the right side deduped per
+    (key, ts) to the greatest event_id exactly as the operator's tiebreak
+    resolves it."""
+    from oplogtoredis_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir, par=True)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", _ts_ms().alias("ts_ms")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        _ts_ms().alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", right_tiebreak="event_id", prefix="p_"
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH e AS (SELECT user_id, event_id, event_type, round(value, 4) AS value,
+                  epoch_ms(ts) AS ts_ms FROM events),
+ l AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'),
+ r AS (SELECT user_id, event_id, ts_ms, value FROM e WHERE event_type = 'purchase'
+       QUALIFY row_number() OVER (PARTITION BY user_id, ts_ms
+                                  ORDER BY event_id DESC) = 1)
+SELECT l.user_id, l.event_id, l.ts_ms,
+       r.event_id AS p_event_id, r.ts_ms AS p_ts_ms, r.value AS p_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): per-user sessions
+    with a 30-minute inactivity gap via the NATIVE session_window aggregate
+    (one Exchange, in-partition window merge — and the identical expression
+    runs under Structured Streaming with a watermark,
+    tests/test_sessions.py). Event times are truncated to epoch millis
+    before windowing so the oracle's integer gap arithmetic is exact;
+    value sums are e4 fixed-point (order-independent across engines)."""
+    from oplogtoredis_spark.operators.sessions import sessionize
+
+    ev = _ev(spark, sf_dir, par=True).withColumn(
+        "ts_t", F.timestamp_millis(_ts_ms())
+    )
+    return sessionize(
+        ev,
+        ["user_id"],
+        "ts_t",
+        "30 minutes",
+        aggs=[
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "sum_value_e4"
+            )
+        ],
+    )
+
+
+SQL_SESSIONS = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+                  CAST(round(value * 10000, 0) AS BIGINT) AS v4 FROM events),
+ o AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS p FROM e),
+ f AS (SELECT *, CASE WHEN p IS NULL OR ts_ms - p > 1800000 THEN 1 ELSE 0 END AS brk
+       FROM o),
+ s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_last_ms,
+       count(*) AS n_events, CAST(sum(v4) AS BIGINT) AS sum_value_e4
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range (interval-overlap) join — each click attributed to every
+    purchase whose trailing 1-hour window contains it, per user
+    (operators/rangejoin.py). Spark plans `BETWEEN` containment as a
+    nested-loop join (all-pairs per key); the operator buckets the time
+    axis (15-min buckets here, so each window explodes to <=5 bucket rows)
+    and joins on EQUALITY (user_id, bucket) + exact post-filter — the plan
+    is nested-loop-free (pinned in tests/test_rangejoin.py). Oracle is the
+    plain theta join, exact at this scale."""
+    from oplogtoredis_spark.operators.rangejoin import range_join
+
+    ev = _ev(spark, sf_dir, par=True)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", _ts_ms().alias("ts_ms")
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (_ts_ms() - F.lit(3_600_000)).alias("start_ms"),
+        _ts_ms().alias("end_ms"),
+    )
+    return range_join(
+        clicks,
+        windows,
+        on=["user_id"],
+        bucket_ms=900_000,
+        prefix="w_",
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+ c AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'),
+ p AS (SELECT user_id, event_id AS w_purchase_id, ts_ms - 3600000 AS w_start_ms,
+              ts_ms AS w_end_ms FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts_ms, p.w_purchase_id, p.w_start_ms, p.w_end_ms
+FROM c JOIN p ON c.user_id = p.user_id
+             AND c.ts_ms BETWEEN p.w_start_ms AND p.w_end_ms
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over `documents` / `embeddings`
 # ---------------------------------------------------------------------------
@@ -1767,6 +1888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_counts": q_metrics_counts,
         "metrics_histogram": q_metrics_histogram,
         "interval_max": q_interval_max,
+        "asof_join_events": q_asof_join_events,
+        "sessionize_events": q_sessionize_events,
+        "range_join_events": q_range_join_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
         "bpe_tokens": q_bpe_tokens,
@@ -1819,6 +1943,9 @@ def oracle_sql() -> dict[str, str]:
         "metrics_counts": SQL_METRICS_COUNTS,
         "metrics_histogram": SQL_METRICS_HISTOGRAM,
         "interval_max": SQL_INTERVAL_MAX,
+        "asof_join_events": SQL_ASOF_JOIN,
+        "sessionize_events": SQL_SESSIONS,
+        "range_join_events": SQL_RANGE_JOIN,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
         "bpe_tokens": SQL_BPE_TOKENS,

@@ -60,6 +60,9 @@ HEADLINE = [
     "publications",
     "changed_fields_v2_deep",
     "interval_max",
+    "asof_join_events",
+    "sessionize_events",
+    "range_join_events",
     "metrics_histogram",
     "text_profile",
     "bpe_tokens",
