@@ -765,6 +765,85 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_enrich_stream_events(spark, sf_dir):
+    """Stream enrichment against the CDC lake (streaming/enrich.py): the
+    lake is the materialized per-user latest-purchase state (built through
+    TWO real merge_batch commits — even event_ids then odd, so LWW
+    resolution across commits is exercised, not just a single write), and
+    a click micro-batch is enriched through the REAL foreachBatch applier
+    `make_enrich_applier` — per-epoch snapshot pinning, broadcast decision
+    and all. s_version pins read-your-commits (the epoch sees v2, the
+    state AFTER both commits); the value rides the lake's string content
+    column as e4 fixed-point so cross-engine float formatting never
+    appears. Oracle: latest purchase per user (ts, then event_id) left-
+    joined to clicks."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.enrich import make_enrich_applier
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    ev = _ev(spark, sf_dir, par=True)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").cast("int").alias("event_id"),
+        _ts_ms().alias("ts_ms"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+    )
+
+    def env(df):
+        return df.select(
+            F.lit("users").alias("repo"),
+            F.col("user_id").cast("string").alias("path"),
+            F.col("ts_ms").alias("ts"),
+            F.col("event_id").alias("tx_idx"),
+            F.lit("u").alias("op"),
+            F.lit("c").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.col("v4").cast("string").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 0)), 0)
+    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 1)), 1)
+
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.lit("users").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        "user_id",
+        "event_id",
+        _ts_ms().alias("ts_ms"),
+    )
+    out = {}
+    applier = make_enrich_applier(
+        t.path, lambda df, bid: out.__setitem__(bid, df), on=["repo", "path"]
+    )
+    applier(clicks, 0)
+    return out[0].select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.col("s_content").cast("long").alias("s_value_e4"),
+        F.col("s_version").cast("long").alias("s_version"),
+    )
+
+
+SQL_ENRICH_STREAM = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(round(value * 10000, 0) AS BIGINT) AS v4,
+                  epoch_ms(ts) AS ts_ms FROM events),
+ c AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click'),
+ p AS (SELECT user_id, v4 FROM e WHERE event_type = 'purchase'
+       QUALIFY row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms DESC, event_id DESC) = 1)
+SELECT c.user_id, c.event_id, c.ts_ms, p.v4 AS s_value_e4,
+       CAST(2 AS BIGINT) AS s_version
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over `documents` / `embeddings`
 # ---------------------------------------------------------------------------
@@ -1891,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "sessionize_events": q_sessionize_events,
         "range_join_events": q_range_join_events,
+        "enrich_stream_events": q_enrich_stream_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
         "bpe_tokens": q_bpe_tokens,
@@ -1946,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": SQL_ASOF_JOIN,
         "sessionize_events": SQL_SESSIONS,
         "range_join_events": SQL_RANGE_JOIN,
+        "enrich_stream_events": SQL_ENRICH_STREAM,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
         "bpe_tokens": SQL_BPE_TOKENS,
