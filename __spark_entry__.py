@@ -765,6 +765,53 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_scd2_user_history(spark, sf_dir):
+    """SCD2 history derivation (operators/scd.py) — the warehouse-side
+    complement of the as-of join: the events feed folded into per-user
+    validity intervals over the tracked attribute (event_type), with
+    'error' acting as the delete op (closes the open interval, emits no
+    row; re-inserts after it always open a new version) and unchanged-
+    attribute compression on (single Exchange + lag/lead windows, no
+    self-join). Oracle mirrors with lag-based keep + lead close."""
+    from oplogtoredis_spark.operators.scd import scd2_history
+
+    ev = _ev(spark, sf_dir, par=True).select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        _ts_ms().alias("ts_ms"),
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    h = scd2_history(
+        ev,
+        keys="user_id",
+        attrs=["event_type"],
+        ts="ts_ms",
+        tiebreak="seq",
+        op="op",
+    )
+    return h.withColumn("is_current", F.col("is_current").cast("int"))
+
+
+SQL_SCD2 = """
+WITH e AS (SELECT user_id, event_id AS seq, epoch_ms(ts) AS ts_ms, event_type,
+                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+           FROM events),
+ o AS (SELECT *, lag(op) OVER w AS p_op, lag(event_type) OVER w AS p_attr
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, seq)),
+ kept AS (SELECT * FROM o WHERE op = 'd' OR p_op IS NULL OR p_op = 'd'
+                             OR p_attr IS DISTINCT FROM event_type),
+ iv AS (SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, seq)
+                  AS valid_to
+        FROM kept)
+SELECT user_id, event_type, ts_ms AS valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM iv WHERE op <> 'd'
+"""
+
+
 def q_enrich_stream_events(spark, sf_dir):
     """Stream enrichment against the CDC lake (streaming/enrich.py): the
     lake is the materialized per-user latest-purchase state (built through
@@ -1970,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "sessionize_events": q_sessionize_events,
         "range_join_events": q_range_join_events,
+        "scd2_user_history": q_scd2_user_history,
         "enrich_stream_events": q_enrich_stream_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
@@ -2026,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": SQL_ASOF_JOIN,
         "sessionize_events": SQL_SESSIONS,
         "range_join_events": SQL_RANGE_JOIN,
+        "scd2_user_history": SQL_SCD2,
         "enrich_stream_events": SQL_ENRICH_STREAM,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,

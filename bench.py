@@ -63,6 +63,7 @@ HEADLINE = [
     "asof_join_events",
     "sessionize_events",
     "range_join_events",
+    "scd2_user_history",
     "enrich_stream_events",
     "metrics_histogram",
     "text_profile",

@@ -127,6 +127,46 @@ def main() -> None:
             ["CartesianProduct", "BroadcastNestedLoopJoin"],
         ),
         (
+            "AS-OF JOIN — union + carry-forward: window over ONE Exchange, NO join node at all",
+            "asof_join_events",
+            "an inequality join would be an all-pairs product per key "
+            "(O(L·R) on a hot key); the carry-forward plan is O(L+R) per "
+            "key with a streaming window frame — no join operator exists",
+            ["Window"],
+            [
+                "SortMergeJoin",
+                "ShuffledHashJoin",
+                "BroadcastHashJoin",
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+            ],
+        ),
+        (
+            "RANGE (INTERVAL-OVERLAP) JOIN — bucketized equality join + exact post-filter, nested-loop-free",
+            "range_join_events",
+            "Spark plans BETWEEN containment as a nested-loop join; the "
+            "bucketized rewrite joins on EQUALITY (keys, bucket) so the "
+            "probe side hash-partitions — each (point, interval) pair can "
+            "meet in at most one bucket, so no dedup stage exists either",
+            [],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
+        (
+            "SCD2 HISTORY — lag/lead windows over ONE Exchange, no self-join",
+            "scd2_user_history",
+            "changelog → validity intervals: compression (lag) and close "
+            "(lead) are streaming window frames sharing one partitioning; "
+            "work is O(changes) per key, hot keys spill instead of OOMing",
+            ["Window"],
+            [
+                "SortMergeJoin",
+                "ShuffledHashJoin",
+                "BroadcastHashJoin",
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+            ],
+        ),
+        (
             "CORPUS PIPELINE (quality→dedup→chunk→split composed) — one plan, split is join-free",
             "corpus_pipeline",
             "the only join is the exact-dedup survivor semi-join (equality on "
@@ -139,7 +179,7 @@ def main() -> None:
     ]
 
     out = [
-        "# BENCH/PLANS — physical-plan evidence (round 4)",
+        "# BENCH/PLANS — physical-plan evidence (round 5)",
         "",
         "Captured `.explain(\"formatted\")` output (sf0.001 — plan shape, not",
         "timing) for the properties SCALE.md claims; regenerate with",
