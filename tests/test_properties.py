@@ -150,3 +150,103 @@ def test_hash_split_is_a_pure_partition_function(spark, keys, extra):
     assert set(small) == set(keys)  # exhaustive: every key assigned
     assert all(grown[k] == small[k] for k in keys)  # growth-stable
     assert set(grown.values()) <= {"train", "eval", "test"}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history vs a pure-Python reference fold
+# ---------------------------------------------------------------------------
+scd_changes_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),               # key
+        st.integers(min_value=1, max_value=5),       # ts (ties likely)
+        st.sampled_from(["i", "u", "d"]),            # op
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),  # tracked attr
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _scd2_model(rows, compress):
+    """Reference fold: rows are (k, ts, seq, op, v) with seq a total
+    tiebreak. Compares to the previous SURVIVOR — equivalent to the
+    operator's previous-ROW comparison by transitivity of equality
+    within non-delete runs."""
+    bykey = {}
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        bykey.setdefault(r[0], []).append(r)
+    res = set()
+    for k, changes in bykey.items():
+        kept = []
+        for c in changes:
+            if (
+                not compress
+                or c[3] == "d"
+                or not kept
+                or kept[-1][3] == "d"
+                or kept[-1][4] != c[4]
+            ):
+                kept.append(c)
+        for i, c in enumerate(kept):
+            if c[3] == "d":
+                continue
+            vt = kept[i + 1][1] if i + 1 < len(kept) else None
+            res.add((k, c[4], c[1], vt, vt is None))
+    return res
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=scd_changes_strategy, compress=st.booleans())
+def test_scd2_matches_reference_model(spark, rows, compress):
+    from oplogtoredis_spark.operators.scd import scd2_history
+
+    tagged = [(k, ts, seq, op, v) for seq, (k, ts, op, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        tagged, "k string, ts long, seq int, op string, v string"
+    )
+    out = scd2_history(
+        df, keys="k", attrs=["v"], ts="ts", tiebreak="seq", op="op",
+        compress=compress,
+    ).collect()
+    got = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out}
+    assert got == _scd2_model(tagged, compress)
+
+
+def test_scd2_asof_duality(spark):
+    """For an upsert-only feed, looking a timestamp up in the SCD2 table
+    (valid_from <= t < valid_to, open current interval) gives the SAME
+    answer as the as-of join against the raw feed — the two operators are
+    the materialized and on-the-fly faces of one semantic."""
+    import random
+
+    from oplogtoredis_spark.operators.asof import asof_join
+    from oplogtoredis_spark.operators.scd import scd2_history
+
+    rng = random.Random(7)
+    feed = [
+        (f"k{rng.randrange(6)}", rng.randrange(1, 40), seq, f"v{rng.randrange(5)}")
+        for seq in range(120)
+    ]
+    probes = [(f"k{i % 6}", rng.randrange(0, 42)) for i in range(60)]
+    fdf = spark.createDataFrame(feed, "k string, ts long, seq int, v string")
+    pdf = spark.createDataFrame(probes, "k string, t long")
+
+    via_asof = {
+        (r.k, r.t): r.r_v
+        for r in asof_join(
+            pdf, fdf, on="k", left_ts="t", right_ts="ts", right_tiebreak="seq"
+        ).collect()
+    }
+
+    h = scd2_history(fdf, keys="k", attrs=["v"], ts="ts", tiebreak="seq")
+    hh = {r.k: [] for r in h.collect()}
+    for r in h.collect():
+        hh[r.k].append((r.valid_from, r.valid_to, r.v))
+    via_scd = {}
+    for k, t in probes:
+        v = None
+        for vf, vt, val in hh.get(k, []):
+            if vf <= t and (vt is None or t < vt):
+                v = val
+        via_scd[(k, t)] = v
+    assert via_asof == via_scd
