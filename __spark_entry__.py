@@ -812,6 +812,77 @@ FROM iv WHERE op <> 'd'
 """
 
 
+def q_scd2_stream_history(spark, sf_dir):
+    """Streaming SCD2 maintenance (streaming/history.py): the events feed
+    is replayed through the REAL history applier as TWO foreachBatch
+    epochs (split per key at rank 2 — (ts, event_id)-ordered, so the
+    cross-epoch per-key ordering contract holds by construction), with the
+    lake as the open tail and the append-only log holding closed
+    intervals; 'error' acts as the delete op. The oracle is the BATCH
+    recompute — scd2 with compress=False is just lead-close over every
+    change — which is exactly the invariant the incremental fold
+    maintains."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.history import (
+        make_history_applier,
+        read_history,
+    )
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    ev = _ev(spark, sf_dir, par=True)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(_ts_ms(), "event_id")
+    )
+    env = ev.select(
+        F.lit("users").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        _ts_ms().alias("ts"),
+        F.col("event_id").cast("int").alias("tx_idx"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.col("event_type").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.round(F.col("value") * 10000, 0).cast("long").cast("string").alias(
+            "content"
+        ),
+        rn.alias("rn"),
+    )
+    base = tempfile.mkdtemp(prefix="otr_hist_")
+    t = LakeTable.create(base + "/tbl", TARGET_SCHEMA, n_buckets=8)
+    applier = make_history_applier(t.path, base + "/hist")
+    applier(env.where("rn <= 2").drop("rn"), 0)
+    applier(env.where("rn > 2").drop("rn"), 1)
+    out = read_history(spark, t.path, base + "/hist")
+    return out.select(
+        F.col("path").alias("user_id"),
+        F.col("commit").alias("event_type"),
+        F.col("content").cast("long").alias("value_e4"),
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+SQL_SCD2_STREAM = """
+WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS seq,
+                  epoch_ms(ts) AS ts_ms, event_type,
+                  CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+                  CAST(round(value * 10000, 0) AS BIGINT) AS v4
+           FROM events),
+ iv AS (SELECT *, lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, seq)
+                  AS valid_to
+        FROM e)
+SELECT user_id, event_type, v4 AS value_e4, ts_ms AS valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM iv WHERE op <> 'd'
+"""
+
+
 def q_enrich_stream_events(spark, sf_dir):
     """Stream enrichment against the CDC lake (streaming/enrich.py): the
     lake is the materialized per-user latest-purchase state (built through
@@ -2018,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "range_join_events": q_range_join_events,
         "scd2_user_history": q_scd2_user_history,
+        "scd2_stream_history": q_scd2_stream_history,
         "enrich_stream_events": q_enrich_stream_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
@@ -2075,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": SQL_SESSIONS,
         "range_join_events": SQL_RANGE_JOIN,
         "scd2_user_history": SQL_SCD2,
+        "scd2_stream_history": SQL_SCD2_STREAM,
         "enrich_stream_events": SQL_ENRICH_STREAM,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,

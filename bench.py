@@ -64,6 +64,7 @@ HEADLINE = [
     "sessionize_events",
     "range_join_events",
     "scd2_user_history",
+    "scd2_stream_history",
     "enrich_stream_events",
     "metrics_histogram",
     "text_profile",
