@@ -164,6 +164,73 @@ def make_history_applier(
     return apply
 
 
+def _live_dirs(history_dir: str) -> list[str]:
+    """The log dirs a reader should scan: the highest-watermark compacted
+    dir (``c{lo}_{hi}``) plus every epoch dir above its watermark. Naming
+    carries the consistency: a compaction crash between writing the c-dir
+    and removing the folded e-dirs leaves BOTH on disk, but readers ignore
+    e-dirs at-or-below the c-dir's watermark, so nothing double-counts."""
+    try:
+        names = os.listdir(history_dir)
+    except FileNotFoundError:
+        return []
+    compacted = sorted(
+        (n for n in names if n.startswith("c")),
+        key=lambda n: int(n.split("_")[1]),
+    )
+    hi = -1
+    out = []
+    if compacted:
+        best = compacted[-1]
+        hi = int(best.split("_")[1])
+        out.append(os.path.join(history_dir, best))
+    out += sorted(
+        os.path.join(history_dir, n)
+        for n in names
+        if n.startswith("e") and int(n[1:]) > hi
+    )
+    return out
+
+
+def compact_history(spark: SparkSession, history_dir: str) -> int:
+    """Fold the log's live dirs into one ``c{lo}_{hi}`` dir and remove the
+    folded ones — the small-files bound for a long-running stream (the
+    append-only log otherwise accrues one directory per epoch). Closed
+    intervals are immutable, so compaction is a pure rewrite: the read
+    view is identical before, during, and after (naming discipline in
+    :func:`_live_dirs`). Run it BETWEEN epochs from the stream's own loop
+    (the lake's maybe_compact posture) — never concurrently with an
+    in-flight epoch, whose closes are not yet committed by the merge.
+    Also sweeps leftovers of a crashed prior compaction (dirs already
+    folded into the live c-dir). Returns the number of dirs folded.
+
+    The fold coalesces to one file — right for the log sizes a single
+    stream accrues between compactions; a petabyte deployment would
+    target a file size instead (Iceberg's rewrite_data_files posture)."""
+    import shutil
+
+    live = _live_dirs(history_dir)
+    live_names = {os.path.basename(d) for d in live}
+    try:
+        for n in os.listdir(history_dir):
+            if n[:1] in ("c", "e") and n not in live_names:
+                # already folded into the live c-dir by a prior (possibly
+                # crashed) compaction — stale, safe to sweep
+                shutil.rmtree(os.path.join(history_dir, n))
+    except FileNotFoundError:
+        pass
+    if len(live) < 2:
+        return 0
+    names = [os.path.basename(d) for d in live]
+    lo = int(names[0].split("_")[0][1:]) if names[0][0] == "c" else int(names[0][1:])
+    hi = int(names[-1][1:])
+    target = os.path.join(history_dir, f"c{lo:08d}_{hi:08d}")
+    spark.read.parquet(*live).coalesce(1).write.mode("overwrite").parquet(target)
+    for d in live:
+        shutil.rmtree(d)
+    return len(live)
+
+
 def read_history(
     spark: SparkSession, table_path: str, history_dir: str
 ) -> DataFrame:
@@ -177,16 +244,9 @@ def read_history(
         F.col("last_ts").alias("valid_from"),
         F.lit(None).cast("long").alias("valid_to"),
     )
-    try:
-        epoch_dirs = sorted(
-            os.path.join(history_dir, d)
-            for d in os.listdir(history_dir)
-            if d.startswith("e")
-        )
-    except FileNotFoundError:
-        epoch_dirs = []
-    if epoch_dirs:
-        closed = spark.read.parquet(*epoch_dirs).select(*open_rows.columns)
+    dirs = _live_dirs(history_dir)
+    if dirs:
+        closed = spark.read.parquet(*dirs).select(*open_rows.columns)
         out = closed.unionByName(open_rows)
     else:
         out = open_rows

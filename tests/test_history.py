@@ -194,3 +194,50 @@ def test_history_through_a_real_stream(spark, table, tmp_path):
         q.awaitTermination()
     all_rows = [r for rows in EPOCHS for r in rows]
     assert _view(spark, lake.path, hist) == _recompute(spark, all_rows)
+
+
+def test_compact_history_preserves_view_and_bounds_dirs(spark, table):
+    import os
+
+    from oplogtoredis_spark.streaming.history import compact_history
+
+    lake, hist, applier = table
+    applier(_batch(spark, EPOCHS[0]), 0)
+    applier(_batch(spark, EPOCHS[1]), 1)
+    want = _view(spark, lake.path, hist)
+    assert compact_history(spark, hist) == 2
+    assert _view(spark, lake.path, hist) == want
+    assert [d for d in sorted(os.listdir(hist)) if d[0] in "ce"] == [
+        "c00000000_00000001"
+    ]
+    applier(_batch(spark, EPOCHS[2]), 2)
+    full = _recompute(spark, [r for e in EPOCHS for r in e])
+    assert _view(spark, lake.path, hist) == full
+    assert compact_history(spark, hist) == 2  # folds c-dir + e2
+    assert _view(spark, lake.path, hist) == full
+    assert compact_history(spark, hist) == 0  # nothing left to fold
+
+
+def test_stale_epoch_dir_below_watermark_ignored_and_swept(spark, table):
+    """A retried half-failed epoch can rewrite its e-dir AFTER compaction
+    already folded that epoch: readers must ignore it (its rows are
+    already in the c-dir) and the next compaction sweeps it."""
+    import os
+
+    from oplogtoredis_spark.streaming.history import compact_history
+
+    lake, hist, applier = table
+    applier(_batch(spark, EPOCHS[0]), 0)
+    applier(_batch(spark, EPOCHS[1]), 1)
+    compact_history(spark, hist)
+    want = _view(spark, lake.path, hist)
+    stale = os.path.join(hist, "e00000001")
+    spark.createDataFrame(
+        [("zz", "zz", "c", "x", "y", 1, 2)],
+        "repo string, path string, commit string, lang string, "
+        "content string, valid_from long, valid_to long",
+    ).write.mode("overwrite").parquet(stale)
+    assert _view(spark, lake.path, hist) == want  # below watermark: ignored
+    compact_history(spark, hist)
+    assert not os.path.exists(stale)  # swept as stale
+    assert _view(spark, lake.path, hist) == want
