@@ -63,6 +63,7 @@ def make_history_applier(
     epoch_ns: str = "",
     merge_mode: str = "cow",
     late: str = "absorb",
+    compact_min_dirs: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch factory: maintain lake + SCD2 history log together.
 
@@ -70,6 +71,11 @@ def make_history_applier(
     ts, tx_idx, op, commit, lang, content): appends the epoch's closed
     intervals to ``history_dir`` and then merges the batch into the lake.
     Read the combined table with :func:`read_history`.
+
+    ``compact_min_dirs`` > 0 self-compacts the log whenever the live dir
+    count reaches the threshold — after the epoch's merge, inside the
+    stream's own loop, so the single-compactor discipline holds for free
+    (the lake runner's ``compact_min_deltas`` posture).
     """
     lake = LakeTable(table_path)
 
@@ -160,6 +166,8 @@ def make_history_applier(
         lake.merge_batch(
             batch_df, batch_id, epoch_ns=epoch_ns, merge_mode=merge_mode
         )
+        if compact_min_dirs and len(_live_dirs(history_dir)) >= compact_min_dirs:
+            compact_history(spark, history_dir)
 
     return apply
 

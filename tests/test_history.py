@@ -241,3 +241,26 @@ def test_stale_epoch_dir_below_watermark_ignored_and_swept(spark, table):
     compact_history(spark, hist)
     assert not os.path.exists(stale)  # swept as stale
     assert _view(spark, lake.path, hist) == want
+
+
+def test_auto_compaction_bounds_live_dir_count(spark, tmp_path):
+    """A long stream with compact_min_dirs keeps the live dir count
+    bounded at every point in its life, and the view still equals the
+    batch recompute."""
+    import os
+
+    from oplogtoredis_spark.streaming.history import _live_dirs
+
+    lake = LakeTable.create(str(tmp_path / "lk3"), TARGET_SCHEMA, n_buckets=4)
+    hist = str(tmp_path / "h3")
+    applier = make_history_applier(lake.path, hist, compact_min_dirs=3)
+    seen = []
+    for i in range(7):
+        rows = [("r/a", "f", 10 * (i + 1), 0, "u", f"c{i}", "py", f"v{i}"),
+                ("r/b", "g", 10 * (i + 1) + 1, 0, "u", f"c{i}", "go", f"w{i}")]
+        applier(_batch(spark, rows), i)
+        seen += rows
+        assert len(_live_dirs(hist)) < 3 + 1, f"unbounded at epoch {i}"
+    assert _view(spark, lake.path, hist) == _recompute(spark, seen)
+    # the log is dominated by one compacted dir, not 7 epoch dirs
+    assert sum(1 for d in os.listdir(hist) if d.startswith("e")) <= 2
