@@ -523,9 +523,40 @@ query-suite timings at sf0.1: `python bench.py` (BENCH_r*.json).
         f.write(md)
 
 
+def _ensure_events() -> int:
+    """Regenerate the staged input when missing (host reboots wipe
+    /dev/shm): the EXACT parameterization bench.py uses for its event
+    cache, at OTR_SCALING_N_EVENTS (default 16M), so regenerated runs
+    stay comparable with the recorded ones (same seed, same key/txn/dup
+    mix). Returns the event count from the _COMPLETE marker."""
+    marker = os.path.join(EVENTS, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read())
+    import shutil
+
+    sys.path.insert(0, REPO)
+    from oplogtoredis_spark.sources.generator import write_events_chunked
+
+    n = int(os.environ.get("OTR_SCALING_N_EVENTS", "16000000"))
+    shutil.rmtree(EVENTS, ignore_errors=True)
+    n_chunks = max(1, n // 2_000_000)
+    total = write_events_chunked(
+        EVENTS,
+        n_events=n,
+        n_chunks=n_chunks,
+        files_per_chunk=max(8, 128 // n_chunks),
+        n_repos=max(200, n // 2000),
+        paths_per_repo=20,
+        seed=42,
+    )
+    with open(marker, "w") as f:
+        f.write(str(total))
+    return total
+
+
 def main() -> None:
-    with open(os.path.join(EVENTS, "_COMPLETE")) as f:
-        n_events = int(f.read())
+    n_events = _ensure_events()
     lo, hi = LEVELS
     pair = measure_pair((lo, hi), n_events)
     bench = os.path.join(REPO, "BENCH")
