@@ -98,6 +98,22 @@ def _force(df) -> int:
     return 0
 
 
+def _git_rev() -> str | None:
+    try:
+        import subprocess
+
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def _timed_reps(fn, reps: int = REPS) -> tuple[float, list[list[float]]]:
     """Run ``fn`` ``reps`` times; return (min seconds, raw reps) where each
     raw rep is [seconds, 1-min loadavg at rep start]. The minimum is the
@@ -194,10 +210,36 @@ def main() -> None:
     t_suite0 = time.time()
 
     qmap = entry_mod.queries()
-    for name in HEADLINE:
+    # OTR_BENCH_ONLY=a,b,c runs just those headline queries and emits a
+    # clearly-labelled SUBSET artifact (no CDC section) — for re-measuring
+    # a few queries inside a short quiet window on this noisy shared host.
+    # The driver contract path (no env) is unchanged.
+    only = [s for s in os.environ.get("OTR_BENCH_ONLY", "").split(",") if s]
+    for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
         best, raw = _timed_reps(lambda: _force(qmap[name](spark, SF_DIR)))
         timings[name] = round(best, 3)
         raw_reps[name] = raw
+
+    if only:
+        out = {
+            "metric": "headline query SUBSET wall time (OTR_BENCH_ONLY)",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "cpus": CPUS,
+            "reps_per_query": REPS,
+            "reps": raw_reps,
+            "load": {
+                "host_cpus": os.cpu_count(),
+                "start_1m_5m_15m": load_start,
+                "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+                "suite_wall_sec": round(time.time() - t_suite0, 3),
+            },
+            "git_rev": _git_rev(),
+        }
+        print(json.dumps(out))
+        return
 
     # --- CDC batch replay over the generated log ---
     from oplogtoredis_spark.plans.replay import replay_events_path
@@ -316,16 +358,7 @@ def main() -> None:
     raw_reps["cdc_mor_read_autocompacted"] = raw
     assert t_ac.read(spark).count() == cow_rows
 
-    try:
-        import subprocess
-
-        git_rev = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
-    except Exception:
-        git_rev = None
+    git_rev = _git_rev()
 
     total = round(sum(timings.values()), 3)
     out = {
