@@ -159,6 +159,16 @@ def _ensure_events() -> str:
 
 
 def main() -> None:
+    # OTR_BENCH_ONLY=a,b,c runs just those headline queries and emits a
+    # clearly-labelled SUBSET artifact (no CDC section) — for re-measuring
+    # a few queries inside a short quiet window on this noisy shared host.
+    # The driver contract path (no env) is unchanged. Validated before the
+    # Spark spin-up so a typo fails in milliseconds, not minutes.
+    only = [s for s in os.environ.get("OTR_BENCH_ONLY", "").split(",") if s]
+    unknown = [s for s in only if s not in HEADLINE]
+    if unknown:  # a typo'd subset would silently measure nothing
+        raise SystemExit(f"OTR_BENCH_ONLY names not in HEADLINE: {unknown}")
+
     from oplogtoredis_spark.config import EngineConfig
     from oplogtoredis_spark.session import get_spark
 
@@ -210,11 +220,6 @@ def main() -> None:
     t_suite0 = time.time()
 
     qmap = entry_mod.queries()
-    # OTR_BENCH_ONLY=a,b,c runs just those headline queries and emits a
-    # clearly-labelled SUBSET artifact (no CDC section) — for re-measuring
-    # a few queries inside a short quiet window on this noisy shared host.
-    # The driver contract path (no env) is unchanged.
-    only = [s for s in os.environ.get("OTR_BENCH_ONLY", "").split(",") if s]
     for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
         best, raw = _timed_reps(lambda: _force(qmap[name](spark, SF_DIR)))
         timings[name] = round(best, 3)

@@ -74,6 +74,12 @@ def scd2_history(
     """
     key_cols = [keys] if isinstance(keys, str) else list(keys)
     attrs = list(attrs)
+    reserved = {"_del", "_keep", "_to"} & set(changes.columns)
+    if reserved:
+        raise ValueError(
+            f"scd2_history: input columns {sorted(reserved)} collide with "
+            f"internal temporaries — rename them first"
+        )
     order = [F.col(ts).asc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())

@@ -51,7 +51,14 @@ def snapshot_bytes(lake: LakeTable, version: int) -> int:
             continue
         for n in names:
             if n.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(d, n))
+                try:
+                    total += os.path.getsize(os.path.join(d, n))
+                except FileNotFoundError:
+                    # an HA twin's compact()/expire_snapshots() may reclaim
+                    # files between listdir and getsize — a vanished file
+                    # only makes the estimate smaller, never wrong enough
+                    # to matter for a broadcast-vs-shuffle decision
+                    continue
     return total
 
 
@@ -86,6 +93,14 @@ def make_enrich_applier(
         v = lake.current_version()
         state = lake.read(spark, version=v)
         payload = [c for c in state.columns if c not in keys]
+        out_cols = {prefix + c for c in payload} | {f"{prefix}version"}
+        clash = out_cols & set(batch_df.columns)
+        if clash:
+            raise ValueError(
+                f"enrich: batch already carries {sorted(clash)} — the join "
+                f"would be ambiguous (or silently overwrite); pick another "
+                f"prefix than {prefix!r}"
+            )
         dim = state.select(
             *keys, *[F.col(c).alias(prefix + c) for c in payload]
         )

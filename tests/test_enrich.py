@@ -142,3 +142,29 @@ def test_snapshot_bytes_counts_all_live_dirs(lake):
 def test_rejects_unknown_how(lake):
     with pytest.raises(ValueError, match="left|inner"):
         make_enrich_applier(lake.path, lambda *_: None, on=KEYS, how="full")
+
+
+def test_prefix_collision_fails_loud(spark, lake):
+    applier = make_enrich_applier(lake.path, lambda *_: None, on=KEYS)
+    clashing = spark.createDataFrame(
+        [("r/a", "f.py", "x", 1)],
+        "repo string, path string, s_content string, eid long",
+    )
+    with pytest.raises(ValueError, match="s_content"):
+        applier(clashing, 0)
+
+
+def test_snapshot_bytes_tolerates_vanishing_files(lake):
+    import os
+    from unittest import mock
+
+    v = lake.current_version()
+    real_getsize = os.path.getsize
+
+    def flaky(p):
+        if p.endswith(".parquet"):
+            raise FileNotFoundError(p)  # reclaimed between listdir and stat
+        return real_getsize(p)
+
+    with mock.patch("os.path.getsize", side_effect=flaky):
+        assert snapshot_bytes(lake, v) == 0  # shrinks, never raises

@@ -205,7 +205,7 @@ def test_compact_history_preserves_view_and_bounds_dirs(spark, table):
     applier(_batch(spark, EPOCHS[0]), 0)
     applier(_batch(spark, EPOCHS[1]), 1)
     want = _view(spark, lake.path, hist)
-    assert compact_history(spark, hist) == 2
+    assert compact_history(spark, lake.path, hist) == 2
     assert _view(spark, lake.path, hist) == want
     assert [d for d in sorted(os.listdir(hist)) if d[0] in "ce"] == [
         "c00000000_00000001"
@@ -213,9 +213,9 @@ def test_compact_history_preserves_view_and_bounds_dirs(spark, table):
     applier(_batch(spark, EPOCHS[2]), 2)
     full = _recompute(spark, [r for e in EPOCHS for r in e])
     assert _view(spark, lake.path, hist) == full
-    assert compact_history(spark, hist) == 2  # folds c-dir + e2
+    assert compact_history(spark, lake.path, hist) == 2  # folds c-dir + e2
     assert _view(spark, lake.path, hist) == full
-    assert compact_history(spark, hist) == 0  # nothing left to fold
+    assert compact_history(spark, lake.path, hist) == 0  # nothing left to fold
 
 
 def test_stale_epoch_dir_below_watermark_ignored_and_swept(spark, table):
@@ -229,7 +229,7 @@ def test_stale_epoch_dir_below_watermark_ignored_and_swept(spark, table):
     lake, hist, applier = table
     applier(_batch(spark, EPOCHS[0]), 0)
     applier(_batch(spark, EPOCHS[1]), 1)
-    compact_history(spark, hist)
+    compact_history(spark, lake.path, hist)
     want = _view(spark, lake.path, hist)
     stale = os.path.join(hist, "e00000001")
     spark.createDataFrame(
@@ -238,7 +238,7 @@ def test_stale_epoch_dir_below_watermark_ignored_and_swept(spark, table):
         "content string, valid_from long, valid_to long",
     ).write.mode("overwrite").parquet(stale)
     assert _view(spark, lake.path, hist) == want  # below watermark: ignored
-    compact_history(spark, hist)
+    compact_history(spark, lake.path, hist)
     assert not os.path.exists(stale)  # swept as stale
     assert _view(spark, lake.path, hist) == want
 
@@ -264,3 +264,108 @@ def test_auto_compaction_bounds_live_dir_count(spark, tmp_path):
     assert _view(spark, lake.path, hist) == _recompute(spark, seen)
     # the log is dominated by one compacted dir, not 7 epoch dirs
     assert sum(1 for d in os.listdir(hist) if d.startswith("e")) <= 2
+
+
+# ---------------------------------------------------------------------------
+# regressions from the round-5 adversarial review
+# ---------------------------------------------------------------------------
+def test_post_delete_redelivery_does_not_refold(spark, table):
+    """The redelivery guard must compare against TOMBSTONES too (the
+    merge predicate does): replaying pre-delete changes after the delete
+    must not re-fold them into the log."""
+    lake, hist, applier = table
+    e0 = [
+        ("k", "f", 10, 0, "i", "c1", "py", "v1"),
+        ("k", "f", 15, 0, "u", "c2", "py", "v2"),
+        ("k", "f", 20, 0, "d", None, None, None),
+    ]
+    applier(_batch(spark, e0), 0)
+    # at-least-once window replay: pre-delete changes + one genuinely new
+    e1 = e0[:2] + [("k", "f", 25, 0, "u", "c3", "py", "v3")]
+    applier(_batch(spark, e1), 1)
+    assert _view(spark, lake.path, hist) == _recompute(spark, e0 + e1)
+    # explicitly: exactly one [10,15) and one [15,20), and NO close of the
+    # new version against a stale pre-delete open
+    rows = sorted(
+        (r.valid_from, r.valid_to)
+        for r in read_history(spark, lake.path, hist).collect()
+    )
+    assert rows == [(10, 15), (15, 20), (25, None)]
+
+
+def test_markerless_compacted_dir_is_untrusted_and_swept(spark, table):
+    """A compaction that crashed mid-write leaves a c-dir without
+    _SUCCESS: readers must keep trusting the e-dirs it failed to fold,
+    and the next compaction sweeps the garbage instead of the e-dirs."""
+    import os
+
+    from oplogtoredis_spark.streaming.history import compact_history
+
+    lake, hist, applier = table
+    applier(_batch(spark, EPOCHS[0]), 0)
+    applier(_batch(spark, EPOCHS[1]), 1)
+    want = _view(spark, lake.path, hist)
+    bogus = os.path.join(hist, "c00000000_00000001")
+    os.makedirs(os.path.join(bogus, "_temporary"))  # no _SUCCESS marker
+    assert _view(spark, lake.path, hist) == want  # e-dirs still trusted
+    compact_history(spark, lake.path, hist)
+    assert _view(spark, lake.path, hist) == want
+    assert not any(
+        d == "c00000000_00000001" and not os.path.exists(
+            os.path.join(hist, d, "_SUCCESS")
+        )
+        for d in os.listdir(hist)
+    )
+
+
+def test_unapplied_epoch_dir_is_invisible_until_merge_commits(spark, table):
+    """Crash between the history write and the lake merge: the e-dir
+    exists but its epoch is not applied — readers must not see a torn
+    'closed but still open' state; the retry makes it visible."""
+    lake, hist, applier = table
+    applier(_batch(spark, EPOCHS[0]), 0)
+    want = _view(spark, lake.path, hist)
+
+    # simulate the crash: write epoch 1's closes WITHOUT merging
+    crashed = make_history_applier(lake.path, hist)
+    orig_merge = LakeTable.merge_batch
+    try:
+        LakeTable.merge_batch = lambda self, *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before merge")
+        )
+        with pytest.raises(RuntimeError, match="crash before merge"):
+            crashed(_batch(spark, EPOCHS[1]), 1)
+    finally:
+        LakeTable.merge_batch = orig_merge
+
+    import os
+
+    assert os.path.exists(os.path.join(hist, "e00000001"))  # dir written
+    assert _view(spark, lake.path, hist) == want  # ...but invisible
+
+    applier(_batch(spark, EPOCHS[1]), 1)  # the retry commits the merge
+    assert _view(spark, lake.path, hist) == _recompute(
+        spark, EPOCHS[0] + EPOCHS[1]
+    )
+
+
+def test_deadletter_rows_never_enter_history(spark, table):
+    """Rows the merge quarantines (null identity) must not fold into
+    history — history never records an entity the lake does not serve."""
+    lake, hist, applier = table
+    applier(
+        _batch(
+            spark,
+            [
+                (None, "p", 1, 0, "i", "c", "py", "x"),   # null repo
+                (None, "p", 2, 0, "u", "c", "py", "y"),   # would close ^
+                ("r/ok", "f", 5, 0, "i", "c1", "py", "v"),
+            ],
+        ),
+        0,
+    )
+    view = read_history(spark, lake.path, hist)
+    assert view.where(F.col("repo").isNull()).count() == 0
+    assert _view(spark, lake.path, hist) == {
+        ("r/ok", "f", "c1", "py", "v", 5, None, True)
+    }

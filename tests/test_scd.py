@@ -128,3 +128,9 @@ def test_output_columns_and_rename(spark):
         valid_from="vf", valid_to="vt", is_current="cur",
     )
     assert out.columns == ["k", "v", "vf", "vt", "cur"]
+
+
+def test_reserved_internal_names_fail_loud(spark):
+    df = spark.createDataFrame([("a", 1, "x")], "k string, ts long, _to string")
+    with pytest.raises(ValueError, match="_to"):
+        scd2_history(df, keys="k", attrs=["_to"], ts="ts")
