@@ -144,6 +144,7 @@ def make_history_applier(
                 F.col("repo").isNotNull()
                 & F.col("path").isNotNull()
                 & F.col("ts").isNotNull()
+                & F.col("tx_idx").isNotNull()
                 & F.col("op").isNotNull()
             )
             .dropDuplicates([*KEYS, "ts", "tx_idx"])

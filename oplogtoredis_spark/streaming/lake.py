@@ -46,7 +46,6 @@ from pyspark.sql import types as T
 
 from ..functions.routing import bucket_for
 from ..sources.schemas import TARGET_KEY
-from ..timestamps import total_order_col
 
 _CURRENT = "CURRENT"
 
@@ -124,6 +123,8 @@ class LakeTable:
         # _epoch_exprs): (key, dict) — streaming epochs share one batch
         # schema, so the hit rate is every epoch after the first
         self._expr_cache: tuple[tuple, dict] | None = None
+        # lineage ordinal: seeded lazily from one listdir, then local
+        self._lineage_seq: int | None = None
 
     # ---------------- creation / metadata ----------------
     @staticmethod
@@ -187,11 +188,15 @@ class LakeTable:
             commit silently vanishes — ADVICE r3).
           * CURRENT still vN, manifest STALE — an ORPHAN from a writer that
             crashed between claiming the manifest and advancing CURRENT (a
-            committed-looking file no reader can ever see). Replace it —
-            without this, a crash at that point wedges the table forever.
+            committed-looking file no reader can yet see). ADOPT it: raise
+            CURRENT over it (it is complete-on-link, the same premise the
+            monotonic repair relies on) and retry this commit at the next
+            version — without this, a crash at that point wedges the table
+            forever; REPLACING it instead (the pre-round-5 behavior) could
+            destroy a manifest a repair or successor had already built on.
 
-        Defense in depth for the remaining TOCTOU (a reclaimer could replace
-        this writer's claim after its staleness check raced): every attempt
+        Defense in depth for token races (nothing replaces claims anymore,
+        but an external actor still could): every attempt
         embeds a fresh ``writer_token``. IMMEDIATELY before advancing
         CURRENT the token and CURRENT are both re-read — a writer that
         stalled past ORPHAN_STALENESS between claim and advance therefore
@@ -237,8 +242,24 @@ class LakeTable:
                         f"({mpath} is {age:.1f}s old, CURRENT not yet "
                         "advanced); retry"
                     ) from None
-                # abandoned orphan (crash between claim and CURRENT advance)
-                os.replace(tmp, mpath)
+                # Abandoned orphan (crash between claim and CURRENT advance):
+                # ADOPT it, never replace it. A linked manifest is
+                # complete-on-link — the exact premise _repair_current_
+                # monotonic relies on to expose such manifests — so another
+                # writer's repair (or a successor building on it) may
+                # already treat the orphan as committed; replacing its file
+                # here could destroy a manifest the chain depends on and let
+                # this writer report success for a merge that is not in the
+                # chain (round-5 review). Raising CURRENT over the orphan
+                # unwedges the table identically, and our own retry then
+                # recommits this merge on top of the adopted state.
+                os.unlink(tmp)
+                self._repair_current_monotonic()
+                raise ConcurrentCommitError(
+                    f"version {v} was an abandoned orphan (complete-on-link); "
+                    "adopted it by raising CURRENT — re-read the table and "
+                    "retry at the next version"
+                ) from None
         else:
             os.replace(tmp, mpath)
         if v > 0:
@@ -442,15 +463,68 @@ class LakeTable:
             # mergeSchema footer scan, measured 0.25-0.8 s per epoch)
             df = spark.read.schema(schema).parquet(*dirs)
         else:
-            # old snapshots may predate added columns → per-file schema union
-            df = conform_to_schema(
-                spark.read.option("mergeSchema", "true").parquet(*dirs), schema
+            # buckets written at older schema ids → per-sid conformed reads
+            df = self._read_conformed(
+                spark,
+                m,
+                schema,
+                [
+                    (
+                        m.get("bucket_schema_id", {}).get(b),
+                        os.path.join(self.path, d),
+                    )
+                    for b, d in sel.items()
+                ],
             )
         if dsel:
-            df = self._merge_deltas_on_read(spark, df, dsel, schema, cur_sid)
+            df = self._merge_deltas_on_read(spark, df, dsel, schema, cur_sid, m)
         if not include_deleted:
             df = df.where(~F.col("deleted"))
         return df
+
+    def _read_conformed(
+        self,
+        spark: SparkSession,
+        m: dict,
+        schema: T.StructType,
+        sid_dirs: list,
+    ) -> DataFrame:
+        """Read a mixed-schema-id set of parquet dirs, every row conformed
+        to ``schema``. Grouped by RECORDED schema id; each group is read
+        with its registered schema and cast-conformed. This is what makes
+        type-WIDENING evolution readable: parquet mergeSchema cannot
+        reconcile an int32-file/int64-file column (StructType.merge throws
+        'incompatible data types'), so a widened table would otherwise
+        wedge every read — and compaction, which reads first — once old
+        and new buckets coexist. Dirs with no recorded sid (pre-tracking
+        snapshots) keep the legacy mergeSchema path: they can only differ
+        additively."""
+        groups: dict = {}
+        for sid, d in sid_dirs:
+            groups.setdefault(sid, []).append(d)
+        schemas = m.get("schemas", {"0": m["schema"]})
+        parts = []
+        unknown = groups.pop(None, [])
+        for sid, ds in groups.items():
+            sj = schemas.get(str(sid))
+            if sj is None:
+                unknown += ds
+                continue
+            s = T.StructType.fromJson(json.loads(sj))
+            parts.append(
+                conform_to_schema(spark.read.schema(s).parquet(*ds), schema)
+            )
+        if unknown:
+            parts.append(
+                conform_to_schema(
+                    spark.read.option("mergeSchema", "true").parquet(*unknown),
+                    schema,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _merge_deltas_on_read(
         self,
@@ -459,6 +533,7 @@ class LakeTable:
         dsel: dict,
         schema: T.StructType,
         cur_sid,
+        m: dict,
     ) -> DataFrame:
         """Merge-on-read: base ∪ deltas → one LWW max_by collapse per key.
         ALL live deltas are ONE scan regardless of epoch count — the delta's
@@ -470,30 +545,51 @@ class LakeTable:
         On a bucketed layout both sides are co-partitioned by construction,
         so a real cluster's storage-partitioned join/agg keeps this
         shuffle-free."""
-        dirs: list[str] = []
+        sid_dirs: list = []
         sids: set = set()
         for entries in dsel.values():
             for e in entries:
-                dirs.append(os.path.join(self.path, e["dir"]))
+                sid_dirs.append((e.get("sid"), os.path.join(self.path, e["dir"])))
                 sids.add(e.get("sid"))
-        if sids == {cur_sid}:
-            d = spark.read.schema(schema).parquet(*dirs)
-        else:
-            d = conform_to_schema(
-                spark.read.option("mergeSchema", "true").parquet(*dirs), schema
-            )
         # anchored to the table-relative suffix (delta-dir/pb=N/file at the
         # END of the path): a table path that itself contains a
         # "delta/vNNNNNNNN-" substring can no longer alias every delta to the
         # same seq (ADVICE r4 — first-match regexp was unanchored)
-        d = d.withColumn(
-            "_seq",
-            F.regexp_extract(
-                F.col("_metadata.file_path"),
-                r"delta/v(\d{8})-[0-9a-f]+/pb=\d+/[^/]+$",
-                1,
-            ).cast("long"),
-        )
+        seq_expr = F.regexp_extract(
+            F.col("_metadata.file_path"),
+            r"delta/v(\d{8})-[0-9a-f]+/pb=\d+/[^/]+$",
+            1,
+        ).cast("long")
+        if sids == {cur_sid}:
+            d = spark.read.schema(schema).parquet(
+                *[p for _, p in sid_dirs]
+            ).withColumn("_seq", seq_expr)
+        else:
+            # mixed schema ids: per-sid conformed reads, like
+            # _read_conformed — but _seq must be captured PER SCAN
+            # (file-metadata columns do not resolve across a union)
+            target = T.StructType(
+                list(schema.fields) + [T.StructField("_seq", T.LongType(), True)]
+            )
+            schemas_reg = m.get("schemas", {"0": m["schema"]})
+            groups: dict = {}
+            for sid, p in sid_dirs:
+                groups.setdefault(sid, []).append(p)
+            parts = []
+            for sid, ds in groups.items():
+                sj = schemas_reg.get(str(sid)) if sid is not None else None
+                if sj is not None:
+                    raw = spark.read.schema(
+                        T.StructType.fromJson(json.loads(sj))
+                    ).parquet(*ds)
+                else:
+                    raw = spark.read.option("mergeSchema", "true").parquet(*ds)
+                parts.append(
+                    conform_to_schema(raw.withColumn("_seq", seq_expr), target)
+                )
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
         u = base.withColumn("_seq", F.lit(-1).cast("long")).unionByName(d)
         key = ["repo", "path"]
         data_cols = [f.name for f in schema.fields if f.name not in key]
@@ -778,6 +874,7 @@ class LakeTable:
             F.when(F.col("repo").isNull(), F.lit("null_repo"))
             .when(F.col("path").isNull(), F.lit("null_path"))
             .when(F.col("ts").isNull(), F.lit("null_ts"))
+            .when(F.col("tx_idx").isNull(), F.lit("null_tx_idx"))
             .when(F.col("op").isNull(), F.lit("null_op"))
         )
         in_aggs = [
@@ -1389,19 +1486,43 @@ class LakeTable:
             if not os.path.isdir(data_root):
                 continue
             for snap in sorted(os.listdir(data_root)):
-                for b in os.listdir(os.path.join(data_root, snap)):
+                snap_dir = os.path.join(data_root, snap)
+                if not os.path.isdir(snap_dir):
+                    continue
+                # count only real bucket DIRS — plain files (_SUCCESS job
+                # markers) must neither inflate `removed` nor linger in
+                # emptied snapshot dirs
+                buckets = [
+                    b
+                    for b in os.listdir(snap_dir)
+                    if os.path.isdir(os.path.join(snap_dir, b))
+                ]
+                live = False
+                for b in buckets:
                     rel = os.path.join(root, snap, b)
-                    if rel not in referenced:
+                    if rel in referenced:
+                        live = True
+                    else:
                         _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
                         removed += 1
+                if not live:
+                    # nothing referenced remains: sweep the shell (markers)
+                    _sh.rmtree(snap_dir, ignore_errors=True)
         return removed
 
     # ---------------- lineage (per-partition/batch records) ----------------
     def _append_lineage(self, epoch_key, stats: dict) -> None:
         # filename = ordinal + random suffix: ordered reads, and two
         # CONCURRENT writers (HA double-run) that race to the same ordinal
-        # write two files instead of one clobbering the other's record
-        n = len(os.listdir(self._lineage_dir))
+        # write two files instead of one clobbering the other's record.
+        # The ordinal seeds from ONE listdir per table instance and counts
+        # locally after that — a per-epoch listdir over the unboundedly
+        # growing lineage dir would be a quadratic-in-stream-lifetime
+        # driver-serial term on this slow shared disk.
+        if self._lineage_seq is None:
+            self._lineage_seq = len(os.listdir(self._lineage_dir))
+        n = self._lineage_seq
+        self._lineage_seq += 1
         p = os.path.join(
             self._lineage_dir, f"rec-{n:08d}-{uuid.uuid4().hex[:6]}.json"
         )

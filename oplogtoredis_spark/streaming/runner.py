@@ -65,6 +65,16 @@ def make_batch_applier(
     # unchanged (a restarted stream gets a fresh instance and re-reads the
     # manifest; every epoch re-reads it anyway).
     sink = sink_factory(table_path)
+    # isinstance, not identity: a LakeTable SUBCLASS must keep the caller's
+    # merge_mode/prune/compaction knobs instead of silently dropping them
+    is_lake = isinstance(sink, LakeTable)
+    if not is_lake and (
+        merge_mode != "cow" or compact_min_deltas is not None
+    ):
+        raise ValueError(
+            f"merge_mode={merge_mode!r}/compact_min_deltas only apply to "
+            f"LakeTable sinks; {type(sink).__name__} does not support them"
+        )
 
     def apply(batch_df, batch_id: int):
         if fail_before_batch is not None and seen["n"] >= fail_before_batch:
@@ -72,22 +82,43 @@ def make_batch_applier(
         seen["n"] += 1
         table = sink
         kw = (
-            {}
-            if sink_factory is not LakeTable
-            else {"prune": merge_prune, "merge_mode": merge_mode}
+            {"prune": merge_prune, "merge_mode": merge_mode} if is_lake else {}
         )
         table.merge_batch(
             batch_df, batch_id, extra_payload_cols=extra_payload_cols,
             epoch_ns=epoch_ns, **kw,
         )
-        if (
-            compact_min_deltas is not None
-            and merge_mode == "mor"
-            and sink_factory is LakeTable
-        ):
+        if compact_min_deltas is not None and merge_mode == "mor" and is_lake:
             table.maybe_compact(batch_df.sparkSession, compact_min_deltas)
 
     return apply
+
+
+def _lineage_token(checkpoint_dir: str) -> str:
+    """A random token minted ONCE per checkpoint lineage, stored inside the
+    checkpoint dir (Spark tolerates foreign files there). The epoch
+    namespace embeds it so that a FRESH lineage at the SAME path — after
+    resolve_start_policy archives a stale/unreadable checkpoint, or after a
+    manual delete — gets a NEW namespace. Without it, the manifest's
+    applied-watermark from the old lineage (batch ids up to N) would
+    silently skip the new lineage's batches, which restart at 0: the
+    archive paths exist precisely to reprocess, and a path-only namespace
+    turned that into data loss. Creation is O_EXCL-atomic, so two racing
+    starts agree on one token."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "_otr_lineage")
+    try:
+        import uuid
+
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, uuid.uuid4().hex[:12].encode())
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        pass
+    with open(p) as f:
+        return f.read().strip()
 
 
 def _catch_up_cutoff_opts(cfg: EngineConfig) -> dict:
@@ -207,8 +238,11 @@ def start_stream(
 
     if sink_factory is None:
         sink_factory = LakeTable
-        if not LakeTable.exists(table_path):
-            LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
+    # create the table for the default sink whether it was implied (None)
+    # or named explicitly — an explicit sink_factory=LakeTable used to skip
+    # creation and die on batch 0 with an opaque missing-manifest error
+    if sink_factory is LakeTable and not LakeTable.exists(table_path):
+        LakeTable.create(table_path, TARGET_SCHEMA, n_buckets=cfg.target_buckets)
 
     reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", max_files_per_trigger
@@ -240,10 +274,13 @@ def start_stream(
             table_path,
             extra_payload_cols,
             fail_before_batch,
-            # epoch namespace = checkpoint lineage: batch ids are only unique
-            # within one checkpoint; a new checkpoint is a new at-least-once
-            # read whose effects LWW dedup absorbs
-            epoch_ns=os.path.abspath(checkpoint_dir),
+            # epoch namespace = checkpoint LINEAGE, not just its path: batch
+            # ids are only unique within one checkpoint, and ids restart at
+            # 0 when the resume policy archives a stale/unreadable
+            # checkpoint and a fresh one is created at the same path — the
+            # per-lineage token keeps the old lineage's applied-watermark
+            # from silently skipping the new lineage's batches
+            epoch_ns=f"{os.path.abspath(checkpoint_dir)}#{_lineage_token(checkpoint_dir)}",
             sink_factory=sink_factory,
             merge_prune=merge_prune,
             merge_mode=merge_mode,
@@ -343,4 +380,4 @@ def run_to_completion(
         spark, events_dir, table_path, checkpoint_dir, cfg, available_now=True, **kw
     )
     q.awaitTermination()
-    return kw.get("sink_factory", LakeTable)(table_path)
+    return (kw.get("sink_factory") or LakeTable)(table_path)

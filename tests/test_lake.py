@@ -242,7 +242,10 @@ def test_concurrent_commit_detected(spark, tmp_path):
 def test_orphan_manifest_recovery_after_crash(spark, tmp_path):
     """Crash between claiming manifest vN+1 and advancing CURRENT must NOT
     wedge the table: the restart's re-apply recognizes the orphan (CURRENT
-    still at vN) as an abandoned commit and replaces it (ADVICE r2)."""
+    still at vN) as an abandoned commit and ADOPTS it — raises CURRENT over
+    it (complete-on-link) and recommits on top (round-5 review: replacing
+    the orphan could destroy a manifest a monotonic repair or a successor
+    had already built on)."""
     import json
     import os
 
@@ -261,12 +264,14 @@ def test_orphan_manifest_recovery_after_crash(spark, tmp_path):
     old = time.time() - 2 * LakeTable.ORPHAN_STALENESS_SECS
     os.utime(opath, (old, old))
     assert t.current_version() == v
-    # the restarted writer re-applies the epoch: must reclaim, not raise
+    # the restarted writer re-applies the epoch: must adopt + recommit,
+    # not raise out of the bounded retry loop
     stats = t.merge_batch(
         _batch(spark, [("r/a", "f.py", 2 << 32, 0, "u", "c1", "py", "v2")]), 1, epoch_ns="s"
     )
     assert stats.get("skipped_replay") is not True
-    assert t.current_version() == v + 1
+    # the orphan was adopted at v+1; this merge committed on top at v+2
+    assert t.current_version() == v + 2
     assert t.read(spark).toPandas().iloc[0]["content"] == "v2"
     # and the next commit proceeds normally
     t.merge_batch(_batch(spark, [("r/a", "f.py", 3 << 32, 0, "u", "c2", "py", "v3")]), 2, epoch_ns="s")
