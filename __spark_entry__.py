@@ -1443,6 +1443,194 @@ def q_follow_lake_corpus(spark, sf_dir):
     return corpus.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
 
 
+# ---------------------------------------------------------------------------
+# corpus hygiene: decontamination, repetition, PII; event analytics
+# ---------------------------------------------------------------------------
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every training
+    document flagged/counted for word-n-gram overlap with the benchmark
+    side (here the deterministic doc_id % 37 == 0 subset standing in for
+    an eval set — no external data). n=4 instead of the GPT-3 default 13
+    because the synthetic corpus draws from a ~30-word vocabulary; the
+    semantics are n-invariant. Plan: map-side gram explode + broadcast
+    left join (eval grams are tiny at any corpus scale) + ONE partial-
+    agg'd groupBy(doc_id)."""
+    from oplogtoredis_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir, par=True)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        n=4,
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 4 THEN range(1, len(t) - 4 + 2)
+              ELSE [] END) AS u(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT b.gram) AS n
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.doc_id % 37 <> 0 GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n, 0) AS n_hit_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+"""
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals (operators/text.py
+    repetition_signals): dup-token ratio map-only; top-bigram share via
+    two partial-agg'd doc-keyed aggregations."""
+    from oplogtoredis_spark.operators.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir, par=True))
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+base AS (SELECT doc_id, len(t) AS n_tokens,
+                round(1 - len(list_distinct(t)) / len(t), 4)
+                  AS dup_token_ratio, t
+         FROM toks),
+bg AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bigram
+       FROM base,
+            UNNEST(CASE WHEN n_tokens >= 2 THEN range(1, n_tokens)
+                   ELSE [] END) AS u(i)),
+cnts AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(cnt) AS top_bigram_count,
+               CAST(sum(cnt) AS BIGINT) AS bigram_total
+        FROM cnts GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.dup_token_ratio,
+       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+       coalesce(t.bigram_total, 0) AS bigram_total,
+       round(coalesce(t.top_bigram_count / t.bigram_total, 0.0), 4)
+         AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def _pii_line():
+    """Deterministic PII-bearing text built ONLY from table columns (the
+    corpus itself carries no PII, so the redaction query would otherwise be
+    vacuous): 40 chars of real text + a synthetic contact line. The DuckDB
+    oracle builds the byte-identical string."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example."),
+        F.when(did % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+        F.lit(" tel 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (did % 200).cast("string"),
+        F.lit(".0."),
+        (did % 250 + 1).cast("string"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/pii.py): staged email→IPv4→phone regex
+    redaction with per-rule counters, all JVM-side regexp expressions —
+    map-only, runs inside the scan stage at any corpus size."""
+    from oplogtoredis_spark.operators.pii import redact_pii
+
+    src = _docs(spark, sf_dir, par=True).select(
+        "doc_id", _pii_line().alias("text")
+    )
+    return redact_pii(src)
+
+
+def _sql_pii_redact() -> str:
+    from oplogtoredis_spark.operators.pii import pii_rules_sql
+
+    redacted, counters = pii_rules_sql("t")
+    cols = ",\n       ".join(counters)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.' || CASE WHEN doc_id % 2 = 0 THEN 'com'
+                                  ELSE 'org' END
+           || ' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+           || CAST(doc_id % 250 + 1 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id, redacted, n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_pii
+FROM (SELECT doc_id, {redacted} AS redacted,
+       {cols}
+      FROM src)
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel signup→click→purchase (operators/analytics.py): per
+    user, stage k's timestamp = min event time of stage k's type at-or-
+    after stage k-1's resolved time. ONE Exchange (collect per user +
+    higher-order array mins) — the naive form is one self-join per stage;
+    the oracle IS that naive nested-min form."""
+    from oplogtoredis_spark.operators.analytics import funnel
+
+    return funnel(_ev(spark, sf_dir, par=True), ("signup", "click", "purchase"))
+
+
+SQL_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s2.t2 GROUP BY 1)
+SELECT u.user_id, s1.t1 AS t_signup_ms, s2.t2 AS t_click_ms,
+       s3.t3 AS t_purchase_ms,
+       CASE WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_event_value_percentiles(spark, sf_dir):
+    """Per-event-type value quantiles (operators/analytics.py): exact
+    interpolated percentile for oracle parity; the operator's
+    exact=False flag is the 100 TB path (approx_percentile's mergeable
+    sketch, map-side partial agg)."""
+    from oplogtoredis_spark.operators.analytics import value_quantiles
+
+    return value_quantiles(
+        _ev(spark, sf_dir, par=True), ("event_type",), "value"
+    )
+
+
+SQL_EVENT_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2103,6 +2291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "follow_lake_corpus": q_follow_lake_corpus,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
+        "funnel_stages": q_funnel_stages,
+        "event_value_percentiles": q_event_value_percentiles,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2166,6 +2359,11 @@ def oracle_sql() -> dict[str, str]:
         "follow_lake_corpus": SQL_CORPUS_PIPELINE,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
+        "decontaminate_ngram": SQL_DECONTAMINATE,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "pii_redact": SQL_PII_REDACT,
+        "funnel_stages": SQL_FUNNEL,
+        "event_value_percentiles": SQL_EVENT_PERCENTILES,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -224,6 +224,74 @@ def quality_filter(
     return kept, rejected
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per document:
+
+    - ``dup_token_ratio``   = 1 - distinct/total lowercase tokens (mass of
+      the document that is re-used vocabulary),
+    - ``top_bigram_count`` / ``bigram_total`` / ``top_bigram_frac`` = the
+      most-frequent word bigram's share of all bigrams (boilerplate /
+      degenerate-loop detector — the Gopher rule drops docs whose top
+      2-gram exceeds ~0.2 of the text).
+
+    Plan shape: the token-ratio side is a pure map-only projection; the
+    bigram side is explode → groupBy(doc_id, bigram) → groupBy(doc_id),
+    both partially aggregated map-side and both keyed by doc_id, so AQE
+    plans the final join without a third repartition. Keys are doc-scoped —
+    no skew at any corpus size. Docs with <2 tokens surface with
+    ``bigram_total = 0`` and ``top_bigram_frac = 0.0`` (never dropped).
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(t)) / F.size(t), 4
+        ).alias("dup_token_ratio"),
+        t.alias("_toks"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - 1),
+                    lambda i: F.array_join(F.slice("_toks", i, 2), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("top_bigram_count"),
+            F.sum("cnt").alias("bigram_total"),
+        )
+    )
+    return (
+        base.drop("_toks")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_ratio",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce("bigram_total", F.lit(0)).alias("bigram_total"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") / F.col("bigram_total"), F.lit(0.0)
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with all derived text features."""
     t = F.col(text_col)
