@@ -90,6 +90,11 @@ HEADLINE = [
     "ann_ivf_quantized_topk",
     "simhash_dup_pairs",
     "multimodal_features",
+    "decontaminate_ngram",
+    "doc_repetition",
+    "pii_redact",
+    "funnel_stages",
+    "event_value_percentiles",
 ]
 
 
