@@ -1631,6 +1631,79 @@ FROM events GROUP BY 1
 """
 
 
+def q_hopping_window_counts(spark, sf_dir):
+    """Hopping-window rates (operators/analytics.py hopping_window_agg):
+    per event_type, 6 h windows sliding every 2 h via the NATIVE window()
+    expression — map-side window expansion, partial agg before the one
+    Exchange, and the identical expression runs under Structured
+    Streaming with a watermark (pinned in test_analytics.py). The oracle
+    enumerates each event's duration/slide covering windows by integer
+    arithmetic."""
+    from oplogtoredis_spark.operators.analytics import hopping_window_agg
+
+    return hopping_window_agg(
+        _ev(spark, sf_dir, par=True),
+        "ts",
+        duration_ms=6 * 3600 * 1000,
+        slide_ms=2 * 3600 * 1000,
+        keys=("event_type",),
+    )
+
+
+SQL_HOPPING_WINDOWS = """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+cov AS (
+  SELECT event_type,
+         (ts_ms // 7200000 - i) * 7200000 AS w_start_ms
+  FROM e, UNNEST(range(0, 3)) AS u(i)
+)
+SELECT w_start_ms, w_start_ms + 21600000 AS w_end_ms, event_type,
+       count(*) AS n_events
+FROM cov GROUP BY 1, 2, 3
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/analytics.py retention_cohorts):
+    users bucketed by first-event week, counted per later active week.
+    ONE user-keyed shuffle does the work (min + collect_set of week
+    indices per user, then explode over the tiny (cohort, offset) space);
+    the oracle is the naive two-pass join-back form."""
+    from oplogtoredis_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_ev(spark, sf_dir, par=True))
+
+
+SQL_RETENTION = """
+WITH w AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+f AS (SELECT user_id, min(wk) AS cohort_period FROM w GROUP BY 1),
+a AS (SELECT DISTINCT w.user_id, f.cohort_period, w.wk
+      FROM w JOIN f USING (user_id))
+SELECT cohort_period, wk - cohort_period AS period_offset,
+       count(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
+def q_distinct_users_by_type(spark, sf_dir):
+    """Per-event-type distinct-user cardinality (operators/analytics.py
+    distinct_count): exact count_distinct for the oracle; exact=False is
+    the 100 TB path (approx_count_distinct = HyperLogLog++, mergeable
+    map-side sketch — cardinality without carrying distinct sets through
+    the shuffle)."""
+    from oplogtoredis_spark.operators.analytics import distinct_count
+
+    return distinct_count(
+        _ev(spark, sf_dir, par=True), ("event_type",), "user_id"
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2296,6 +2369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "funnel_stages": q_funnel_stages,
         "event_value_percentiles": q_event_value_percentiles,
+        "hopping_window_counts": q_hopping_window_counts,
+        "retention_cohorts": q_retention_cohorts,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2364,6 +2440,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "funnel_stages": SQL_FUNNEL,
         "event_value_percentiles": SQL_EVENT_PERCENTILES,
+        "hopping_window_counts": SQL_HOPPING_WINDOWS,
+        "retention_cohorts": SQL_RETENTION,
+        "distinct_users_by_type": SQL_DISTINCT_USERS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -85,6 +85,112 @@ def funnel(
     return out.select(user_col, *ts_cols, reached.alias("stage"))
 
 
+def hopping_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration_ms: int,
+    slide_ms: int,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Hopping (sliding) time-window aggregation via the NATIVE ``window``
+    expression: per (window, keys), default count — the rate/trend query
+    over the CDC feed.
+
+    ``duration_ms`` must be an integral multiple of ``slide_ms`` (each
+    event lands in exactly duration/slide windows — the oracle enumerates
+    them by integer arithmetic). Output carries ``w_start_ms``/``w_end_ms``
+    epoch millis, window = [start, end).
+
+    Scale shape: ``window()`` expands map-side (one row per covering
+    window, like any explode) and the groupBy partial-aggregates before
+    the single Exchange; the IDENTICAL expression runs under Structured
+    Streaming with a watermark (pinned in tests) — that is the reason to
+    use native window() over a manual explode.
+    """
+    if duration_ms % slide_ms != 0:
+        raise ValueError("duration_ms must be a multiple of slide_ms")
+    # Use the column AS-IS when it is already a timestamp: a cast — even a
+    # no-op one — strips the event-time watermark metadata, and streaming
+    # append-mode aggregation then fails analysis (STREAMING_OUTPUT_MODE).
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        ts = F.col(ts_col)
+    else:
+        ts = F.col(ts_col).cast("timestamp")
+    w = F.window(
+        ts, f"{duration_ms} milliseconds", f"{slide_ms} milliseconds"
+    )
+    out_aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n_events")]
+    grouped = df.groupBy(w.alias("_w"), *keys).agg(*out_aggs)
+    return grouped.select(
+        F.unix_millis("_w.start").alias("w_start_ms"),
+        F.unix_millis("_w.end").alias("w_end_ms"),
+        *keys,
+        *[c for c in grouped.columns if c not in ("_w", *keys)],
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ms: int = 7 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Cohort retention: users bucketed by the period of their FIRST event
+    (the cohort), counted in every later period they were active —
+    (cohort_period, period_offset, n_users).
+
+    One shuffle on the user key does all the work: per-user min period and
+    distinct active periods come out of a single groupBy (collect_set of
+    period indices — bounded: at most total-periods entries per user, a
+    few hundred even for years of data); the explode + final groupBy is
+    over the tiny (cohort, offset) key space. No join back to the fact
+    table, which the naive two-pass formulation (the oracle) needs.
+    """
+    wk = F.expr(
+        f"unix_millis(cast({ts_col} as timestamp)) div {period_ms}"
+    )
+    per_user = df.groupBy(user_col).agg(
+        F.min(wk).alias("cohort_period"),
+        F.collect_set(wk).alias("_periods"),
+    )
+    return (
+        per_user.select(
+            "cohort_period", F.explode("_periods").alias("_p")
+        )
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def distinct_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    exact: bool = True,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Per-key distinct cardinality: (keys..., n_distinct).
+
+    exact=True → real count_distinct (two-phase partial dedup, exact —
+    and the oracle). exact=False → approx_count_distinct (HyperLogLog++,
+    mergeable map-side sketch at relative error ``rsd``) — the 100 TB
+    path: cardinality estimation over billions of keys without carrying
+    the distinct sets through the shuffle.
+    """
+    agg = (
+        F.count_distinct(F.col(col))
+        if exact
+        else F.approx_count_distinct(col, rsd)
+    )
+    return df.groupBy(*keys).agg(agg.alias("n_distinct"))
+
+
 def value_quantiles(
     df: DataFrame,
     keys: Sequence[str],

@@ -35,29 +35,52 @@ from .text import tokens
 DEFAULT_N = 13
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of n-gram strings (space-joined lowercase token windows).
+def grams_from_tokens(toks: Column, n: int) -> Column:
+    """n-gram strings from an ALREADY-MATERIALIZED token-array column.
+
+    Callers must project the token array in a child select first
+    (``_exploded_grams`` below does): Catalyst performs no common-
+    subexpression elimination across higher-order-function lambda
+    boundaries, so closing over the raw ``split()`` expression re-runs
+    the regex tokenization once PER GRAM instead of once per document.
 
     Empty array when the document has fewer than n tokens — guarded
     explicitly because Spark's ``sequence(1, stop)`` with stop < 1 would
     generate a DESCENDING sequence, not an empty one.
     """
-    t = tokens(F.lower(text))
-    last = F.size(t) - F.lit(n - 1)
+    last = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), last),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.when(last >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Expression-level convenience (tests, one-off projections): grams
+    straight from a text column. For per-document fan-out use the
+    materialized path (see grams_from_tokens)."""
+    return grams_from_tokens(tokens(F.lower(text)), n)
+
+
+def _exploded_grams(
+    df: DataFrame, cols: tuple[str, ...], text_col: str, n: int, outer: bool
+) -> DataFrame:
+    """(cols..., gram) — token array materialized once per doc, THEN the
+    gram windows; the two selects stay separate plans (the token alias is
+    referenced more than once, so CollapseProject keeps the boundary)."""
+    explode = F.explode_outer if outer else F.explode
+    toks = df.select(*cols, tokens(F.lower(F.col(text_col))).alias("_t"))
+    return toks.select(
+        *cols, explode(grams_from_tokens(F.col("_t"), n)).alias("gram")
+    )
 
 
 def benchmark_ngrams(
     benchmark: DataFrame, text_col: str = "text", n: int = DEFAULT_N
 ) -> DataFrame:
     """Distinct gram set of the eval side — the broadcast dimension."""
-    return benchmark.select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    return _exploded_grams(benchmark, (), text_col, n, outer=False).distinct()
 
 
 def decontaminate(
@@ -76,9 +99,8 @@ def decontaminate(
     bench = benchmark_ngrams(benchmark, text_col, n).withColumn(
         "_hit", F.lit(1)
     )
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram"),
+    corpus_grams = _exploded_grams(
+        corpus, (id_col,), text_col, n, outer=True
     )
     joined = corpus_grams.join(F.broadcast(bench), "gram", "left")
     return joined.groupBy(id_col).agg(

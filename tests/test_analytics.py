@@ -79,6 +79,153 @@ def test_funnel_rejects_single_stage(spark, funnel_events):
         funnel(funnel_events, ("signup",))
 
 
+def test_hopping_window_membership_and_counts(spark):
+    """duration=3·slide: each event lands in exactly 3 windows, [start,end)
+    half-open (an event at exactly end is excluded)."""
+    from oplogtoredis_spark.operators.analytics import hopping_window_agg
+
+    df = spark.createDataFrame(
+        [_ev(1, 0, "click"), _ev(1, 30_000, "click"), _ev(1, 10_000, "view")]
+    )
+    out = hopping_window_agg(
+        df, "ts", duration_ms=30_000, slide_ms=10_000, keys=("event_type",)
+    )
+    base = int(
+        dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    rows = {
+        (r["w_start_ms"] - base, r["event_type"]): r["n_events"]
+        for r in out.collect()
+    }
+    # event at +0 covers starts -20k,-10k,0; event at +30k covers 10k,20k,30k
+    # → the [10k,40k) and [20k,50k) windows do NOT include the +0 event
+    # (half-open [start,end): 0+30k window ends at 30k, excludes ts=30k)
+    assert rows[(0, "click")] == 1
+    assert rows[(10_000, "click")] == 1 and rows[(20_000, "click")] == 1
+    assert rows[(-20_000, "click")] == 1 and rows[(30_000, "click")] == 1
+    assert rows[(0, "view")] == 1
+    # every click row covers exactly 3 windows → 6 click rows total
+    assert sum(1 for (s, t) in rows if t == "click") == 6
+
+
+def test_hopping_window_rejects_non_multiple(spark, funnel_events):
+    from oplogtoredis_spark.operators.analytics import hopping_window_agg
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(funnel_events, "ts", 25_000, 10_000)
+
+
+def test_hopping_window_streaming_matches_batch(spark, tmp_path):
+    """The identical window() expression under readStream + watermark
+    (append mode) emits the batch recompute once the watermark passes —
+    the reason to use native window() over a manual covering-window
+    explode."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.operators.analytics import hopping_window_agg
+
+    real = [("click", 0), ("click", 15_000), ("view", 25_000)]
+    late = [("click", 31_000)]
+    sentinel = [("click", 10_000_000)]
+    src = tmp_path / "hop"
+    src.mkdir()
+    for i, rows in enumerate([real, late, sentinel]):
+        p = str(src / f"{i:02d}.parquet")
+        pd.DataFrame(rows, columns=["event_type", "ts_ms"]).to_parquet(p)
+        t = time.time() - 100 + i
+        os.utime(p, (t, t))
+
+    def run(df):
+        # NB: df must already carry `ts` — re-deriving it here would
+        # clobber the watermark metadata on the streaming side.
+        return hopping_window_agg(
+            df, "ts", duration_ms=30_000, slide_ms=10_000,
+            keys=("event_type",),
+        )
+
+    expect = sorted(
+        tuple(r)
+        for r in run(
+            spark.read.parquet(str(src)).withColumn(
+                "ts", F.timestamp_millis("ts_ms")
+            )
+        ).collect()
+        if r["w_start_ms"] < 9_000_000
+    )
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "3 seconds")
+    )
+    q = (
+        run(stream)
+        .writeStream.format("memory")
+        .queryName("hop_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.table("hop_stream").collect()
+        if r["w_start_ms"] < 9_000_000
+    )
+    assert got == expect
+    # the late file's 31s click merged into the already-open [10k,40k)
+    # window across micro-batches
+    assert any(r[0] == 10_000 and r[2] == "click" and r[3] == 2 for r in got)
+
+
+def test_retention_cohorts_known_matrix(spark):
+    from oplogtoredis_spark.operators.analytics import retention_cohorts
+
+    wk = 7 * 24 * 3600 * 1000
+    df = spark.createDataFrame(
+        [
+            # u1: first in week 0, active weeks 0,1,3 (week 1 twice — still 1 user)
+            _ev(1, 0, "x"), _ev(1, wk, "x"), _ev(1, wk + 5, "x"),
+            _ev(1, 3 * wk, "x"),
+            # u2: first in week 0, only week 0
+            _ev(2, 5, "x"),
+            # u3: first in week 1, active weeks 1,2
+            _ev(3, wk + 10, "x"), _ev(3, 2 * wk, "x"),
+        ]
+    )
+    rows = {
+        (r["cohort_period"] - 2922, r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }  # 2026-01-01 is week index 2922 since epoch
+    assert rows == {
+        (0, 0): 2, (0, 1): 1, (0, 3): 1,
+        (1, 0): 1, (1, 1): 1,
+    }
+
+
+def test_distinct_count_exact_and_approx(spark):
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.operators.analytics import distinct_count
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 997).alias("v")
+    )
+    exact = {r["k"]: r["n_distinct"] for r in
+             distinct_count(df, ("k",), "v").collect()}
+    assert exact == {0: 997, 1: 997, 2: 997}
+    approx = {r["k"]: r["n_distinct"] for r in
+              distinct_count(df, ("k",), "v", exact=False).collect()}
+    for k, n in approx.items():
+        assert abs(n - 997) / 997 < 0.05, (k, n)
+
+
 def test_value_quantiles_exact_matches_numpy(spark):
     vals = [float(v) for v in (1, 3, 3, 5, 9, 11, 20, 20, 21, 40)]
     df = spark.createDataFrame(
