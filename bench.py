@@ -95,6 +95,9 @@ HEADLINE = [
     "pii_redact",
     "funnel_stages",
     "event_value_percentiles",
+    "hopping_window_counts",
+    "retention_cohorts",
+    "distinct_users_by_type",
 ]
 
 
