@@ -56,6 +56,120 @@ def test_lww_collapse_order_invariant_and_duplicate_absorbing(spark, rows, seed)
         assert got == _oracle_lww(rows)
 
 
+# ---------------------------------------------------------------------------
+# funnel vs a pure-Python reference over random event sequences
+# ---------------------------------------------------------------------------
+funnel_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),                  # user
+        st.integers(min_value=0, max_value=20),                 # ts_ms
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _oracle_funnel(rows, stages=("signup", "click", "purchase")):
+    out = {}
+    for uid in {r[0] for r in rows}:
+        evs = [(t, e) for u, t, e in rows if u == uid]
+        ts, prev = [], None
+        for s in stages:
+            cand = [
+                t for t, e in evs
+                if e == s and (prev is None or t >= prev)
+            ]
+            cur = min(cand) if cand and (prev is not None or s == stages[0]) else None
+            if prev is None and s != stages[0]:
+                cur = None
+            ts.append(cur)
+            if cur is None:
+                break
+            prev = cur
+        ts += [None] * (len(stages) - len(ts))
+        stage = next((i for i, t in enumerate(ts) if t is None), len(stages))
+        out[uid] = (tuple(ts), stage)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=funnel_events_strategy)
+def test_funnel_matches_reference_fold(spark, rows):
+    import datetime as dt
+
+    from oplogtoredis_spark.operators.analytics import funnel
+
+    base = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(milliseconds=t), e)
+            for u, t, e in rows
+        ],
+        "user_id int, ts timestamp, event_type string",
+    )
+    base_ms = int(
+        dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    got = {
+        r["user_id"]: (
+            tuple(
+                None if r[c] is None else r[c] - base_ms
+                for c in ("t_signup_ms", "t_click_ms", "t_purchase_ms")
+            ),
+            r["stage"],
+        )
+        for r in funnel(df, ("signup", "click", "purchase")).collect()
+    }
+    assert got == _oracle_funnel(rows)
+
+
+# ---------------------------------------------------------------------------
+# decontamination vs brute-force set intersection
+# ---------------------------------------------------------------------------
+text_strategy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(text_strategy, min_size=1, max_size=5),
+    bench=st.lists(text_strategy, min_size=1, max_size=3),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_decontaminate_matches_set_intersection(spark, corpus, bench, n):
+    from pyspark.sql import Row
+
+    from oplogtoredis_spark.operators.decontam import decontaminate
+
+    def grams(text):
+        import re
+
+        # mirror Spark/DuckDB split semantics exactly: splitting the
+        # trimmed empty string yields [""], not [] (one empty token)
+        toks = re.split(r"\s+", text.strip().lower())
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_grams = set().union(*(grams(t) for t in bench)) if bench else set()
+    expect = {
+        i: len(grams(t) & bench_grams) for i, t in enumerate(corpus)
+    }
+    cdf = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    bdf = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(bench)]
+    )
+    got = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in decontaminate(cdf, bdf, n=n).collect()
+    }
+    assert got == expect
+
+
 doc_strategy = st.dictionaries(
     st.sampled_from(["a", "b", "c"]),
     st.one_of(st.integers(-5, 5), st.text(alphabet="pq", max_size=2)),
