@@ -1704,6 +1704,137 @@ FROM events GROUP BY 1
 """
 
 
+def q_corpus_hygiene_report(spark, sf_dir):
+    """The production per-(lang, source) corpus hygiene report — the
+    weekly job every training-data pipeline runs, composed from the
+    quality gate, repetition signals, and decontamination in ONE plan:
+    doc counts, per-reason reject counts, contamination count,
+    Gopher-threshold high-repetition count, dup-ratio mass (e4
+    fixed-point sum — order-independent across engines, unlike a float
+    mean), and total token count. Every join is doc-keyed; the final
+    groupBy key space is tiny."""
+    from oplogtoredis_spark.operators.decontam import decontaminate
+    from oplogtoredis_spark.operators.text import (
+        quality_filter,
+        repetition_signals,
+    )
+
+    docs = _docs(spark, sf_dir, par=True)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    kept, rejected = quality_filter(
+        corpus.select("doc_id", "lang", "source", "text"),
+        min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",),
+    )
+    verdicts = kept.select(
+        "doc_id", "lang", "source", F.lit("kept").alias("verdict")
+    ).unionByName(
+        rejected.select(
+            "doc_id", "lang", "source",
+            F.col("reject_reason").alias("verdict"),
+        )
+    )
+    rep = repetition_signals(corpus)
+    dc = decontaminate(corpus, bench, n=4)
+
+    def n_verdict(v):
+        return F.count(F.when(F.col("verdict") == v, 1)).alias(f"n_{v}")
+
+    return (
+        verdicts.join(rep, "doc_id")
+        .join(dc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_verdict("kept"),
+            n_verdict("too_short"),
+            n_verdict("low_alpha"),
+            n_verdict("low_quality"),
+            n_verdict("wrong_lang"),
+            F.sum(F.col("contaminated").cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.sum(
+                (F.col("top_bigram_frac") > 0.2).cast("long")
+            ).alias("n_high_repetition"),
+            F.sum(
+                F.round(F.col("dup_token_ratio") * 10000, 0).cast("long")
+            ).alias("sum_dup_ratio_e4"),
+            F.sum(F.col("n_tokens").cast("long")).alias("n_tokens_total"),
+        )
+    )
+
+
+SQL_CORPUS_HYGIENE_REPORT = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 37 <> 0),
+ t AS (SELECT doc_id, lang, source, text,
+              {_TOKS.format(x='text')} AS toks FROM corpus),
+ feat AS (SELECT doc_id, lang, source,
+    len(toks) AS n_tokens,
+    len(list_intersect(list_distinct({_TOKS.format(x='lower(text)')}),
+        {_EN_STOP})) AS hits,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+          / length(text), 4) AS alpha
+  FROM t),
+ q AS (SELECT *, round(0.4 * least(n_tokens / 200.0, 1.0) + 0.4 * alpha
+          + 0.2 * least(hits / 5.0, 1.0), 4) AS quality FROM feat),
+ v AS (SELECT doc_id, lang, source, n_tokens,
+    CASE WHEN n_tokens < 20 THEN 'too_short'
+         WHEN alpha < 0.55 THEN 'low_alpha'
+         WHEN quality < 0.5 THEN 'low_quality'
+         WHEN (CASE WHEN hits >= 2 THEN 'en' ELSE 'unk' END) != 'en'
+           THEN 'wrong_lang'
+         ELSE 'kept' END AS verdict
+  FROM q),
+ ltoks AS (SELECT doc_id, {_TOKS.format(x='lower(text)')} AS t FROM corpus),
+ rbase AS (SELECT doc_id, len(t) AS n_toks,
+                  round(1 - len(list_distinct(t)) / len(t), 4)
+                    AS dup_token_ratio, t
+           FROM ltoks),
+ bg AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS bigram
+        FROM rbase,
+             UNNEST(CASE WHEN n_toks >= 2 THEN range(1, n_toks)
+                    ELSE [] END) AS u(i)),
+ bcnt AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+ rtop AS (SELECT doc_id, max(cnt) AS top_cnt,
+                 CAST(sum(cnt) AS BIGINT) AS bg_total
+          FROM bcnt GROUP BY 1),
+ rep AS (SELECT b.doc_id, b.dup_token_ratio,
+                round(coalesce(t.top_cnt / t.bg_total, 0.0), 4)
+                  AS top_bigram_frac
+         FROM rbase b LEFT JOIN rtop t USING (doc_id)),
+ gtoks AS (SELECT doc_id, {_TOKS.format(x='trim(lower(text))')} AS t
+           FROM documents),
+ grams AS (
+   SELECT doc_id, array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+   FROM gtoks,
+        UNNEST(CASE WHEN len(t) >= 4 THEN range(1, len(t) - 4 + 2)
+               ELSE [] END) AS u(i)),
+ bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+ hits2 AS (SELECT g.doc_id, count(DISTINCT b.gram) AS n
+           FROM grams g JOIN bench b USING (gram)
+           WHERE g.doc_id % 37 <> 0 GROUP BY 1),
+ dc AS (SELECT c.doc_id, coalesce(h.n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits2 h USING (doc_id))
+SELECT v.lang, v.source,
+  count(*) AS n_docs,
+  count(*) FILTER (v.verdict = 'kept') AS n_kept,
+  count(*) FILTER (v.verdict = 'too_short') AS n_too_short,
+  count(*) FILTER (v.verdict = 'low_alpha') AS n_low_alpha,
+  count(*) FILTER (v.verdict = 'low_quality') AS n_low_quality,
+  count(*) FILTER (v.verdict = 'wrong_lang') AS n_wrong_lang,
+  CAST(sum(CASE WHEN dc.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated,
+  CAST(sum(CASE WHEN rep.top_bigram_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_high_repetition,
+  CAST(sum(CAST(round(rep.dup_token_ratio * 10000, 0) AS BIGINT)) AS BIGINT)
+    AS sum_dup_ratio_e4,
+  CAST(sum(v.n_tokens) AS BIGINT) AS n_tokens_total
+FROM v JOIN rep USING (doc_id) JOIN dc USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from oplogtoredis_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -2372,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_counts": q_hopping_window_counts,
         "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
+        "corpus_hygiene_report": q_corpus_hygiene_report,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2443,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_window_counts": SQL_HOPPING_WINDOWS,
         "retention_cohorts": SQL_RETENTION,
         "distinct_users_by_type": SQL_DISTINCT_USERS,
+        "corpus_hygiene_report": SQL_CORPUS_HYGIENE_REPORT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

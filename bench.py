@@ -98,6 +98,7 @@ HEADLINE = [
     "hopping_window_counts",
     "retention_cohorts",
     "distinct_users_by_type",
+    "corpus_hygiene_report",
 ]
 
 
