@@ -46,6 +46,10 @@ def funnel(
     """
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        # duplicate names would collide on t_<stage>_ms and silently
+        # corrupt the chain (withColumn overwrites the earlier stage)
+        raise ValueError(f"duplicate stage names: {list(stages)}")
     # NTZ parquet timestamps cast to session-tz TIMESTAMP first (session tz
     # is UTC here, so the millis match DuckDB's epoch_ms) — unix_millis
     # rejects TIMESTAMP_NTZ directly.
@@ -212,7 +216,15 @@ def value_quantiles(
         if exact
         else F.approx_percentile(F.col(value_col), probs, F.lit(accuracy))
     )
-    names = [f"p{str(q)[2:].ljust(2, '0')}" for q in qs]
+    def _pname(q: float) -> str:
+        pct = round(q * 100.0, 6)  # 0.99*100 is 99.00000000000001 raw
+        if pct == int(pct):
+            return f"p{int(pct)}"          # 0.5 → p50, 1.0 → p100
+        return "p" + str(pct).replace(".", "_")  # 0.999 → p99_9
+
+    names = [_pname(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile names: {names}")
     out = df.groupBy(*keys).agg(agg.alias("_qs"))
     return out.select(
         *keys,

@@ -79,6 +79,28 @@ def test_funnel_rejects_single_stage(spark, funnel_events):
         funnel(funnel_events, ("signup",))
 
 
+def test_funnel_rejects_duplicate_stage_names(spark, funnel_events):
+    """Duplicates would collide on t_<stage>_ms and silently corrupt the
+    chain (withColumn overwrites the earlier stage)."""
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel(funnel_events, ("signup", "click", "signup"))
+
+
+def test_value_quantiles_column_naming(spark):
+    from pyspark.sql import functions as F
+
+    from oplogtoredis_spark.operators.analytics import value_quantiles
+
+    df = spark.range(100).select(
+        F.lit("a").alias("k"), F.col("id").cast("double").alias("value")
+    )
+    out = value_quantiles(df, ("k",), "value", qs=(0.05, 0.5, 0.99, 0.999, 1.0))
+    # float-exact names: 0.99*100 is 99.00000000000001 raw — must not leak
+    assert out.columns == ["k", "p5", "p50", "p99", "p99_9", "p100"]
+    r = out.first()
+    assert r["p100"] == 99.0 and r["p5"] == round(99 * 0.05, 4)
+
+
 def test_hopping_window_membership_and_counts(spark):
     """duration=3·slide: each event lands in exactly 3 windows, [start,end)
     half-open (an event at exactly end is excluded)."""
