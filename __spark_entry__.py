@@ -1704,6 +1704,66 @@ FROM events GROUP BY 1
 """
 
 
+def q_topk_users_by_type(spark, sf_dir):
+    """Top-3 users by total value per event type (operators/analytics.py
+    topk_per_group): rank-over-window compiles to WindowGroupLimit — map
+    tasks pre-prune to k rows per group BEFORE the shuffle, so a skewed
+    group ships O(k x map_tasks) rows (the stratified_sample mechanism,
+    demonstrated here on an aggregate)."""
+    from oplogtoredis_spark.operators.analytics import topk_per_group
+
+    totals = (
+        _ev(spark, sf_dir, par=True)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias(
+                "total_value_e4"
+            )
+        )
+    )
+    return topk_per_group(
+        totals, ("event_type",), "total_value_e4", k=3, tiebreak="user_id"
+    )
+
+
+SQL_TOPK_USERS = """
+WITH t AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS total_value_e4
+  FROM events GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT event_type, user_id, total_value_e4,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value_e4 DESC, user_id)
+           AS rk
+  FROM t)
+WHERE rk <= 3
+"""
+
+
+def q_props_field_histogram(spark, sf_dir):
+    """JSON payload field extraction + histogram (operators/analytics.py
+    json_field_stats): get_json_object is a JVM-side expression running
+    inside the scan stage — the downstream CDC-consumer pattern for
+    payloads the envelope keeps opaque (sources/envelope.py)."""
+    from oplogtoredis_spark.operators.analytics import json_field_stats
+
+    return json_field_stats(
+        _ev(spark, sf_dir, par=True), "props", "k", keys=("event_type",)
+    )
+
+
+SQL_PROPS_HISTOGRAM = """
+WITH v AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS _v
+           FROM events)
+SELECT event_type, _v % 10 AS bucket, count(*) AS n_events,
+       min(_v) AS min_v, max(_v) AS max_v
+FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_corpus_hygiene_report(spark, sf_dir):
     """The production per-(lang, source) corpus hygiene report — the
     weekly job every training-data pipeline runs, composed from the
@@ -2504,6 +2564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "distinct_users_by_type": q_distinct_users_by_type,
         "corpus_hygiene_report": q_corpus_hygiene_report,
+        "topk_users_by_type": q_topk_users_by_type,
+        "props_field_histogram": q_props_field_histogram,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2576,6 +2638,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": SQL_RETENTION,
         "distinct_users_by_type": SQL_DISTINCT_USERS,
         "corpus_hygiene_report": SQL_CORPUS_HYGIENE_REPORT,
+        "topk_users_by_type": SQL_TOPK_USERS,
+        "props_field_histogram": SQL_PROPS_HISTOGRAM,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

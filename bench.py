@@ -99,6 +99,8 @@ HEADLINE = [
     "retention_cohorts",
     "distinct_users_by_type",
     "corpus_hygiene_report",
+    "topk_users_by_type",
+    "props_field_histogram",
 ]
 
 

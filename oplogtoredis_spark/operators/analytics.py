@@ -195,6 +195,60 @@ def distinct_count(
     return df.groupBy(*keys).agg(agg.alias("n_distinct"))
 
 
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-k rows per key group by ``order_col`` (desc by default),
+    deterministic via ``tiebreak``: (keys..., rk, original columns).
+
+    Scale shape: rank-over-window compiles to WindowGroupLimit in Spark 4
+    — each map task pre-prunes its partition to k rows per group BEFORE
+    the shuffle (the same mechanism stratified_sample pins), so a skewed
+    group ships O(k × map_tasks) rows, never its full cardinality.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(oc, F.col(tiebreak).asc())
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str,
+    field: str,
+    keys: Sequence[str] = (),
+    buckets: int = 10,
+) -> DataFrame:
+    """Histogram of an integer field inside a JSON-string column:
+    (keys..., bucket, n_events, min_v, max_v).
+
+    ``get_json_object`` is a JVM-side expression (no UDF): the extraction
+    runs inside the scan stage — the CDC-consumer pattern for payloads the
+    envelope keeps opaque (sources/envelope.py leaves the payload as raw
+    JSON by design; this is the downstream that picks fields out of it).
+    """
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+    return (
+        df.select(*keys, v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy(*keys, (F.col("_v") % buckets).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+        )
+    )
+
+
 def value_quantiles(
     df: DataFrame,
     keys: Sequence[str],

@@ -248,6 +248,47 @@ def test_distinct_count_exact_and_approx(spark):
         assert abs(n - 997) / 997 < 0.05, (k, n)
 
 
+def test_topk_per_group_semantics_and_plan(spark):
+    from pyspark.sql import Row
+
+    from oplogtoredis_spark.operators.analytics import topk_per_group
+
+    df = spark.createDataFrame(
+        [
+            Row(g="a", uid=1, v=10), Row(g="a", uid=2, v=30),
+            Row(g="a", uid=3, v=20), Row(g="a", uid=4, v=30),  # tie on 30
+            Row(g="b", uid=5, v=1),
+        ]
+    )
+    out = topk_per_group(df, ("g",), "v", k=2, tiebreak="uid")
+    rows = sorted((r["g"], r["rk"], r["uid"]) for r in out.collect())
+    # tie at v=30 resolved by ascending uid: uid=2 ranks before uid=4
+    assert rows == [("a", 1, 2), ("a", 2, 4), ("b", 1, 5)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side pre-prune before shuffle
+
+
+def test_json_field_stats_nulls_and_malformed(spark):
+    from pyspark.sql import Row
+
+    from oplogtoredis_spark.operators.analytics import json_field_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", props='{"k": 7}'),
+            Row(k="a", props='{"k": 17}'),
+            Row(k="a", props='{"other": 1}'),   # field absent → dropped
+            Row(k="a", props="not json"),        # malformed → dropped
+            Row(k="a", props=None),              # null → dropped
+        ]
+    )
+    rows = {
+        r["bucket"]: (r["n_events"], r["min_v"], r["max_v"])
+        for r in json_field_stats(df, "props", "k", keys=("k",)).collect()
+    }
+    assert rows == {7: (2, 7, 17)}
+
+
 def test_value_quantiles_exact_matches_numpy(spark):
     vals = [float(v) for v in (1, 3, 3, 5, 9, 11, 20, 20, 21, 40)]
     df = spark.createDataFrame(
