@@ -1704,6 +1704,108 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_interval_join_events(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (streaming/joins.py): two
+    live feeds (clicks, purchases) correlated per user within a 6 h
+    window, driven through REAL availableNow streams — each side split
+    into two time-ordered files so cross-batch matches exercise both
+    state stores. The watermark delay exceeds the data's span, so nothing
+    is late and the emitted set equals the batch theta join (the oracle)
+    EXACTLY; tests pin the bounded-state/late-drop behavior under tight
+    watermarks (tests/test_stream_joins.py)."""
+    import tempfile
+    import uuid
+
+    from oplogtoredis_spark.streaming.joins import interval_join
+
+    ev = _ev(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="otr_ssj_")
+
+    def dump(df, sub):
+        import os
+        import time as _t
+
+        pdf = df.toPandas().sort_values("ts_ms")
+        mid = len(pdf) // 2
+        d = f"{base}/{sub}"
+        os.makedirs(d)
+        for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
+            p = f"{d}/{i:02d}.parquet"
+            half.to_parquet(p, index=False)
+            t = _t.time() - 100 + i
+            os.utime(p, (t, t))
+        return d
+
+    clicks = dump(
+        ev.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", _ts_ms().alias("ts_ms")
+        ),
+        "clicks",
+    )
+    purchases = dump(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            "event_id",
+            _ts_ms().alias("ts_ms"),
+            F.round("value", 4).alias("value"),
+        ),
+        "purchases",
+    )
+    ls = (
+        spark.readStream.schema("user_id long, event_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .drop("ts_ms")
+    )
+    rs = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_ms long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(purchases)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .drop("ts_ms")
+    )
+    out = interval_join(
+        ls, rs, on="user_id", left_ts="ts", right_ts="ts",
+        lower_ms=0, upper_ms=6 * 3600 * 1000,
+        watermark_delay="90 days", prefix="p_",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "p_event_id",
+        F.unix_millis("p_ts").alias("p_ts_ms"),
+        "p_value",
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+           WHERE event_type = 'click'),
+ p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+              round(value, 4) AS value FROM events
+       WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts_ms,
+       p.event_id AS p_event_id, p.ts_ms AS p_ts_ms, p.value AS p_value
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.ts_ms >= c.ts_ms AND p.ts_ms <= c.ts_ms + 21600000
+"""
+
+
 def q_topk_users_by_type(spark, sf_dir):
     """Top-3 users by total value per event type (operators/analytics.py
     topk_per_group): rank-over-window compiles to WindowGroupLimit — map
@@ -2566,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hygiene_report": q_corpus_hygiene_report,
         "topk_users_by_type": q_topk_users_by_type,
         "props_field_histogram": q_props_field_histogram,
+        "stream_interval_join_events": q_stream_interval_join_events,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2640,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hygiene_report": SQL_CORPUS_HYGIENE_REPORT,
         "topk_users_by_type": SQL_TOPK_USERS,
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
+        "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

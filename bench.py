@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_hygiene_report",
     "topk_users_by_type",
     "props_field_histogram",
+    "stream_interval_join_events",
 ]
 
 
