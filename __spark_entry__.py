@@ -1866,6 +1866,72 @@ FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Wide daily activity matrix via native pivot with an EXPLICIT value
+    list (day × one count column per event type): the explicit list keeps
+    the schema deterministic and skips the extra distinct-values job a
+    bare pivot() runs — at 100 TB the pivot is then just one groupBy with
+    conditional aggregates (exactly the oracle's FILTER form)."""
+    ev = _ev(spark, sf_dir, par=True)
+    day = F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+    types = ["click", "view", "signup", "purchase", "error"]
+    wide = ev.groupBy(day.alias("day")).pivot("event_type", types).count()
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT epoch_ms(ts) // 86400000 AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+
+def q_rollup_value_by_type_day(spark, sf_dir):
+    """Hierarchical subtotals via native ROLLUP (event_type, day): leaf
+    rows + per-type subtotals + grand total in ONE pass — Spark expands
+    grouping sets inside the aggregate (partial agg still applies), no
+    self-union of three groupBys. ``lvl`` is grouping_id so consumers can
+    split the levels; sums are e4 fixed-point (order-independent across
+    engines)."""
+    ev = _ev(spark, sf_dir, par=True)
+    day = F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+    return (
+        ev.select(
+            "event_type",
+            day.alias("day"),
+            F.round(F.col("value") * 10000, 0).cast("long").alias("v4"),
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.grouping_id("event_type", "day").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v4").alias("sum_value_e4"),
+        )
+    )
+
+
+SQL_ROLLUP_VALUE = """
+SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+       CAST(grouping(event_type) * 2 + grouping(epoch_ms(ts) // 86400000)
+            AS INT) AS lvl,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_e4
+FROM events
+GROUP BY ROLLUP (event_type, epoch_ms(ts) // 86400000)
+"""
+
+
 def q_corpus_hygiene_report(spark, sf_dir):
     """The production per-(lang, source) corpus hygiene report — the
     weekly job every training-data pipeline runs, composed from the
@@ -2669,6 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_by_type": q_topk_users_by_type,
         "props_field_histogram": q_props_field_histogram,
         "stream_interval_join_events": q_stream_interval_join_events,
+        "event_type_pivot": q_event_type_pivot,
+        "rollup_value_by_type_day": q_rollup_value_by_type_day,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2744,6 +2812,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_users_by_type": SQL_TOPK_USERS,
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
         "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
+        "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+        "rollup_value_by_type_day": SQL_ROLLUP_VALUE,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -102,6 +102,8 @@ HEADLINE = [
     "topk_users_by_type",
     "props_field_histogram",
     "stream_interval_join_events",
+    "event_type_pivot",
+    "rollup_value_by_type_day",
 ]
 
 

@@ -67,7 +67,10 @@ def interval_join(
         r = r.withWatermark(prefix + right_ts, watermark_delay)
 
     def _iv(ms: int):
-        return F.make_dt_interval(secs=F.lit(ms / 1000.0))
+        # a plain day-time INTERVAL literal, not make_dt_interval(): the
+        # stream-stream OUTER join analyzer derives state watermarks only
+        # from literal interval arithmetic in the range condition
+        return F.expr(f"INTERVAL '{ms / 1000.0}' SECOND")
 
     rts = F.col(prefix + right_ts)
     lts = F.col(left_ts)

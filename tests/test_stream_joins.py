@@ -146,6 +146,48 @@ def test_state_eviction_is_watermark_bounded(spark, tmp_path):
     assert min(totals) <= 4, totals
 
 
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter: matched rows emit like inner; an unmatched left row is
+    emitted with nulls once the watermark proves no future right row can
+    match it (here the availableNow run's final watermark advance)."""
+    lrows = [
+        [(1, 1000, 1), (2, 1000, 2)],           # lid=2 never matches
+        [(1, 500_000, 3)],                       # advances the watermark
+    ]
+    rrows = [
+        [(1, 1500, 10)],
+        [(1, 500_100, 11)],
+    ]
+    lp = _write_batches(tmp_path / "l", lrows, ["k", "ts_ms", "lid"])
+    rp = _write_batches(tmp_path / "r", rrows, ["k", "ts_ms", "rid"])
+    ls = spark.readStream.schema("k long, ts_ms long, lid long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(lp)
+    rs = spark.readStream.schema("k long, ts_ms long, rid long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(rp)
+    out = interval_join(
+        _with_ts(ls), _with_ts(rs), on="k", left_ts="ts", right_ts="ts",
+        lower_ms=0, upper_ms=1000, watermark_delay="2 seconds",
+        how="leftOuter",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["lid"], r["r_rid"]) for r in spark.table("ssj_outer").collect()
+    )
+    assert (1, 10) in got                      # matched pair
+    assert (2, None) in got                    # unmatched left, null-padded
+    assert (3, 11) in got
+
+
 def test_prefix_collision_raises(spark):
     df = spark.createDataFrame([Row(k=1, ts_ms=0, r_v=1)])
     with pytest.raises(ValueError, match="collide"):
