@@ -1866,6 +1866,75 @@ FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_funnel_stream_events(spark, sf_dir):
+    """LIVE funnel tracking (streaming/stateful.py funnel_stream): the
+    batch funnel's state machine carried across micro-batches with
+    applyInPandasWithState — one emission per key per batch it advanced,
+    stage strictly increasing, O(keys) fixed-width state. Driven through a
+    REAL availableNow stream over two time-ordered files (the engine's
+    B2 per-key ordered-delivery contract, which the fold builds on); the
+    latest emission per user + the stage-0 users IS the batch funnel, so
+    the oracle is SQL_FUNNEL — unchanged by design."""
+    import os
+    import tempfile
+    import time as _t
+    import uuid
+
+    from oplogtoredis_spark.streaming.stateful import funnel_stream
+
+    ev = _ev(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="otr_fst_")
+    pdf = (
+        ev.select(
+            "user_id", _ts_ms().alias("ts_ms"), "event_type"
+        )
+        .toPandas()
+        .sort_values("ts_ms")
+    )
+    mid = len(pdf) // 2
+    src = f"{base}/events"
+    os.makedirs(src)
+    for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
+        p = f"{src}/{i:02d}.parquet"
+        half.to_parquet(p, index=False)
+        t0 = _t.time() - 100 + i
+        os.utime(p, (t0, t0))
+    stages = ("signup", "click", "purchase")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_ms long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"fst_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stream(stream, stages)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ts_cols = [f"t_{s}_ms" for s in stages]
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("stage").alias("stage"),
+            *[F.max_by(c, "stage").alias(c) for c in ts_cols],
+        )
+    )
+    users = _ev(spark, sf_dir, par=True).select("user_id").distinct()
+    return users.join(latest, "user_id", "left").select(
+        "user_id",
+        *ts_cols,
+        F.coalesce("stage", F.lit(0)).alias("stage"),
+    )
+
+
 def q_event_type_pivot(spark, sf_dir):
     """Wide daily activity matrix via native pivot with an EXPLICIT value
     list (day × one count column per event type): the explicit list keeps
@@ -2737,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_events": q_stream_interval_join_events,
         "event_type_pivot": q_event_type_pivot,
         "rollup_value_by_type_day": q_rollup_value_by_type_day,
+        "funnel_stream_events": q_funnel_stream_events,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2814,6 +2884,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "rollup_value_by_type_day": SQL_ROLLUP_VALUE,
+        # the streaming funnel's converged state must equal the batch
+        # funnel — the oracle is SQL_FUNNEL, unchanged by design
+        "funnel_stream_events": SQL_FUNNEL,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

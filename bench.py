@@ -104,6 +104,7 @@ HEADLINE = [
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",
+    "funnel_stream_events",
 ]
 
 

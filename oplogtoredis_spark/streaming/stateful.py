@@ -179,3 +179,103 @@ def interval_max_stream(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    key_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """LIVE ordered-funnel tracking: per key, carry the resolved stage
+    timestamps across micro-batches and EMIT one row per batch in which the
+    key advanced at least one stage — ``(key, stage, t_<stage>_ms...)``,
+    with ``stage`` strictly increasing across a key's emissions. The latest
+    emission per key therefore equals the batch funnel
+    (operators/analytics.funnel), which is exactly how the driver query's
+    oracle checks it (SQL_FUNNEL, unchanged).
+
+    Semantics: stage k's timestamp = the FIRST eligible event time — an
+    event of stage k's type at-or-after stage k-1's resolved time (ties
+    cascade: simultaneous signup+click+purchase fills all three, the batch
+    operator's >= rule). Within a micro-batch rows are folded in event-time
+    order (chunk-order invariant, same discipline as interval_max_stream).
+
+    Delivery contract: per-key EVENT-TIME-ORDERED arrival across batches —
+    the engine's B2 per-key ordering guarantee, the same contract
+    streaming/history.py's fold builds on. A cross-batch late event (older
+    than already-resolved state) cannot retro-lower a stage timestamp —
+    exact nested-min maintenance under disorder would require retaining
+    every event per key, i.e. unbounded state; late events are ignored
+    (monotone rule, pinned in tests).
+
+    State is one fixed-width row of n stage timestamps per key — O(keys),
+    independent of stream length; Spark checkpoints it with the query.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"duplicate stage names: {list(stages)}")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(stages)
+    ts_cols = [f"t_{s}_ms" for s in stages]
+    out_schema = (
+        f"{key_col} long, stage int, "
+        + ", ".join(f"{c} long" for c in ts_cols)
+    )
+    state_schema = ", ".join(f"s{i} long" for i in range(n))
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        t = list(state.get) if state.exists else [-1] * n
+        before = t.count(-1)
+        # drain all Arrow chunks, keep only funnel-relevant rows, fold in
+        # event-time order (chunk order is arbitrary)
+        rows = []
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            rel = pdf[pdf[type_col].isin(stages)]
+            rows.extend(
+                zip(rel[ts_ms_col].astype("int64"), rel[type_col])
+            )
+        rows.sort(key=lambda r: r[0])
+        # process per DISTINCT ts with stage-order fills: simultaneous
+        # events must cascade (signup+click at one ts fills both) whatever
+        # order the sort left equal-ts rows in
+        from itertools import groupby
+
+        for ts, grp in groupby(rows, key=lambda r: r[0]):
+            present = {stage_of[e] for _, e in grp}
+            for k in range(n):
+                if (
+                    t[k] == -1
+                    and k in present
+                    and (k == 0 or (t[k - 1] != -1 and ts >= t[k - 1]))
+                ):
+                    t[k] = int(ts)
+        if t.count(-1) < before:
+            state.update(tuple(t))
+            stage = next((i for i, v in enumerate(t) if v == -1), n)
+            yield pd.DataFrame(
+                [
+                    (
+                        key[0],
+                        stage,
+                        *[None if v == -1 else v for v in t],
+                    )
+                ],
+                columns=[key_col, "stage", *ts_cols],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
