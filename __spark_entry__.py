@@ -1935,6 +1935,74 @@ def q_funnel_stream_events(spark, sf_dir):
     )
 
 
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming exact-once absorption of at-least-once delivery via
+    native dropDuplicatesWithinWatermark: every third event is DELIVERED
+    TWICE — once in each of the two time-ordered micro-batch files, so
+    the duplicate arrives in a LATER batch and only checkpointed dedup
+    state can absorb it (state is watermark-bounded: a key is dropped
+    once no duplicate can still arrive — the streaming analogue of the
+    lake MERGE's replay-window idempotency, which absorbs redeliveries
+    relationally instead). The oracle is plain DISTINCT."""
+    import os
+    import tempfile
+    import time as _t
+    import uuid
+
+    ev = _ev(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="otr_sdd_")
+    pdf = (
+        ev.select(
+            "event_id", "user_id", "event_type", _ts_ms().alias("ts_ms")
+        )
+        .toPandas()
+        .sort_values("ts_ms")
+    )
+    dups = pdf[pdf["event_id"] % 3 == 0]
+    mid = len(pdf) // 2
+    src = f"{base}/events"
+    os.makedirs(src)
+    # first batch: first half + the dup subset's FIRST deliveries;
+    # second batch: second half + the dup subset REDELIVERED
+    halves = (pdf.iloc[:mid], __import__("pandas").concat(
+        [pdf.iloc[mid:], dups]
+    ))
+    for i, half in enumerate(halves):
+        p = f"{src}/{i:02d}.parquet"
+        half.to_parquet(p, index=False)
+        t0 = _t.time() - 100 + i
+        os.utime(p, (t0, t0))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_ms long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "90 days")
+    )
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "ts_ms"
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+FROM events
+"""
+
+
 def q_event_type_pivot(spark, sf_dir):
     """Wide daily activity matrix via native pivot with an EXPLICIT value
     list (day × one count column per event type): the explicit list keeps
@@ -2807,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_pivot": q_event_type_pivot,
         "rollup_value_by_type_day": q_rollup_value_by_type_day,
         "funnel_stream_events": q_funnel_stream_events,
+        "stream_dedup_events": q_stream_dedup_events,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2887,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming funnel's converged state must equal the batch
         # funnel — the oracle is SQL_FUNNEL, unchanged by design
         "funnel_stream_events": SQL_FUNNEL,
+        "stream_dedup_events": SQL_STREAM_DEDUP,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -105,6 +105,7 @@ HEADLINE = [
     "event_type_pivot",
     "rollup_value_by_type_day",
     "funnel_stream_events",
+    "stream_dedup_events",
 ]
 
 
