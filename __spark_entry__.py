@@ -1949,6 +1949,8 @@ def q_stream_dedup_events(spark, sf_dir):
     import time as _t
     import uuid
 
+    import pandas as pd
+
     ev = _ev(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="otr_sdd_")
     pdf = (
@@ -1962,11 +1964,10 @@ def q_stream_dedup_events(spark, sf_dir):
     mid = len(pdf) // 2
     src = f"{base}/events"
     os.makedirs(src)
-    # first batch: first half + the dup subset's FIRST deliveries;
-    # second batch: second half + the dup subset REDELIVERED
-    halves = (pdf.iloc[:mid], __import__("pandas").concat(
-        [pdf.iloc[mid:], dups]
-    ))
+    # batch 2 carries a SECOND copy of every dup-subset row: first-half
+    # originals are redelivered CROSS-batch (checkpointed state absorbs
+    # them), second-half ones intra-batch — both postures exercised
+    halves = (pdf.iloc[:mid], pd.concat([pdf.iloc[mid:], dups]))
     for i, half in enumerate(halves):
         p = f"{src}/{i:02d}.parquet"
         half.to_parquet(p, index=False)
