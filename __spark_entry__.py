@@ -1866,6 +1866,96 @@ FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
 """
 
 
+#: BM25 driver-query term sets, drawn from the synthetic corpus vocabulary.
+_BM25_QUERIES = [
+    ("q1", "merge join window"),
+    ("q2", "fast hash scan table"),
+    ("q3", "stream batch batch"),
+]
+
+
+def q_inverted_index_stats(spark, sf_dir):
+    """Inverted-index summary (operators/retrieval.py): per-token posting
+    list size and total term frequency. The corpus shuffles exactly once
+    (the postings aggregation); the stats are a small re-aggregation over
+    the postings, never over the corpus."""
+    from oplogtoredis_spark.operators.retrieval import index_stats, postings
+
+    return index_stats(postings(_docs(spark, sf_dir, par=True)))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+post AS (SELECT doc_id, u.token, count(*) AS tf
+         FROM toks, UNNEST(t) AS u(token) GROUP BY 1, 2)
+SELECT token, count(*) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM post GROUP BY 1
+"""
+
+
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 lexical top-k retrieval (operators/retrieval.py bm25_topk):
+    three fixed term queries against the documents corpus, k=5. Per-term
+    contributions are e4 fixed-point before summation so the score is an
+    order-independent integer sum the DuckDB oracle reproduces
+    bit-identically; ties at the k boundary resolve by doc id. Plan: one
+    corpus shuffle (postings), broadcast query-term dimension carrying
+    the document frequencies, WindowGroupLimit top-k."""
+    from oplogtoredis_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    return bm25_topk(_docs(spark, sf_dir, par=True), qdf, k=5)
+
+
+# `2.1999999999999997` / `0.25` are repr(1.2 + 1.0) / repr(1.0 - 0.75): the
+# pre-folded double literals the Spark side injects (see bm25_topk), spelled
+# so both engines parse the bit-identical value.
+SQL_BM25_TOPK = r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+post AS (SELECT doc_id, len(t) AS dl, u.token, count(*) AS tf
+         FROM toks, UNNEST(t) AS u(token) GROUP BY 1, 2, 3),
+dft AS (SELECT token, count(*) AS dfreq FROM post GROUP BY 1),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs,
+                 CAST(sum(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+          FROM post),
+qs(query_id, qtext) AS (VALUES ('q1', 'merge join window'),
+                               ('q2', 'fast hash scan table'),
+                               ('q3', 'stream batch batch')),
+qt AS (SELECT DISTINCT query_id, u.token
+       FROM (SELECT query_id,
+                    list_filter(string_split_regex(trim(lower(qtext)),
+                                                   '\s+'),
+                                x -> x <> '') AS t
+             FROM qs) q,
+            UNNEST(t) AS u(token)),
+terms AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * ((p.tf * 2.1999999999999997)
+              / (p.tf + 1.2 * (0.25 + (0.75 * p.dl) / s.avgdl)))
+           * 10000.0 + 0.5) AS BIGINT) AS term_e4
+  FROM post p JOIN qt q USING (token) JOIN dft d USING (token), stats s
+),
+scored AS (SELECT query_id, doc_id, CAST(sum(term_e4) AS BIGINT) AS score_e4
+           FROM terms GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e4 DESC, doc_id) AS rank,
+                  score_e4 / 10000.0 AS score
+           FROM scored)
+SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
 def q_funnel_stream_events(spark, sf_dir):
     """LIVE funnel tracking (streaming/stateful.py funnel_stream): the
     batch funnel's state machine carried across micro-batches with
@@ -2872,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hygiene_report": q_corpus_hygiene_report,
         "topk_users_by_type": q_topk_users_by_type,
         "props_field_histogram": q_props_field_histogram,
+        "inverted_index_stats": q_inverted_index_stats,
+        "bm25_topk_docs": q_bm25_topk_docs,
         "stream_interval_join_events": q_stream_interval_join_events,
         "event_type_pivot": q_event_type_pivot,
         "rollup_value_by_type_day": q_rollup_value_by_type_day,
@@ -2951,6 +3043,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hygiene_report": SQL_CORPUS_HYGIENE_REPORT,
         "topk_users_by_type": SQL_TOPK_USERS,
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
+        "inverted_index_stats": SQL_INVERTED_INDEX,
+        "bm25_topk_docs": SQL_BM25_TOPK,
         "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "rollup_value_by_type_day": SQL_ROLLUP_VALUE,

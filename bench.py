@@ -101,6 +101,8 @@ HEADLINE = [
     "corpus_hygiene_report",
     "topk_users_by_type",
     "props_field_histogram",
+    "inverted_index_stats",
+    "bm25_topk_docs",
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",
