@@ -1383,6 +1383,70 @@ FROM typed WHERE ct != 'delete'
 """
 
 
+def q_agg_view_lake(spark, sf_dir):
+    """Retraction-maintained aggregate view over the CDC lake
+    (operators/aggview.py IncrementalAggView): the materialized
+    ``SELECT lang, count(*), sum(length(content)) GROUP BY lang`` follows
+    the lake's net changelog across two commits — the second commit's
+    update_preimage rows RETRACT the drafts' inflated lengths and the
+    deletes retract the extra docs, so the final view equals the batch
+    aggregate over the final live state (== the documents table) without
+    ever rescanning the lake. Fold is union + ONE groupBy, no join."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.aggview import IncrementalAggView
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_aggv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    view = IncrementalAggView(
+        tempfile.mkdtemp(prefix="otr_aggv_v_"),
+        group_cols=("lang",),
+        value_expr="length(content)",
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    view.follow_lake(spark, t)
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    view.follow_lake(spark, t)
+    return view.summary(spark)
+
+
+SQL_AGG_VIEW = """
+SELECT lang, count(*) AS n_rows,
+       CAST(sum(CAST(floor(length(text) * 10000.0 + 0.5) AS BIGINT))
+            AS BIGINT) / 10000.0 AS value_sum
+FROM documents GROUP BY lang
+"""
+
+
 def q_follow_lake_corpus(spark, sf_dir):
     """The full CDC-lake → training-corpus composition
     (IncrementalCorpus.follow_lake + LakeTable.changes): documents ride a
@@ -2949,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
         "follow_lake_corpus": q_follow_lake_corpus,
+        "agg_view_lake": q_agg_view_lake,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -3030,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         # the live set IS the documents table, so the batch recompute SQL
         # is the oracle for the changelog-driven state too
         "follow_lake_corpus": SQL_CORPUS_PIPELINE,
+        "agg_view_lake": SQL_AGG_VIEW,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "decontaminate_ngram": SQL_DECONTAMINATE,

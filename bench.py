@@ -74,6 +74,7 @@ HEADLINE = [
     "corpus_pipeline",
     "incremental_corpus_pipeline",
     "follow_lake_corpus",
+    "agg_view_lake",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",

@@ -1,0 +1,157 @@
+"""IncrementalAggView: retraction-maintained GROUP BY over a LakeTable's
+net changelog — after every follow, the view must equal the batch
+aggregate over the lake's live rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.aggview import IncrementalAggView
+from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+from oplogtoredis_spark.streaming.lake import LakeTable
+
+
+def _batch(spark, rows, ts):
+    cols = (
+        "repo string, path string, ts long, tx_idx int, op string,"
+        " commit string, lang string, content string"
+    )
+    return spark.createDataFrame(
+        [
+            ("docs", str(i), ts << 32, int(i), op, f"c{ts}", lang, txt)
+            for (i, lang, txt, op) in rows
+        ],
+        cols,
+    )
+
+
+def _mk(tmp_path, **kw):
+    kw.setdefault("group_cols", ("lang",))
+    kw.setdefault("value_expr", "length(content)")
+    return IncrementalAggView(str(tmp_path / "view"), **kw)
+
+
+def _recompute(spark, table, view):
+    live = table.read(spark)
+    if view.where is not None:
+        live = live.where(F.expr(view.where))
+    return {
+        tuple(r[c] for c in view.group_cols): (r.n_rows, r.sum_e4)
+        for r in live.groupBy(*view.group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.expr(view.value_expr) * F.lit(10000.0) + F.lit(0.5))
+                .cast("long")
+            ).alias("sum_e4"),
+        )
+        .collect()
+    }
+
+
+def _state(spark, view):
+    return {
+        tuple(r[c] for c in view.group_cols): (r.n_rows, r.sum_e4)
+        for r in view.read(spark).collect()
+    }
+
+
+def test_view_converges_after_every_epoch(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    v = _mk(tmp_path)
+
+    # epoch 1: inserts across two groups
+    t.merge_batch(
+        _batch(spark, [(1, "en", "aaaa", "u"), (2, "en", "bb", "u"),
+                       (3, "de", "ccc", "u")], ts=1),
+        0,
+    )
+    s = v.follow_lake(spark, t)
+    assert s["lake_version"] == t.current_version() and s["groups"] == 2
+    assert _state(spark, v) == _recompute(spark, t, v)
+    assert _state(spark, v)[("en",)] == (2, 60000)
+
+    # epoch 2: update retracts the old value; insert grows a group
+    t.merge_batch(
+        _batch(spark, [(1, "en", "aaaaaaaa", "u"), (4, "de", "d", "u")], ts=2),
+        1,
+    )
+    v.follow_lake(spark, t)
+    assert _state(spark, v) == _recompute(spark, t, v)
+    assert _state(spark, v)[("en",)] == (2, 100000)
+
+    # epoch 3: delete the last 'de' rows — the group must leave the view
+    t.merge_batch(
+        _batch(spark, [(3, "de", "ccc", "d"), (4, "de", "d", "d")], ts=3),
+        2,
+    )
+    v.follow_lake(spark, t)
+    assert _state(spark, v) == _recompute(spark, t, v)
+    assert ("de",) not in _state(spark, v)
+
+
+def test_update_moving_group_retracts_from_old_group(spark, tmp_path):
+    """A row whose UPDATE changes its group column must leave the old group
+    (preimage retraction) and enter the new one."""
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    v = _mk(tmp_path)
+    t.merge_batch(_batch(spark, [(1, "en", "xx", "u"), (2, "de", "yy", "u")], 1), 0)
+    v.follow_lake(spark, t)
+    t.merge_batch(_batch(spark, [(1, "de", "xx", "u")], 2), 1)
+    v.follow_lake(spark, t)
+    got = _state(spark, v)
+    assert got == _recompute(spark, t, v)
+    assert ("en",) not in got and got[("de",)] == (2, 40000)
+
+
+def test_where_predicate_boundary_crossing(spark, tmp_path):
+    """An update moving a row across the WHERE boundary contributes /
+    retracts exactly once (the predicate is evaluated per change image)."""
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    v = _mk(tmp_path, where="length(content) >= 3")
+    t.merge_batch(_batch(spark, [(1, "en", "abcd", "u"), (2, "en", "x", "u")], 1), 0)
+    v.follow_lake(spark, t)
+    assert _state(spark, v)[("en",)] == (1, 40000)
+    # 1 shrinks below the gate (retract), 2 grows past it (contribute)
+    t.merge_batch(_batch(spark, [(1, "en", "ab", "u"), (2, "en", "xyz", "u")], 2), 1)
+    v.follow_lake(spark, t)
+    assert _state(spark, v) == _recompute(spark, t, v)
+    assert _state(spark, v)[("en",)] == (1, 30000)
+
+
+def test_follow_is_idempotent_and_versioned(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    v = _mk(tmp_path)
+    t.merge_batch(_batch(spark, [(1, "en", "abc", "u")], 1), 0)
+    s1 = v.follow_lake(spark, t)
+    before = _state(spark, v)
+    s2 = v.follow_lake(spark, t)
+    assert s2.get("up_to_date") and v.followed_lake_version() == s1["lake_version"]
+    assert _state(spark, v) == before
+
+
+def test_read_before_follow_raises(spark, tmp_path):
+    v = _mk(tmp_path)
+    with pytest.raises(ValueError, match="never followed"):
+        v.read(spark)
+    with pytest.raises(ValueError, match="at least one column"):
+        IncrementalAggView(str(tmp_path / "v2"), (), "length(content)")
+
+
+def test_summary_shape_and_plan_has_no_join(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    v = _mk(tmp_path)
+    t.merge_batch(_batch(spark, [(1, "en", "abcd", "u")], 1), 0)
+    v.follow_lake(spark, t)
+    t.merge_batch(_batch(spark, [(2, "en", "zz", "u")], 2), 1)
+    # the fold is union + groupBy: no Join node anywhere in the step plan
+    ch = t.changes(spark, v.followed_lake_version(), t.current_version())
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    step = v.read(spark).unionByName(v._signed(ch, sign)).groupBy("lang").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("sum_e4").alias("sum_e4")
+    )
+    assert " Join" not in step._jdf.queryExecution().executedPlan().toString()
+    v.follow_lake(spark, t)
+    row = v.summary(spark).collect()[0]
+    assert (row.lang, row.n_rows, row.value_sum) == ("en", 2, 6.0)
