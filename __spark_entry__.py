@@ -1930,6 +1930,84 @@ FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_value_trend_by_type(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (operators/analytics.py
+    linear_trend): the five sufficient statistics are exact integer sums
+    (x = day index, y at e4), combined in DECIMAL(38,0), divided in
+    doubles only at the end — deterministic under any partitioning,
+    unlike float-accumulating regr_slope. Zero-x-variance keys yield
+    NULL, not inf."""
+    from oplogtoredis_spark.operators.analytics import linear_trend
+
+    ev = _ev(spark, sf_dir, par=True)
+    day = F.expr("unix_millis(cast(ts as timestamp)) div 86400000")
+    return linear_trend(
+        ev.select("event_type", day.alias("day"), "value"),
+        ["event_type"],
+        "day",
+        "value",
+    )
+
+
+SQL_VALUE_TREND = """
+WITH b AS (SELECT event_type, epoch_ms(ts) // 86400000 AS x,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+           FROM events),
+g AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM b GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END) / 10000.0, 4)
+         AS slope,
+       round(((CAST(sy AS DOUBLE)
+               - (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END)
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 10000.0, 4)
+         AS intercept
+FROM g
+"""
+
+
+def q_table_profile_events(spark, sf_dir):
+    """Ingest-validation table profile (operators/profile.py): per-column
+    null counts, exact distinct cardinalities, numeric ranges — ONE pass
+    (single scan + one Expand-backed aggregate; exact=False drops the
+    Expand for the HLL sketch at 100 TB). min/max populate only for
+    numeric columns — the static-schema contract the oracle mirrors."""
+    from oplogtoredis_spark.operators.profile import profile_table
+
+    return profile_table(_ev(spark, sf_dir, par=True))
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'event_id' AS "column", count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_value,
+       CAST(max(event_id) AS DOUBLE) AS max_value FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+       min(value), max(value) FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+"""
+
+
 #: BM25 driver-query term sets, drawn from the synthetic corpus vocabulary.
 _BM25_QUERIES = [
     ("q1", "merge join window"),
@@ -3027,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hygiene_report": q_corpus_hygiene_report,
         "topk_users_by_type": q_topk_users_by_type,
         "props_field_histogram": q_props_field_histogram,
+        "table_profile_events": q_table_profile_events,
+        "value_trend_by_type": q_value_trend_by_type,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
         "stream_interval_join_events": q_stream_interval_join_events,
@@ -3109,6 +3189,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hygiene_report": SQL_CORPUS_HYGIENE_REPORT,
         "topk_users_by_type": SQL_TOPK_USERS,
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
+        "table_profile_events": SQL_TABLE_PROFILE,
+        "value_trend_by_type": SQL_VALUE_TREND,
         "inverted_index_stats": SQL_INVERTED_INDEX,
         "bm25_topk_docs": SQL_BM25_TOPK,
         "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,

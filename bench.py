@@ -104,6 +104,8 @@ HEADLINE = [
     "props_field_histogram",
     "inverted_index_stats",
     "bm25_topk_docs",
+    "table_profile_events",
+    "value_trend_by_type",
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",

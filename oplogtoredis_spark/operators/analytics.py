@@ -287,3 +287,61 @@ def value_quantiles(
             for i in range(len(qs))
         ],
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend (slope/intercept of y over x)
+    from EXACT integer sums — the deterministic alternative to the
+    engine-native ``regr_slope``/``regr_intercept`` aggregates, whose
+    float accumulation is partition-order-dependent and therefore not
+    reproducible across engines (or even across runs with different
+    partitionings).
+
+    ``x_col`` must be integer-valued (e.g. a day/hour index — rescale
+    timestamps BEFORE calling so the decimal combination below stays far
+    from 38 digits); ``y_col`` is fixed-pointed at e4. The five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact integers that
+    partial-aggregate map-side like any sum; the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+        intercept = (Σy − slope·Σx) / n
+
+    are combined in DECIMAL(38,0) (sums can exceed int64 at 100 TB row
+    counts) and only the final division happens in doubles — bit-identical
+    in any engine with exact decimal arithmetic. A key with zero x-variance
+    has no defined trend: slope/intercept are NULL, not ±inf.
+
+    Output: (keys..., n, slope, intercept) — slope/intercept in y-units
+    (the e4 scaling cancels/divides out), rounded to 4 decimals.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    y4 = F.floor(y * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    g = df.select(*keys, x.alias("_x"), y4.alias("_y")).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("_sxy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    slope_e4 = F.when(den != 0.0, num / den)
+    intercept_e4 = (
+        F.col("_sy").cast("double") - slope_e4 * F.col("_sx").cast("double")
+    ) / F.col("_n").cast("double")
+    return g.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope_e4 / F.lit(10000.0), 4).alias("slope"),
+        F.round(intercept_e4 / F.lit(10000.0), 4).alias("intercept"),
+    )

@@ -307,3 +307,45 @@ def test_value_quantiles_approx_mode_schema_and_bounds(spark):
     # accuracy 10000 on 1000 rows → rank error <= 1 value step
     assert abs(r["p50"] - 500.5) <= 1.0
     assert abs(r["p90"] - 900.1) <= 1.0
+
+
+class TestLinearTrend:
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        from oplogtoredis_spark.operators.analytics import linear_trend
+
+        rows = [("a", x, 2.5 * x + 7.25 + (0.1 if x % 2 else -0.1))
+                for x in range(10)]
+        rows += [("b", x, -1.5 * x + 3.0) for x in range(5)]
+        df = spark.createDataFrame(rows, "k string, x long, y double")
+        got = {r.k: (r.n, r.slope, r.intercept)
+               for r in linear_trend(df, ["k"], "x", "y").collect()}
+        for k, n in (("a", 10), ("b", 5)):
+            xs = np.array([x for kk, x, _ in rows if kk == k], dtype=float)
+            ys = np.array([round(y * 10000) / 10000 for kk, _, y in rows if kk == k])
+            m, c = np.polyfit(xs, ys, 1)
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(m, abs=2e-4)
+            assert got[k][2] == pytest.approx(c, abs=2e-4)
+
+    def test_zero_variance_x_yields_null_not_inf(self, spark):
+        from oplogtoredis_spark.operators.analytics import linear_trend
+
+        df = spark.createDataFrame(
+            [("a", 3, 1.0), ("a", 3, 2.0), ("b", 1, 5.0)],
+            "k string, x long, y double",
+        )
+        got = {r.k: r for r in linear_trend(df, ["k"], "x", "y").collect()}
+        assert got["a"].slope is None and got["a"].intercept is None
+        assert got["b"].slope is None  # single point: den == 0 too
+
+    def test_partition_order_invariance(self, spark):
+        """The whole point: identical results regardless of partitioning."""
+        from oplogtoredis_spark.operators.analytics import linear_trend
+
+        rows = [("g", x, (x * 17 % 13) + x * 0.37) for x in range(200)]
+        df = spark.createDataFrame(rows, "k string, x long, y double")
+        a = linear_trend(df.coalesce(1), ["k"], "x", "y").collect()[0]
+        b = linear_trend(df.repartition(16), ["k"], "x", "y").collect()[0]
+        assert (a.slope, a.intercept) == (b.slope, b.intercept)
