@@ -2167,6 +2167,66 @@ def q_funnel_stream_events(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_stream_events(spark, sf_dir):
+    """LIVE heavy hitters (streaming/stateful.py heavy_hitters_stream):
+    space-saving summaries per hash partition carried across micro-batches
+    — here over event_type with capacity 8 ≥ the 5-type domain, the EXACT
+    regime, so the union of the partitions' latest summaries equals the
+    batch GROUP BY to the row (the oracle). The stream is a REAL
+    availableNow run over two time-split files (cross-batch count
+    accumulation exercised, not single-batch)."""
+    import os
+    import tempfile
+    import time as _t
+    import uuid
+
+    from oplogtoredis_spark.streaming.stateful import heavy_hitters_stream
+
+    base = tempfile.mkdtemp(prefix="otr_hh_")
+    pdf = (
+        _ev(spark, sf_dir)
+        .select("event_id", "event_type")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    mid = len(pdf) // 2
+    src = f"{base}/events"
+    os.makedirs(src)
+    for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
+        p = f"{src}/{i:02d}.parquet"
+        half[["event_type"]].to_parquet(p, index=False)
+        t0 = _t.time() - 100 + i
+        os.utime(p, (t0, t0))
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        heavy_hitters_stream(stream, "event_type", capacity=8, n_partitions=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    summaries = spark.table(name)
+    return (
+        summaries.groupBy("pid", "item")
+        .agg(F.max_by("n", "ver").alias("n"))
+        .groupBy(F.col("item").alias("event_type"))
+        .agg(F.sum("n").alias("n_events"))
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+"""
+
+
 def q_stream_dedup_events(spark, sf_dir):
     """Streaming exact-once absorption of at-least-once delivery via
     native dropDuplicatesWithinWatermark: every third event is DELIVERED
@@ -3114,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_value_by_type_day": q_rollup_value_by_type_day,
         "funnel_stream_events": q_funnel_stream_events,
         "stream_dedup_events": q_stream_dedup_events,
+        "heavy_hitters_stream_events": q_heavy_hitters_stream_events,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3200,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         # funnel — the oracle is SQL_FUNNEL, unchanged by design
         "funnel_stream_events": SQL_FUNNEL,
         "stream_dedup_events": SQL_STREAM_DEDUP,
+        "heavy_hitters_stream_events": SQL_HEAVY_HITTERS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -111,6 +111,7 @@ HEADLINE = [
     "rollup_value_by_type_day",
     "funnel_stream_events",
     "stream_dedup_events",
+    "heavy_hitters_stream_events",
 ]
 
 

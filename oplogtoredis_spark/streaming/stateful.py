@@ -279,3 +279,106 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    items: DataFrame,
+    item_col: str,
+    capacity: int,
+    n_partitions: int = 8,
+) -> DataFrame:
+    """LIVE top-item tracking: the space-saving (Metwally et al.) summary
+    maintained per hash partition across micro-batches with
+    ``applyInPandasWithState`` — the streaming counterpart of a batch
+    ``GROUP BY item`` when the item domain is too large to keep exactly.
+
+    Sharding: every item hashes to exactly ONE partition (JVM-side
+    ``pmod(xxhash64(item), n_partitions)`` in the scan stage), so
+    per-partition summaries never double-count and their union is the
+    global summary. State per partition = up to ``capacity``
+    (item, count, err) triples; the space-saving invariants hold per
+    partition: ``count − err ≤ true ≤ count``, and any item with true
+    frequency > (partition stream length)/capacity is guaranteed present.
+    With ``capacity`` ≥ the partition's distinct items, counts are EXACT
+    and eviction never fires — the driver query runs in that regime so the
+    plain GROUP-BY oracle matches to the row.
+
+    Determinism: batch contributions are merged in descending-weight
+    (then lexical) order, so evictions under overflow are reproducible
+    for a given batch split.
+
+    Emission: one row per tracked item per micro-batch in which the
+    partition saw data — ``(pid, ver, item, n, err)`` with ``ver``
+    the partition's batch sequence; the latest ``ver`` per pid is the
+    current summary (how the driver query reads it). State is
+    O(n_partitions × capacity), independent of stream length.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "pid int, ver long, item string, n long, err long"
+    state_schema = (
+        "ver long, items array<string>, counts array<long>, errs array<long>"
+    )
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        pid = key[0]
+        if state.exists:
+            ver, its, cnts, errs = state.get
+            summary = {i: [c, e] for i, c, e in zip(its, cnts, errs)}
+        else:
+            ver, summary = 0, {}
+        weights: dict[str, int] = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            vc = pdf[item_col].astype(str).value_counts()
+            for item, w in vc.items():
+                weights[item] = weights.get(item, 0) + int(w)
+        if not weights:
+            return
+        for item, w in sorted(weights.items(), key=lambda kv: (-kv[1], kv[0])):
+            if item in summary:
+                summary[item][0] += w
+            elif len(summary) < capacity:
+                summary[item] = [w, 0]
+            else:
+                # space-saving eviction: take over the minimum-count slot
+                victim = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                mn = victim[1][0]
+                del summary[victim[0]]
+                summary[item] = [mn + w, mn]
+        ver += 1
+        items_l = sorted(summary)
+        state.update(
+            (
+                ver,
+                items_l,
+                [summary[i][0] for i in items_l],
+                [summary[i][1] for i in items_l],
+            )
+        )
+        yield pd.DataFrame(
+            [(pid, ver, i, summary[i][0], summary[i][1]) for i in items_l],
+            columns=["pid", "ver", "item", "n", "err"],
+        )
+
+    routed = items.select(
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(n_partitions))
+        .cast("int")
+        .alias("pid"),
+        F.col(item_col).cast("string").alias(item_col),
+    )
+    return routed.groupBy("pid").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
