@@ -1447,6 +1447,68 @@ FROM documents GROUP BY lang
 """
 
 
+def q_distinct_view_lake(spark, sf_dir):
+    """Exact COUNT(DISTINCT) maintained incrementally over the lake
+    (operators/aggview.py IncrementalDistinctView): per-(group, value)
+    REFERENCE COUNTS — the textbook mechanism, because aggregate
+    retraction alone cannot maintain DISTINCT (a leaving value may still
+    be carried by another row; exercised here: the second commit retracts
+    ONE of two rows sharing a length). Same two-commit draft/delete
+    recipe as agg_view_lake; final state == documents, so the oracle is
+    the plain batch COUNT(DISTINCT)."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.aggview import IncrementalDistinctView
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_dv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    view = IncrementalDistinctView(
+        tempfile.mkdtemp(prefix="otr_dv_v_"),
+        group_cols=("lang",),
+        distinct_expr="length(content)",
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    view.follow_lake(spark, t)
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    view.follow_lake(spark, t)
+    return view.read(spark)
+
+
+SQL_DISTINCT_VIEW = """
+SELECT lang, count(DISTINCT length(text)) AS n_distinct
+FROM documents GROUP BY lang
+"""
+
+
 def q_follow_lake_corpus(spark, sf_dir):
     """The full CDC-lake → training-corpus composition
     (IncrementalCorpus.follow_lake + LakeTable.changes): documents ride a
@@ -1927,6 +1989,37 @@ WITH v AS (SELECT event_type,
 SELECT event_type, _v % 10 AS bucket, count(*) AS n_events,
        min(_v) AS min_v, max(_v) AS max_v
 FROM v WHERE _v IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sampling.py
+    weighted_sample): Efraimidis–Spirakis reservoir as a rank window —
+    inclusion probability proportional to n_chars, at most 3 docs per
+    lang, reproducible on any engine/cluster size because the uniform
+    draw is the portable hash, not an RNG. WindowGroupLimit prunes to k
+    per stratum map-side (the stratified_sample plan shape)."""
+    from oplogtoredis_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, key_col="doc_id", weight_col="n_chars", k=3,
+        strata_cols=("lang",),
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from oplogtoredis_spark.operators.sampling import weighted_score_sql
+
+    score = weighted_score_sql("doc_id", "n_chars")
+    return f"""
+WITH elig AS (SELECT doc_id, lang, n_chars FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {score} DESC, doc_id) AS rk
+      FROM elig)
+SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 3
 """
 
 
@@ -3152,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
         "follow_lake_corpus": q_follow_lake_corpus,
         "agg_view_lake": q_agg_view_lake,
+        "distinct_view_lake": q_distinct_view_lake,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -3167,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_field_histogram": q_props_field_histogram,
         "table_profile_events": q_table_profile_events,
         "value_trend_by_type": q_value_trend_by_type,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
         "stream_interval_join_events": q_stream_interval_join_events,
@@ -3237,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         # is the oracle for the changelog-driven state too
         "follow_lake_corpus": SQL_CORPUS_PIPELINE,
         "agg_view_lake": SQL_AGG_VIEW,
+        "distinct_view_lake": SQL_DISTINCT_VIEW,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "decontaminate_ngram": SQL_DECONTAMINATE,
@@ -3252,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
         "table_profile_events": SQL_TABLE_PROFILE,
         "value_trend_by_type": SQL_VALUE_TREND,
+        "weighted_sample_docs": _sql_weighted_sample(),
         "inverted_index_stats": SQL_INVERTED_INDEX,
         "bm25_topk_docs": SQL_BM25_TOPK,
         "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,

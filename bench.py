@@ -78,6 +78,8 @@ HEADLINE = [
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
+    "weighted_sample_docs",
+    "distinct_view_lake",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -172,3 +172,126 @@ class IncrementalAggView:
             for f in os.listdir(pdir)
             if f.endswith(".parquet")
         )
+
+
+class IncrementalDistinctView:
+    """Exact COUNT(DISTINCT expr) per group, incrementally maintained from
+    the lake changelog — the aggregate retraction alone CANNOT maintain
+    (knowing a value left the group says nothing about whether another row
+    still carries it). The textbook answer, used here: keep REFERENCE
+    COUNTS per (group, value); a value's refcount hitting zero removes it,
+    and the distinct count per group is the number of live refs.
+
+    State cost is the honest price of exactness: O(distinct (group, value)
+    pairs) — this is why engines ship HLL for the approximate case
+    (operators/profile.py, analytics.distinct_count); this operator is the
+    exact counterpart for group×value domains that fit (dimension-keyed
+    views, not free-text). The per-epoch fold is union + ONE groupBy over
+    (state ∪ signed changes) — no join; a bucketed layout makes the
+    rewrite O(changed buckets). A NEGATIVE refcount can only mean the
+    changelog violated its contract (a retraction for a row never added)
+    and fails loudly JVM-side via assert_true at write time — never
+    silently clamped.
+
+    Same commit discipline as IncrementalAggView: state version = lake
+    snapshot version, crash-rewrite idempotent, superseded versions
+    retired after the marker advances.
+    """
+
+    def __init__(
+        self,
+        base_dir: str,
+        group_cols: tuple[str, ...] | list[str],
+        distinct_expr: str,
+        where: str | None = None,
+    ):
+        if not group_cols:
+            raise ValueError("group_cols must name at least one column")
+        self._dir = base_dir
+        self._marker = os.path.join(base_dir, "_VIEW.json")
+        self.group_cols = tuple(group_cols)
+        self.distinct_expr = distinct_expr
+        self.where = where
+        os.makedirs(base_dir, exist_ok=True)
+
+    followed_lake_version = IncrementalAggView.followed_lake_version
+    _state_dir = IncrementalAggView._state_dir
+    _footer_rows = staticmethod(IncrementalAggView._footer_rows)
+
+    def refs(self, spark: SparkSession) -> DataFrame:
+        """(group_cols..., _val, _refs) live reference counts."""
+        v = self.followed_lake_version()
+        if v < 0:
+            raise ValueError("view has never followed the lake")
+        return spark.read.parquet(self._state_dir(v))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """(group_cols..., n_distinct) — the maintained view."""
+        return self.refs(spark).groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("n_distinct")
+        )
+
+    def _signed(self, rows: DataFrame, sign_col) -> DataFrame:
+        if self.where is not None:
+            rows = rows.where(F.expr(self.where))
+        return (
+            rows.select(
+                *self.group_cols,
+                F.expr(self.distinct_expr).cast("string").alias("_val"),
+                sign_col.alias("_sign"),
+            )
+            .groupBy(*self.group_cols, "_val")
+            .agg(F.sum("_sign").alias("_refs"))
+        )
+
+    def follow_lake(self, spark: SparkSession, table) -> dict:
+        from_v = self.followed_lake_version()
+        to_v = table.current_version()
+        if to_v <= from_v:
+            return {"lake_version": from_v, "up_to_date": True}
+        if from_v < 0:
+            contrib = self._signed(table.read(spark), F.lit(1))
+        else:
+            ch = table.changes(spark, from_v, to_v)
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            contrib = self.refs(spark).unionByName(self._signed(ch, sign))
+        new = (
+            contrib.groupBy(*self.group_cols, "_val")
+            .agg(F.sum("_refs").alias("_refs"))
+            # contract guard BEFORE the zero-filter: a negative refcount is
+            # a broken changelog, not an empty value — fail, don't clamp
+            .withColumn(
+                "_refs",
+                F.when(
+                    F.assert_true(
+                        F.col("_refs") >= 0,
+                        F.concat(
+                            F.lit("negative refcount for value "),
+                            F.col("_val"),
+                        ),
+                    ).isNull(),
+                    F.col("_refs"),
+                ),
+            )
+            .where(F.col("_refs") > 0)
+        )
+        out = self._state_dir(to_v)
+        tmp = out + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        new.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        meta = {"lake_version": to_v, "refs": self._footer_rows(out)}
+        mt = self._marker + ".tmp"
+        with open(mt, "w") as f:
+            json.dump(meta, f)
+        os.replace(mt, self._marker)
+        for d in os.listdir(self._dir):
+            if d.startswith("v") and d != f"v{to_v:08d}" and os.path.isdir(
+                os.path.join(self._dir, d)
+            ):
+                shutil.rmtree(os.path.join(self._dir, d), ignore_errors=True)
+        return meta

@@ -108,3 +108,61 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
     )
+
+
+def weighted_score(key: Column, weight: Column, salt: str = "") -> Column:
+    """Efraimidis–Spirakis weighted-reservoir score: ln(u)/w with u a
+    deterministic uniform in (0, 1] drawn from the portable hash of
+    key·salt (the +1 keeps u off 0 so ln is defined). Top-k by this score
+    DESC is a weighted sample without replacement — inclusion probability
+    proportional to weight — reproducible on any engine because u is a
+    hash, not an RNG, and ln/divide are IEEE-identical on identical
+    inputs."""
+    u = (_sample_hash(key, salt) + F.lit(1)).cast("double") / F.lit(
+        float(_D + 1)
+    )
+    return F.log(u) / weight
+
+
+def weighted_score_sql(key_expr: str, weight_expr: str, salt: str = "") -> str:
+    """DuckDB rendering of weighted_score for oracle_sql strings."""
+    return (
+        f"ln(CAST({sample_hash_sql(key_expr, salt)} + 1 AS DOUBLE)"
+        f" / {float(_D + 1)!r}) / ({weight_expr})"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: tuple[str, ...] = (),
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: at most ``k``
+    rows (per stratum, if ``strata_cols`` given), drawn with probability
+    proportional to ``weight_col`` — the A-ES reservoir expressed as a
+    rank window, so Spark's WindowGroupLimit prunes to k rows per group
+    map-side BEFORE the shuffle (the same scale shape as
+    stratified_sample; an actual sequential reservoir would be a
+    per-partition loop Spark can't prune).
+
+    Rows with NULL or non-positive weight are EXCLUDED (they carry no
+    sampling mass; ln(u)/w would flip sign and outrank everything) —
+    filtered loudly here rather than silently mis-ranked. Ties
+    (identical score) break by the key."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    eligible = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        weighted_score(F.col(key_col), F.col(weight_col), salt).desc(),
+        F.col(key_col),
+    )
+    return (
+        eligible.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )

@@ -155,3 +155,66 @@ def test_summary_shape_and_plan_has_no_join(spark, tmp_path):
     v.follow_lake(spark, t)
     row = v.summary(spark).collect()[0]
     assert (row.lang, row.n_rows, row.value_sum) == ("en", 2, 6.0)
+
+
+class TestDistinctView:
+    def _mk(self, tmp_path, **kw):
+        from oplogtoredis_spark.operators.aggview import IncrementalDistinctView
+
+        kw.setdefault("group_cols", ("lang",))
+        kw.setdefault("distinct_expr", "length(content)")
+        return IncrementalDistinctView(str(tmp_path / "dview"), **kw)
+
+    def _recompute(self, spark, table, view):
+        live = table.read(spark)
+        return {
+            tuple(r[c] for c in view.group_cols): r.n
+            for r in live.groupBy(*view.group_cols)
+            .agg(F.count_distinct(F.expr(view.distinct_expr)).alias("n"))
+            .collect()
+        }
+
+    def _state(self, spark, view):
+        return {
+            tuple(r[c] for c in view.group_cols): r.n_distinct
+            for r in view.read(spark).collect()
+        }
+
+    def test_refcounts_survive_partial_retraction(self, spark, tmp_path):
+        t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+        v = self._mk(tmp_path)
+        # two rows share length 2; one row has length 4
+        t.merge_batch(
+            _batch(spark, [(1, "en", "ab", "u"), (2, "en", "cd", "u"),
+                           (3, "en", "wxyz", "u")], ts=1),
+            0,
+        )
+        v.follow_lake(spark, t)
+        assert self._state(spark, v) == {("en",): 2}
+        # retract ONE of the two length-2 rows: distinct must NOT drop
+        t.merge_batch(_batch(spark, [(1, "en", "abcdef", "u")], ts=2), 1)
+        v.follow_lake(spark, t)
+        assert self._state(spark, v) == self._recompute(spark, t, v) == {("en",): 3}
+        # retract the second length-2 row too: now the value leaves
+        t.merge_batch(_batch(spark, [(2, "en", "cd", "d")], ts=3), 2)
+        v.follow_lake(spark, t)
+        assert self._state(spark, v) == self._recompute(spark, t, v) == {("en",): 2}
+
+    def test_group_disappears_and_idempotent(self, spark, tmp_path):
+        t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+        v = self._mk(tmp_path)
+        t.merge_batch(_batch(spark, [(1, "de", "xx", "u")], ts=1), 0)
+        v.follow_lake(spark, t)
+        t.merge_batch(_batch(spark, [(1, "de", "xx", "d")], ts=2), 1)
+        v.follow_lake(spark, t)
+        assert self._state(spark, v) == {}
+        assert v.follow_lake(spark, t).get("up_to_date")
+
+    def test_refs_exposed_and_guards(self, spark, tmp_path):
+        from oplogtoredis_spark.operators.aggview import IncrementalDistinctView
+
+        v = self._mk(tmp_path)
+        with pytest.raises(ValueError, match="never followed"):
+            v.read(spark)
+        with pytest.raises(ValueError, match="at least one column"):
+            IncrementalDistinctView(str(tmp_path / "x"), (), "length(content)")

@@ -2,6 +2,7 @@
 corpus growth (the train/eval-leakage guarantee), per-stratum bounds, and
 the WindowGroupLimit plan shape that keeps stratified sampling skew-safe."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from oplogtoredis_spark.operators.sampling import (
@@ -87,3 +88,92 @@ def test_hash_fraction_thresholds_round_not_truncate(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "290000" in plan2 and "289999" not in plan2
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        rows = [(i, "s" if i % 2 else "t", float((i % 7) + 1)) for i in range(60)]
+        return spark.createDataFrame(rows, "id long, g string, w double")
+
+    def test_bounded_and_deterministic_under_repartition(self, spark):
+        from oplogtoredis_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        a = sorted(
+            (r.g, r.id, r.rk)
+            for r in weighted_sample(df.coalesce(1), "id", "w", 5, ("g",)).collect()
+        )
+        b = sorted(
+            (r.g, r.id, r.rk)
+            for r in weighted_sample(df.repartition(8), "id", "w", 5, ("g",)).collect()
+        )
+        assert a == b
+        from collections import Counter
+
+        per_g = Counter(g for g, _, _ in a)
+        assert per_g == {"s": 5, "t": 5}
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from oplogtoredis_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -4.0), (4, None), (5, 2.0)],
+            "id long, w double",
+        )
+        got = {r.id for r in weighted_sample(df, "id", "w", 10).collect()}
+        assert got == {1, 5}
+
+    def test_inclusion_tracks_weight(self, spark):
+        """k=1 draws across 40 salts: the item holding ~83% of the total
+        mass must win the clear majority (fully deterministic given the
+        salts — no flakiness)."""
+        from oplogtoredis_spark.operators.sampling import weighted_sample
+
+        rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 200)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        wins = sum(
+            weighted_sample(df, "id", "w", 1, salt=f"s{j}").collect()[0].id == 0
+            for j in range(40)
+        )
+        assert wins >= 25, wins
+
+    def test_matches_python_reference(self, spark):
+        """Exact parity with a pure-Python A-ES using the same hash draw."""
+        import math
+
+        from oplogtoredis_spark.functions.hashing import portable_hash64
+        from oplogtoredis_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        # pull the engine's own portable hash values, then rank in python
+        hs = {
+            r.id: r.h
+            for r in df.select(
+                "id",
+                (portable_hash64(
+                    F.concat(F.col("id").cast("string"), F.lit(""))
+                ) % 1000000).alias("h"),
+            ).collect()
+        }
+        rows = df.collect()
+        want = {}
+        for g in ("s", "t"):
+            scored = sorted(
+                (
+                    (-(math.log((hs[r.id] + 1) / 1000001.0) / r.w), r.id)
+                    for r in rows
+                    if r.g == g
+                ),
+            )
+            want[g] = [i for _, i in scored[:5]]
+        got = {}
+        for r in weighted_sample(df, "id", "w", 5, ("g",)).collect():
+            got.setdefault(r.g, []).append((r.rk, r.id))
+        got = {g: [i for _, i in sorted(v)] for g, v in got.items()}
+        assert got == want
+
+    def test_k_guard(self, spark):
+        from oplogtoredis_spark.operators.sampling import weighted_sample
+
+        with pytest.raises(ValueError, match="k must be"):
+            weighted_sample(self._df(spark), "id", "w", 0)
