@@ -1509,6 +1509,120 @@ FROM documents GROUP BY lang
 """
 
 
+def q_lake_read_clustered(spark, sf_dir):
+    """Clustered rewrite + footer-stats file skipping (streaming/lake.py
+    rewrite_clustered / read_pruned — the Iceberg rewrite_data_files-with-
+    sort-order + manifest-column-stats-pruning posture): the documents ride
+    a lake as change envelopes (drafts updated, extras deleted, so the live
+    set == the documents table), the table is re-clustered on ``lang``
+    within its hash buckets, and the read prunes base FILES whose footer
+    min/max can't intersect lang='en' — touching a fraction of the bytes
+    while returning exactly ``read().where(lang = 'en')``. Sound because a
+    base file holds at most one row per key (the LWW collapse wrote it) and
+    delta-carrying buckets are read whole."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_clus_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.rewrite_clustered(spark, ["lang"], files_per_bucket=4)
+    return t.read_pruned(spark, "lang", "en", "en").select(
+        "path",
+        "lang",
+        F.length("content").alias("content_len"),
+    )
+
+
+SQL_LAKE_READ_CLUSTERED = """
+SELECT doc_id::VARCHAR AS path, lang, length(text) AS content_len
+FROM documents WHERE lang = 'en'
+"""
+
+
+def q_index_view_lake(spark, sf_dir):
+    """Retraction-maintained INVERTED INDEX over the CDC lake
+    (operators/indexview.py IncrementalIndexView): the postings follow the
+    lake's net changelog across two commits — the second commit's
+    update_preimage rows DE-INDEX the drafts' extra tokens ('zz', 'draft',
+    'pending') and the deletes de-index the extra docs, so the final index
+    equals the batch inverted index over the final live state (== the
+    documents table) without ever re-tokenizing the lake. Fold is union +
+    ONE groupBy, no join; tokenization is byte-identical to
+    operators/retrieval.py, so the oracle is SQL_INVERTED_INDEX unchanged."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.indexview import IncrementalIndexView
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_idxv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    view = IncrementalIndexView(tempfile.mkdtemp(prefix="otr_idxv_v_"))
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    view.follow_lake(spark, t)
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    view.follow_lake(spark, t)
+    return view.stats(spark)
+
+
 def q_follow_lake_corpus(spark, sf_dir):
     """The full CDC-lake → training-corpus composition
     (IncrementalCorpus.follow_lake + LakeTable.changes): documents ride a
@@ -2061,6 +2175,91 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 10000.0, 4)
          AS intercept
 FROM g
+"""
+
+
+def q_resample_value_by_type(spark, sf_dir):
+    """Gap-filled hourly resampling per event type (operators/analytics.py
+    resample_gapfill): the fact table shuffles ONCE into the sparse
+    (type, hour) aggregate; the dense hour spine explodes from one
+    sequence() per type and the gaps carry the last observed sum forward
+    with a running last(ignorenulls) window — timescale's
+    time_bucket_gapfill posture with no self-join against the facts.
+    Integer bucketing (ms − ms % step) and e4 fixed-point sums keep both
+    engines bit-identical."""
+    from oplogtoredis_spark.operators.analytics import resample_gapfill
+
+    return resample_gapfill(
+        _ev(spark, sf_dir, par=True).select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ),
+        ["event_type"],
+        step_ms=3_600_000,
+        fill="carry",
+    )
+
+
+SQL_RESAMPLE = """
+WITH sparse AS (
+  SELECT event_type,
+         epoch_ms(ts) - epoch_ms(ts) % 3600000 AS bucket_ms,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600000)) AS bucket_ms
+  FROM (SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+        FROM sparse GROUP BY 1)),
+dense AS (
+  SELECT sp.event_type, sp.bucket_ms,
+         coalesce(s.n_events, 0) AS n_events, s.s AS s
+  FROM spine sp LEFT JOIN sparse s USING (event_type, bucket_ms))
+SELECT event_type, bucket_ms, n_events,
+       (last_value(s IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 10000.0
+         AS value_sum
+FROM dense
+"""
+
+
+def q_zscore_anomalies_events(spark, sf_dir):
+    """Per-event-type z-score outliers (operators/analytics.py
+    zscore_anomalies): mean/stddev come from exact integer sufficient
+    statistics (n, Σv, Σv² at e4, combined in DECIMAL(38,0) — the
+    linear_trend discipline), then BROADCAST back onto the fact rows, so
+    the facts never shuffle. |z| > 3 rows survive; zero-variance or
+    singleton keys yield nothing (z undefined, never ±inf)."""
+    from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+    ev = _ev(spark, sf_dir, par=True).select("event_id", "event_type", "value")
+    return zscore_anomalies(ev, ["event_type"], threshold=3.0)
+
+
+SQL_ZSCORE = """
+WITH v AS (SELECT event_id, event_type, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+           FROM events),
+st AS (SELECT event_type,
+              CAST(count(*) AS DECIMAL(38,0)) AS n,
+              CAST(sum(v4) AS DECIMAL(38,0)) AS s,
+              CAST(sum(CAST(v4 AS DECIMAL(38,0)) * v4) AS DECIMAL(38,0)) AS ss
+       FROM v GROUP BY 1 HAVING count(*) >= 2),
+j AS (SELECT v.event_id, v.event_type, v.value, v.v4, st.n, st.s, st.ss
+      FROM v JOIN st USING (event_type)),
+z AS (SELECT event_id, event_type, value,
+             CASE WHEN sqrt(CAST(n * ss - s * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                       > 0.0
+                  THEN (CAST(v4 AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0)))
+             END AS zz
+      FROM j)
+SELECT event_id, event_type, value, round(zz, 4) AS z
+FROM z WHERE abs(zz) > 3.0
 """
 
 
@@ -3246,6 +3445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "follow_lake_corpus": q_follow_lake_corpus,
         "agg_view_lake": q_agg_view_lake,
         "distinct_view_lake": q_distinct_view_lake,
+        "index_view_lake": q_index_view_lake,
+        "lake_read_clustered": q_lake_read_clustered,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -3261,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_field_histogram": q_props_field_histogram,
         "table_profile_events": q_table_profile_events,
         "value_trend_by_type": q_value_trend_by_type,
+        "resample_value_by_type": q_resample_value_by_type,
+        "zscore_anomalies_events": q_zscore_anomalies_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
@@ -3333,6 +3536,13 @@ def oracle_sql() -> dict[str, str]:
         "follow_lake_corpus": SQL_CORPUS_PIPELINE,
         "agg_view_lake": SQL_AGG_VIEW,
         "distinct_view_lake": SQL_DISTINCT_VIEW,
+        # the maintained index's final state must equal the batch inverted
+        # index over the final live set (== documents) — the oracle is
+        # SQL_INVERTED_INDEX, unchanged by design
+        "index_view_lake": SQL_INVERTED_INDEX,
+        # live set == documents by the recipe; the pruned read must equal
+        # the plain filtered batch
+        "lake_read_clustered": SQL_LAKE_READ_CLUSTERED,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "decontaminate_ngram": SQL_DECONTAMINATE,
@@ -3348,6 +3558,8 @@ def oracle_sql() -> dict[str, str]:
         "props_field_histogram": SQL_PROPS_HISTOGRAM,
         "table_profile_events": SQL_TABLE_PROFILE,
         "value_trend_by_type": SQL_VALUE_TREND,
+        "resample_value_by_type": SQL_RESAMPLE,
+        "zscore_anomalies_events": SQL_ZSCORE,
         "weighted_sample_docs": _sql_weighted_sample(),
         "inverted_index_stats": SQL_INVERTED_INDEX,
         "bm25_topk_docs": SQL_BM25_TOPK,

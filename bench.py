@@ -75,6 +75,8 @@ HEADLINE = [
     "incremental_corpus_pipeline",
     "follow_lake_corpus",
     "agg_view_lake",
+    "index_view_lake",
+    "lake_read_clustered",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
@@ -108,6 +110,8 @@ HEADLINE = [
     "bm25_topk_docs",
     "table_profile_events",
     "value_trend_by_type",
+    "resample_value_by_type",
+    "zscore_anomalies_events",
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",

@@ -289,6 +289,140 @@ def value_quantiles(
     )
 
 
+def resample_gapfill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_ms: int = 3_600_000,
+    fill: str = "carry",
+) -> DataFrame:
+    """Per-key time-bucket resampling with GAP FILLING — the timeseries
+    densification every monitoring/trend consumer needs (timescale's
+    time_bucket_gapfill / InfluxDB fill() posture), which plain GROUP BY
+    cannot produce: buckets with no events simply don't exist.
+
+    Plan shape: the corpus shuffles ONCE into the per-(key, bucket)
+    aggregate; everything after runs on aggregate-sized data — the dense
+    bucket spine is exploded from one ``sequence(min_bucket, max_bucket)``
+    per key (bounded by the key's time span / step), left-joined to the
+    sparse aggregate on (key, bucket), and ``fill="carry"`` resolves gaps
+    with one ``last(_, ignorenulls)`` running window over the SAME (key,
+    bucket) partitioning. No self-join against the fact table anywhere.
+
+    Values are summed in e4 fixed point (order-independent, exact in the
+    DuckDB oracle); gap rows carry n_events = 0. ``fill``: "carry"
+    (last-observation-carried-forward), "zero", or "null".
+
+    Output: (keys..., bucket_ms, n_events, value_sum).
+    """
+    if fill not in ("carry", "zero", "null"):
+        raise ValueError(f"fill must be carry|zero|null, got {fill!r}")
+    if step_ms <= 0:
+        raise ValueError(f"step_ms must be positive, got {step_ms}")
+    from pyspark.sql.window import Window
+
+    ms = (F.unix_millis(F.col(ts_col))
+          if dict(df.dtypes)[ts_col].startswith("timestamp")
+          else F.col(ts_col).cast("long"))
+    # pure integer bucketing (ms − ms % step): no float division anywhere,
+    # so the oracle mirrors exactly at any timestamp magnitude
+    bucket = (ms - (ms % F.lit(step_ms))).cast("long")
+    v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    sparse = (
+        df.select(*keys, bucket.alias("bucket_ms"), v4.alias("_v"))
+        .groupBy(*keys, "bucket_ms")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("_v").alias("_sum"))
+    )
+    spine = (
+        sparse.groupBy(*keys)
+        .agg(F.min("bucket_ms").alias("_lo"), F.max("bucket_ms").alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_ms))
+            ).alias("bucket_ms"),
+        )
+    )
+    dense = spine.join(sparse, [*keys, "bucket_ms"], "left")
+    val = F.col("_sum")
+    if fill == "carry":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_ms")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        val = F.last("_sum", ignorenulls=True).over(w)
+    elif fill == "zero":
+        val = F.coalesce(F.col("_sum"), F.lit(0))
+    return dense.select(
+        *keys,
+        "bucket_ms",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        (val / F.lit(10000.0)).alias("value_sum"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    threshold: float = 3.0,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-key z-score outliers: rows whose value deviates from the key's
+    mean by more than ``threshold`` sample standard deviations.
+
+    Determinism: mean and stddev are derived from EXACT integer sufficient
+    statistics (n, Σv, Σv² at e4 fixed point, combined in DECIMAL(38,0) —
+    the linear_trend discipline), NOT from the engine-native ``stddev``
+    whose float accumulation is partition-order-dependent; the oracle
+    mirrors the same closed form bit-for-bit.
+
+    Plan shape: one partial-agg'd shuffle builds the per-key stats
+    (aggregate-sized), which then BROADCAST back onto the fact rows — the
+    corpus itself never shuffles (`broadcast_stats=False` falls back to a
+    shuffled hash join for key domains too large to broadcast).
+
+    Output: fact row keys + (value, z) for |z| > threshold; a key with
+    fewer than 2 rows or zero variance yields no anomalies (z undefined).
+    """
+    v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    stats = (
+        df.select(*keys, v4.alias("_v"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("_v").cast("decimal(38,0)").alias("_s"),
+            # the product is cast to decimal BEFORE summation: Σv² exceeds
+            # int64 long before Σv does (ANSI mode would fail loudly, but
+            # the 100 TB posture is to not overflow at all)
+            F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v"))
+            .cast("decimal(38,0)")
+            .alias("_ss"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    joined = df.withColumn("_v", v4).join(
+        F.broadcast(stats) if broadcast_stats else stats, list(keys)
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    # sample variance from exact sums: (n*Σv² − (Σv)²) / (n*(n−1))
+    var_num = (
+        F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    ).cast("double")
+    std = F.sqrt(var_num / (n * (n - F.lit(1.0))))
+    z = (F.col("_v").cast("double") - mean) / std
+    return (
+        joined.withColumn("_z", F.when(std > 0.0, z))
+        .where(F.abs(F.col("_z")) > F.lit(float(threshold)))
+        .drop("_n", "_s", "_ss", "_v")
+        .withColumn("z", F.round(F.col("_z"), 4))
+        .drop("_z")
+    )
+
+
 def linear_trend(
     df: DataFrame,
     keys: Sequence[str],

@@ -50,6 +50,57 @@ from ..sources.schemas import TARGET_KEY
 _CURRENT = "CURRENT"
 
 
+#: Memoized (file path -> column -> (min, max) | None) footer stats. Data
+#: files are immutable once linked into a manifest (rewrites go to NEW
+#: dirs), so the cache never invalidates; it lives for the driver process,
+#: entries are a few bytes each.
+_FOOTER_STATS_CACHE: dict = {}
+
+#: parquet writers omit or truncate min/max for long binary values; past
+#: this length a string max can no longer be trusted as an upper bound.
+_STATS_MAX_STR = 4000
+
+
+def _footer_col_range(path: str, col: str):
+    """(min, max) for ``col`` across a parquet file's row groups, from the
+    footer only (no data read) — None when stats are absent/unusable."""
+    key = (path, col)
+    if key in _FOOTER_STATS_CACHE:
+        return _FOOTER_STATS_CACHE[key]
+    rng = None
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == col:
+                idx = i
+                break
+        if idx is not None:
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if (
+                ok
+                and lo is not None
+                and not (
+                    isinstance(hi, (str, bytes)) and len(hi) >= _STATS_MAX_STR
+                )
+            ):
+                rng = (lo, hi)
+    except Exception:
+        rng = None  # unreadable footer: caller keeps the file
+    _FOOTER_STATS_CACHE[key] = rng
+    return rng
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the snapshot version this writer was about
     to claim (optimistic-concurrency loss — re-read and retry)."""
@@ -414,6 +465,7 @@ class LakeTable:
         include_deleted: bool = False,
         buckets: list[int] | None = None,
         version: int | None = None,
+        _file_filter=None,
     ) -> DataFrame:
         """Read the table state. ``version`` time-travels to an older
         snapshot (Iceberg's VERSION AS OF analogue) — valid while that
@@ -424,10 +476,19 @@ class LakeTable:
         collapse — newest (last_ts, last_tx_idx) wins; base rows win exact
         ties (a replayed event must not look like a change); between deltas
         the OLDEST epoch wins an exact tie (first apply stands, replay is a
-        no-op). Pure-CoW tables take the untouched zero-extra-cost path."""
+        no-op). Pure-CoW tables take the untouched zero-extra-cost path.
+
+        ``_file_filter`` (internal, see read_pruned) maps (bucket, base
+        dir) -> kept parquet file paths, None = whole dir, [] = bucket
+        skipped. It is consulted ONLY for buckets with no live deltas: a
+        delta can carry a row OLDER than the base row for the same key (MoR
+        merges never read the target, so a redelivered stale event lands in
+        a later delta), and the read-time LWW collapse needs the base row
+        present to outvote it — pruning base files under live deltas could
+        resurrect superseded rows."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        sel = m["buckets"]
+        sel = dict(m["buckets"])
         dsel = m.get("bucket_deltas", {})
         if buckets is not None:
             keep = set(buckets)
@@ -452,8 +513,24 @@ class LakeTable:
                     "by expire_snapshots; only retained snapshots are "
                     "readable"
                 )
+        # per-bucket path lists: normally the bucket dir; under a file
+        # filter, the kept files of delta-free buckets (a fully-pruned
+        # bucket leaves the read entirely)
+        paths = {b: [os.path.join(self.path, d)] for b, d in sel.items()}
+        if _file_filter is not None:
+            for b, d in list(sel.items()):
+                if dsel.get(b):
+                    continue  # live deltas: full base required (docstring)
+                kept = _file_filter(b, os.path.join(self.path, d))
+                if kept is None:
+                    continue
+                if kept:
+                    paths[b] = list(kept)
+                else:
+                    del paths[b]
+                    del sel[b]
         cur_sid = m.get("schema_id", object())
-        if not dirs:
+        if not paths:
             df = spark.createDataFrame([], schema)
         elif all(
             m.get("bucket_schema_id", {}).get(b) == cur_sid for b in sel
@@ -461,7 +538,9 @@ class LakeTable:
             # fast path: every selected bucket was written at the current
             # schema id — read with the explicit schema (no driver-side
             # mergeSchema footer scan, measured 0.25-0.8 s per epoch)
-            df = spark.read.schema(schema).parquet(*dirs)
+            df = spark.read.schema(schema).parquet(
+                *[p for ps in paths.values() for p in ps]
+            )
         else:
             # buckets written at older schema ids → per-sid conformed reads
             df = self._read_conformed(
@@ -469,17 +548,107 @@ class LakeTable:
                 m,
                 schema,
                 [
-                    (
-                        m.get("bucket_schema_id", {}).get(b),
-                        os.path.join(self.path, d),
-                    )
-                    for b, d in sel.items()
+                    (m.get("bucket_schema_id", {}).get(b), p)
+                    for b, ps in paths.items()
+                    for p in ps
                 ],
             )
         if dsel:
             df = self._merge_deltas_on_read(spark, df, dsel, schema, cur_sid, m)
         if not include_deleted:
             df = df.where(~F.col("deleted"))
+        return df
+
+    def prune_plan(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> dict:
+        """File-skipping plan for ``lo <= col <= hi`` from parquet FOOTER
+        min/max stats (Iceberg's manifest column-stats pruning posture —
+        here the stats live in the immutable data files and are memoized
+        driver-side, so the hot write path pays nothing; a cluster-scale
+        variant would persist them into the manifest at commit).
+
+        Sound because (a) every base file is written by a merge/compact/
+        rewrite, whose LWW collapse leaves at most ONE row per key in the
+        base — skipping a file can only remove FINAL rows whose stat value
+        is provably outside the range, never an older version whose newer
+        row survives elsewhere; (b) buckets with live MoR deltas are left
+        whole (see read); (c) the exact predicate is re-applied on read.
+        Files lacking stats for ``col`` (or with truncation-length string
+        values, where footer max may not be an upper bound) are kept.
+
+        Returns {"kept": {bucket: [files] | None}, "files_total",
+        "files_kept", "files_skipped", "buckets_dropped"} — ``None`` marks
+        a bucket read whole (live deltas)."""
+        m = self.manifest(version)
+        dsel = m.get("bucket_deltas", {})
+        kept: dict = {}
+        total = n_kept = 0
+        dropped = []
+        for b, d in m["buckets"].items():
+            bdir = os.path.join(self.path, d)
+            if dsel.get(b):
+                kept[b] = None
+                continue
+            files = sorted(
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+            total += len(files)
+            sel = []
+            for p in files:
+                rng = _footer_col_range(p, col)
+                if rng is None:
+                    sel.append(p)  # no usable stats: must keep
+                    continue
+                fmin, fmax = rng
+                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                    sel.append(p)
+            n_kept += len(sel)
+            kept[b] = sel
+            if not sel:
+                dropped.append(int(b))
+        return {
+            "kept": kept,
+            "files_total": total,
+            "files_kept": n_kept,
+            "files_skipped": total - n_kept,
+            "buckets_dropped": sorted(dropped),
+        }
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        include_deleted: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """read() restricted to ``lo <= col <= hi`` with footer-stats file
+        skipping (see prune_plan) — the payoff of rewrite_clustered's
+        layout. The exact predicate is applied post-collapse, so the result
+        equals ``read().where(...)`` bit-for-bit; the skipping only changes
+        how many files the scan touches."""
+        if lo is None and hi is None:
+            raise ValueError("read_pruned needs lo and/or hi")
+        plan = self.prune_plan(col, lo, hi, version)
+        df = self.read(
+            spark,
+            include_deleted=include_deleted,
+            version=version,
+            _file_filter=lambda b, d: plan["kept"].get(b),
+        )
+        c = F.col(col)
+        if lo is not None:
+            df = df.where(c >= F.lit(lo))
+        if hi is not None:
+            df = df.where(c <= F.lit(hi))
         return df
 
     def _read_conformed(
@@ -1438,6 +1607,73 @@ class LakeTable:
         )
         stats = {"compacted": True, "version": new_version, "buckets": sel}
         self._append_lineage(f"compact_buckets:{new_version}", stats)
+        return stats
+
+    def rewrite_clustered(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str] | tuple[str, ...],
+        files_per_bucket: int = 4,
+        drop_tombstones_older_than_ts: int = 0,
+    ) -> dict:
+        """OPTIMIZE-with-sort-order (Iceberg rewrite_data_files with a sort
+        strategy / Delta OPTIMIZE ZORDER analogue): fold any deltas and
+        rewrite every bucket's base with rows RANGE-CLUSTERED on
+        ``cluster_by``, split into ~``files_per_bucket`` files per bucket
+        with near-disjoint value ranges — the layout that makes
+        read_pruned's footer-stats file skipping bite (a hash-bucketed
+        table spreads every value range across every file otherwise).
+
+        The bucket-by-key layout is PRESERVED (pb stays the partition
+        column — merge correctness depends on a key living in exactly one
+        bucket); the clustering happens within buckets: range-partitioning
+        the write on (pb, cluster_by...) makes each task hold a contiguous
+        (bucket, value-range) slab, so each written file's footer min/max
+        is tight. Runs as its own snapshot commit; single-writer discipline
+        applies, same as compact."""
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        m = self.manifest()
+        live = self.read(spark, include_deleted=True)
+        kept = live.where(
+            (~F.col("deleted"))
+            | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
+        )
+        n_parts = max(1, len(m["buckets"])) * max(1, int(files_per_bucket))
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            kept.withColumn("pb", F.col("bucket"))
+            .repartitionByRange(
+                n_parts, F.col("pb"), *[F.col(c) for c in cluster_by]
+            )
+            .sortWithinPartitions("pb", *cluster_by)
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets = {}
+        for b in range(m["n_buckets"]):
+            bdir = os.path.join(out_dir, f"pb={b}")
+            if os.path.exists(bdir):
+                buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+        cur_sid = int(m.get("schema_id", 0))
+        self._write_manifest(
+            {
+                **m,
+                "version": new_version,
+                "buckets": buckets,
+                "bucket_schema_id": {b: cur_sid for b in buckets},
+                "bucket_deltas": {},  # folded into the new base
+            }
+        )
+        stats = {
+            "clustered": True,
+            "version": new_version,
+            "cluster_by": list(cluster_by),
+        }
+        self._append_lineage(f"rewrite_clustered:{new_version}", stats)
         return stats
 
     def maybe_compact(

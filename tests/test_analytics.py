@@ -349,3 +349,123 @@ class TestLinearTrend:
         a = linear_trend(df.coalesce(1), ["k"], "x", "y").collect()[0]
         b = linear_trend(df.repartition(16), ["k"], "x", "y").collect()[0]
         assert (a.slope, a.intercept) == (b.slope, b.intercept)
+
+
+class TestResampleGapfill:
+    def _df(self, spark):
+        import datetime as dt
+
+        H = 3_600_000
+        rows = [
+            # key 'a': hours 0, 1, 4 observed → gaps at 2, 3
+            ("a", 0, 10.0), ("a", 0, 2.5), ("a", 1 * H, 1.0), ("a", 4 * H, 7.0),
+            # key 'b': single hour
+            ("b", 2 * H, 3.0),
+        ]
+        base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        return spark.createDataFrame(
+            [(k, base + dt.timedelta(milliseconds=ms), v) for k, ms, v in rows],
+            "k string, ts timestamp, value double",
+        )
+
+    def test_carry_fills_gaps(self, spark):
+        from oplogtoredis_spark.operators.analytics import resample_gapfill
+
+        out = resample_gapfill(self._df(spark), ["k"], "ts", "value",
+                               step_ms=3_600_000, fill="carry")
+        got = {(r.k, r.bucket_ms): (r.n_events, r.value_sum)
+               for r in out.collect()}
+        H = 3_600_000
+        import datetime as dt
+        base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1000)
+        # dense spine: a has 5 buckets (0..4), b has 1
+        assert len(got) == 6
+        assert got[("a", base + 0)] == (2, 12.5)
+        assert got[("a", base + 1 * H)] == (1, 1.0)
+        assert got[("a", base + 2 * H)] == (0, 1.0)   # gap carries hour 1
+        assert got[("a", base + 3 * H)] == (0, 1.0)
+        assert got[("a", base + 4 * H)] == (1, 7.0)
+        assert got[("b", base + 2 * H)] == (1, 3.0)
+
+    def test_zero_and_null_fill(self, spark):
+        from oplogtoredis_spark.operators.analytics import resample_gapfill
+
+        H = 3_600_000
+        import datetime as dt
+        base = int(dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1000)
+        z = {(r.k, r.bucket_ms): r.value_sum
+             for r in resample_gapfill(self._df(spark), ["k"], "ts", "value",
+                                       step_ms=H, fill="zero").collect()}
+        assert z[("a", base + 2 * H)] == 0.0
+        n = {(r.k, r.bucket_ms): r.value_sum
+             for r in resample_gapfill(self._df(spark), ["k"], "ts", "value",
+                                       step_ms=H, fill="null").collect()}
+        assert n[("a", base + 3 * H)] is None
+
+    def test_long_ts_col_and_guards(self, spark):
+        from oplogtoredis_spark.operators.analytics import resample_gapfill
+
+        df = spark.createDataFrame(
+            [("a", 100, 1.0), ("a", 350, 2.0)], "k string, ts long, value double"
+        )
+        out = {r.bucket_ms: (r.n_events, r.value_sum)
+               for r in resample_gapfill(df, ["k"], "ts", "value",
+                                         step_ms=100).collect()}
+        assert out == {100: (1, 1.0), 200: (0, 1.0), 300: (1, 2.0)}
+        with pytest.raises(ValueError, match="carry|zero|null"):
+            resample_gapfill(df, ["k"], fill="bogus")
+        with pytest.raises(ValueError, match="positive"):
+            resample_gapfill(df, ["k"], step_ms=0)
+
+
+class TestZscoreAnomalies:
+    def test_matches_numpy_and_flags_outlier(self, spark):
+        import numpy as np
+
+        from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+        vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 100.0]
+        df = spark.createDataFrame(
+            [(i, "a", v) for i, v in enumerate(vals)],
+            "event_id long, k string, value double",
+        )
+        got = zscore_anomalies(df, ["k"], threshold=2.5).collect()
+        assert [r.event_id for r in got] == [9]
+        arr = np.array(vals)
+        z = (arr[9] - arr.mean()) / arr.std(ddof=1)
+        assert got[0].z == pytest.approx(z, abs=1e-3)
+
+    def test_zero_variance_and_singleton_emit_nothing(self, spark):
+        from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+        df = spark.createDataFrame(
+            [(1, "flat", 5.0), (2, "flat", 5.0), (3, "one", 9.0)],
+            "event_id long, k string, value double",
+        )
+        assert zscore_anomalies(df, ["k"], threshold=0.0).count() == 0
+
+    def test_partition_order_invariance(self, spark):
+        from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+        rows = [(i, "g", (i * 29 % 97) + 0.31 * i) for i in range(500)]
+        df = spark.createDataFrame(rows, "event_id long, k string, value double")
+        a = sorted((r.event_id, r.z) for r in
+                   zscore_anomalies(df.coalesce(1), ["k"], threshold=1.5).collect())
+        b = sorted((r.event_id, r.z) for r in
+                   zscore_anomalies(df.repartition(16), ["k"], threshold=1.5).collect())
+        assert a == b and len(a) > 0
+
+    def test_stats_side_is_broadcast(self, spark):
+        from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+        df = spark.createDataFrame(
+            [(i, "k" + str(i % 3), float(i % 7)) for i in range(60)],
+            "event_id long, k string, value double",
+        )
+        plan = (
+            zscore_anomalies(df, ["k"])._jdf.queryExecution().executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
