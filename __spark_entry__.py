@@ -1570,6 +1570,72 @@ FROM documents WHERE lang = 'en'
 """
 
 
+def q_schema_evolution_lake(spark, sf_dir):
+    """Schema evolution through the lake (streaming/lake.py merge_schemas /
+    conformed reads — the north rule's added-column case as an ORACLED
+    query): commit 1 writes envelopes WITHOUT ``stars``; commit 2's
+    envelopes carry the new column, evolving the table schema in the merge
+    loop. The final read conforms every bucket to the current schema —
+    rows last written by commit 1 surface ``stars`` as NULL, commit-2
+    rows carry the value. Same draft/delete recipe as the other lake
+    queries, so the live set == documents and the oracle derives stars
+    from which commit last wrote each row."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_evo_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    b2 = (
+        env(upserts, 2)
+        .withColumn("stars", (F.col("tx_idx") % 5).cast("long"))
+        .unionByName(
+            env(extras, 2, op="d").withColumn(
+                "stars", F.lit(None).cast("long")
+            )
+        )
+    )
+    t.merge_batch(b2, 1, extra_payload_cols=("stars",))
+    return t.read(spark).select("path", "lang", "stars")
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT doc_id::VARCHAR AS path, lang,
+       CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
+            THEN CAST(doc_id % 5 AS BIGINT) END AS stars
+FROM documents
+"""
+
+
 def q_index_view_lake(spark, sf_dir):
     """Retraction-maintained INVERTED INDEX over the CDC lake
     (operators/indexview.py IncrementalIndexView): the postings follow the
@@ -2261,6 +2327,88 @@ z AS (SELECT event_id, event_type, value,
 SELECT event_id, event_type, value, round(zz, 4) AS z
 FROM z WHERE abs(zz) > 3.0
 """
+
+
+def q_bloom_semi_join_events(spark, sf_dir):
+    """Explicit Bloom-pruned semi join (operators/bloomjoin.py): purchase
+    events of users who ever produced a high-value error. The dimension's
+    keys build a 2^20-bit bitmap (one partial-agg'd shuffle over the
+    DIMENSION only); the fact side is pruned map-side by codegen'd bit
+    tests against the broadcast single-row bitmap BEFORE the exact semi
+    join removes the false positives — shuffle volume ∝ matches, not
+    corpus. Result equals the plain semi join bit-for-bit (no false
+    negatives), which is exactly what the oracle computes."""
+    from oplogtoredis_spark.operators.bloomjoin import bloom_semi_join
+
+    ev = _ev(spark, sf_dir, par=True)
+    dim = (
+        ev.where((F.col("event_type") == "error") & (F.col("value") > 95))
+        .select("user_id")
+        .distinct()
+    )
+    big = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    return bloom_semi_join(big, dim, "user_id")
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND user_id IN (
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 95)
+"""
+
+
+def q_pagerank_user_graph(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over a deterministic
+    click-referral graph derived from events: src = user, dst = (user +
+    floor(value)) % 500. Ranks are e9 fixed-point LONGS — every iteration
+    is pure integer multiply/divide, so the per-node sums are
+    order-independent and the oracle replays all 3 iterations
+    bit-identically (float PageRank is partition-order-dependent). Leaky
+    dangling variant, documented in the operator. One join + one agg
+    shuffle per iteration; the edge subtree canonicalizes equal across
+    iterations so AQE materializes it once."""
+    from oplogtoredis_spark.operators.graph import pagerank
+
+    ev = _ev(spark, sf_dir, par=True)
+    edges = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("src"),
+        (
+            (F.col("user_id") + F.floor(F.col("value")).cast("long")) % 500
+        ).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping_pct=85).select(
+        "node", "rank_e9"
+    )
+
+
+def _sql_pagerank(iters: int = 3, d_pct: int = 85) -> str:
+    """The identical integer recurrence unrolled as chained CTEs."""
+    sql = """
+WITH edges AS (SELECT DISTINCT user_id AS src,
+        (user_id + CAST(floor(value) AS BIGINT)) % 500 AS dst
+   FROM events WHERE event_type = 'click'),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node,
+       CAST(1000000000 // (SELECT count(*) FROM nodes) AS BIGINT) AS rank_e9
+       FROM nodes)"""
+    base = (
+        f"(CAST({100 - d_pct} AS BIGINT) * 1000000000"
+        f" // (100 * (SELECT count(*) FROM nodes)))"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (SELECT n.node,
+         CAST({base} + coalesce(s.c, 0) AS BIGINT) AS rank_e9
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node,
+                  sum((r.rank_e9 * {d_pct}) // (d.outdeg * 100)) AS c
+           FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY 1) s ON n.node = s.node)"""
+    return sql + f"\nSELECT node, rank_e9 FROM r{iters}"
 
 
 def q_table_profile_events(spark, sf_dir):
@@ -3447,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_view_lake": q_distinct_view_lake,
         "index_view_lake": q_index_view_lake,
         "lake_read_clustered": q_lake_read_clustered,
+        "schema_evolution_lake": q_schema_evolution_lake,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "decontaminate_ngram": q_decontaminate_ngram,
@@ -3464,6 +3613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend_by_type": q_value_trend_by_type,
         "resample_value_by_type": q_resample_value_by_type,
         "zscore_anomalies_events": q_zscore_anomalies_events,
+        "bloom_semi_join_events": q_bloom_semi_join_events,
+        "pagerank_user_graph": q_pagerank_user_graph,
         "weighted_sample_docs": q_weighted_sample_docs,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
@@ -3543,6 +3694,9 @@ def oracle_sql() -> dict[str, str]:
         # live set == documents by the recipe; the pruned read must equal
         # the plain filtered batch
         "lake_read_clustered": SQL_LAKE_READ_CLUSTERED,
+        # live set == documents; stars derives from which commit last wrote
+        # the row (commit-1 rows conform to the evolved schema as NULL)
+        "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "decontaminate_ngram": SQL_DECONTAMINATE,
@@ -3560,6 +3714,8 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_by_type": SQL_VALUE_TREND,
         "resample_value_by_type": SQL_RESAMPLE,
         "zscore_anomalies_events": SQL_ZSCORE,
+        "bloom_semi_join_events": SQL_BLOOM_SEMI_JOIN,
+        "pagerank_user_graph": _sql_pagerank(),
         "weighted_sample_docs": _sql_weighted_sample(),
         "inverted_index_stats": SQL_INVERTED_INDEX,
         "bm25_topk_docs": SQL_BM25_TOPK,

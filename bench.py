@@ -77,6 +77,7 @@ HEADLINE = [
     "agg_view_lake",
     "index_view_lake",
     "lake_read_clustered",
+    "schema_evolution_lake",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
@@ -112,6 +113,8 @@ HEADLINE = [
     "value_trend_by_type",
     "resample_value_by_type",
     "zscore_anomalies_events",
+    "bloom_semi_join_events",
+    "pagerank_user_graph",
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",
