@@ -2359,6 +2359,34 @@ WHERE event_type = 'purchase' AND user_id IN (
 """
 
 
+def q_salted_join_events(spark, sf_dir):
+    """Hot-key salted join (operators/skew.py): events join their
+    per-type counts — event_type has only 5 values, so every reducer of a
+    plain shuffled join handles a fifth of the table (the north rule's
+    hot-repo regime in miniature). The fact side gets a row-unique salt,
+    the dimension replicates ×8, the join runs on (key, salt): the hot
+    key's reduce work spreads over 8 reducers while the RESULT equals the
+    plain join row-for-row (salt assignment can't change multiplicities —
+    each fact row meets exactly its own salt's replica), which is what
+    the oracle computes."""
+    from oplogtoredis_spark.operators.skew import salted_join
+
+    ev = _ev(spark, sf_dir, par=True)
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_count")
+    )
+    return salted_join(
+        ev.select("event_id", "event_type"), dim, ["event_type"], n_salts=8
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT e.event_type, e.event_id, c.type_count
+FROM events e JOIN (SELECT event_type, count(*) AS type_count
+                    FROM events GROUP BY 1) c USING (event_type)
+"""
+
+
 def q_pagerank_user_graph(spark, sf_dir):
     """Fixed-iteration PageRank (operators/graph.py) over a deterministic
     click-referral graph derived from events: src = user, dst = (user +
@@ -3615,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies_events": q_zscore_anomalies_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "pagerank_user_graph": q_pagerank_user_graph,
+        "salted_join_events": q_salted_join_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "inverted_index_stats": q_inverted_index_stats,
         "bm25_topk_docs": q_bm25_topk_docs,
@@ -3716,6 +3745,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_anomalies_events": SQL_ZSCORE,
         "bloom_semi_join_events": SQL_BLOOM_SEMI_JOIN,
         "pagerank_user_graph": _sql_pagerank(),
+        "salted_join_events": SQL_SALTED_JOIN,
         "weighted_sample_docs": _sql_weighted_sample(),
         "inverted_index_stats": SQL_INVERTED_INDEX,
         "bm25_topk_docs": SQL_BM25_TOPK,

@@ -115,6 +115,7 @@ HEADLINE = [
     "zscore_anomalies_events",
     "bloom_semi_join_events",
     "pagerank_user_graph",
+    "salted_join_events",
     "stream_interval_join_events",
     "event_type_pivot",
     "rollup_value_by_type_day",
