@@ -320,6 +320,13 @@ def resample_gapfill(
         raise ValueError(f"fill must be carry|zero|null, got {fill!r}")
     if step_ms <= 0:
         raise ValueError(f"step_ms must be positive, got {step_ms}")
+    clash = {"_v", "_sum", "_lo", "_hi", "bucket_ms", "n_events"} & set(
+        df.columns
+    ) - {ts_col}
+    if clash:
+        raise ValueError(
+            f"input columns collide with resample internals: {sorted(clash)}"
+        )
     from pyspark.sql.window import Window
 
     ms = (F.unix_millis(F.col(ts_col))
@@ -387,6 +394,11 @@ def zscore_anomalies(
     Output: fact row keys + (value, z) for |z| > threshold; a key with
     fewer than 2 rows or zero variance yields no anomalies (z undefined).
     """
+    clash = {"_n", "_s", "_ss", "_v", "_z", "z"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with zscore internals: {sorted(clash)}"
+        )
     v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
     stats = (
         df.select(*keys, v4.alias("_v"))

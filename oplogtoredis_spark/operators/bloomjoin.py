@@ -94,6 +94,10 @@ def bloom_probe(
     """Rows of ``df`` whose key MIGHT be in the filter (superset of the
     true matches, no false negatives; null keys never match). Pure
     map-side: broadcast single-row bitmap + codegen'd bit tests."""
+    if "_bloom" in df.columns:
+        raise ValueError(
+            "input must not carry the internal column _bloom"
+        )
     n_bits = len(words) * 64
     spark = df.sparkSession
     bmp = spark.createDataFrame([(words,)], "_bloom array<bigint>")
@@ -127,6 +131,6 @@ def bloom_semi_join(
     filter only shrinks what reaches the exchange."""
     words = build_bloom(small, key_col, n_bits, k_hashes, seed)
     cand = bloom_probe(big, key_col, words, k_hashes, seed)
-    return cand.join(
-        small.select(key_col).distinct(), key_col, "left_semi"
-    )
+    # no distinct on the build side: a LEFT SEMI join never multiplies the
+    # left, so deduping the dimension would only add a shuffle
+    return cand.join(small.select(key_col), key_col, "left_semi")

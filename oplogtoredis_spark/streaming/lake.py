@@ -586,6 +586,7 @@ class LakeTable:
         a bucket read whole (live deltas)."""
         m = self.manifest(version)
         dsel = m.get("bucket_deltas", {})
+        manifest_stats = m.get("file_stats", {})
         kept: dict = {}
         total = n_kept = 0
         dropped = []
@@ -595,14 +596,16 @@ class LakeTable:
                 kept[b] = None
                 continue
             files = sorted(
-                os.path.join(bdir, f)
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet")
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
             )
             total += len(files)
             sel = []
-            for p in files:
-                rng = _footer_col_range(p, col)
+            for f in files:
+                p = os.path.join(bdir, f)
+                # manifest stats first (zero-IO planning, written by
+                # rewrite_clustered); footer fallback otherwise
+                ms = manifest_stats.get(f"{d}/{f}", {}).get(col)
+                rng = tuple(ms) if ms else _footer_col_range(p, col)
                 if rng is None:
                     sel.append(p)  # no usable stats: must keep
                     continue
@@ -1658,6 +1661,27 @@ class LakeTable:
             bdir = os.path.join(out_dir, f"pb={b}")
             if os.path.exists(bdir):
                 buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+        # persist the just-written files' column stats INTO the manifest
+        # (Iceberg's manifest min/max layout): prune_plan then plans reads
+        # with zero data-file IO. Keyed by table-relative file path, so a
+        # later CoW/compact rewrite (new dirs) can never consult stale
+        # entries; entries for files this rewrite replaced are dropped.
+        file_stats: dict = {}
+        for b, rel_bdir in buckets.items():
+            bdir = os.path.join(self.path, rel_bdir)
+            for f in os.listdir(bdir):
+                if not f.endswith(".parquet"):
+                    continue
+                per_col = {}
+                for c in cluster_by:
+                    rng = _footer_col_range(os.path.join(bdir, f), c)
+                    if rng is not None and all(
+                        isinstance(v, (int, float, str, bool))
+                        for v in rng
+                    ):
+                        per_col[c] = [rng[0], rng[1]]
+                if per_col:
+                    file_stats[f"{rel_bdir}/{f}"] = per_col
         cur_sid = int(m.get("schema_id", 0))
         self._write_manifest(
             {
@@ -1666,12 +1690,14 @@ class LakeTable:
                 "buckets": buckets,
                 "bucket_schema_id": {b: cur_sid for b in buckets},
                 "bucket_deltas": {},  # folded into the new base
+                "file_stats": file_stats,
             }
         )
         stats = {
             "clustered": True,
             "version": new_version,
             "cluster_by": list(cluster_by),
+            "stat_files": len(file_stats),
         }
         self._append_lineage(f"rewrite_clustered:{new_version}", stats)
         return stats

@@ -469,3 +469,11 @@ class TestZscoreAnomalies:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_internal_name_collisions_rejected(self, spark):
+        from oplogtoredis_spark.operators.analytics import zscore_anomalies
+
+        df = spark.createDataFrame([(1, "a", 1.0, 2.0)],
+                                   "event_id long, k string, value double, z double")
+        with pytest.raises(ValueError, match="zscore internals"):
+            zscore_anomalies(df, ["k"])

@@ -81,3 +81,9 @@ def test_deterministic_across_partitionings(spark, facts, dim):
     a = build_bloom(dim.coalesce(1), "user")
     b = build_bloom(dim.repartition(8), "user")
     assert a == b
+
+
+def test_bloom_internal_column_rejected(spark, dim):
+    bad = dim.withColumn("_bloom", F.lit(1))
+    with pytest.raises(ValueError, match="_bloom"):
+        bloom_probe(bad, "user", build_bloom(dim, "user"))

@@ -138,3 +138,34 @@ def test_time_travel_pruned(spark, table):
 def test_read_pruned_requires_a_bound(spark, table):
     with pytest.raises(ValueError, match="lo and/or hi"):
         table.read_pruned(spark, "lang")
+
+
+def test_manifest_stats_plan_reads_no_footers(spark, table, monkeypatch):
+    """rewrite_clustered persists per-file column stats into the manifest;
+    prune_plan must plan from them with ZERO data-file IO (footer reads
+    poisoned to prove it)."""
+    import oplogtoredis_spark.streaming.lake as lake_mod
+
+    st = table.rewrite_clustered(spark, ["lang"], files_per_bucket=4)
+    assert st["stat_files"] > 0
+    assert table.manifest()["file_stats"]  # persisted
+    monkeypatch.setattr(
+        lake_mod, "_footer_col_range", lambda p, c: pytest.fail(
+            f"footer read attempted for {p}"
+        )
+    )
+    plan = table.prune_plan("lang", "de", "de")
+    assert plan["files_skipped"] > 0
+
+
+def test_manifest_stats_never_stale_after_rewrite(spark, table):
+    """A later CoW merge rewrites buckets into NEW dirs; manifest stats are
+    keyed by file path, so the rewritten buckets fall back to footers and
+    the pruned read stays exact."""
+    table.rewrite_clustered(spark, ["lang"], files_per_bucket=3)
+    # merge touches every bucket (ids 0..63 spread over 4 buckets)
+    table.merge_batch(_batch(spark, range(0, 64, 2), ts=9, lang="fr"), 7)
+    got = table.read_pruned(spark, "lang", "fr", "fr")
+    want = table.read(spark).where(F.col("lang") == "fr")
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) >= 32
