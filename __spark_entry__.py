@@ -2329,6 +2329,36 @@ FROM z WHERE abs(zz) > 3.0
 """
 
 
+def q_rolling_value_by_user(spark, sf_dir):
+    """Per-event trailing 1-hour window aggregate (operators/analytics.py
+    rolling_window_sum): ONE Exchange on the user key, RANGE-frame
+    streaming window (frame-bounded buffering, hot keys spill) — RANGE not
+    ROWS so duplicate timestamps share a frame end and the result is
+    partition-order-independent; e4 fixed-point frame sums."""
+    from oplogtoredis_spark.operators.analytics import rolling_window_sum
+
+    ev = _ev(spark, sf_dir, par=True).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    return rolling_window_sum(
+        ev, ["user_id"], "ts", "value", window_ms=3_600_000
+    ).select("event_id", "user_id", "ms", "trailing_n", "trailing_sum")
+
+
+SQL_ROLLING = """
+WITH v AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+           FROM events)
+SELECT event_id, user_id, ms,
+       count(*) OVER w AS trailing_n,
+       (sum(v4) OVER w) / 10000.0 AS trailing_sum
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_bloom_semi_join_events(spark, sf_dir):
     """Explicit Bloom-pruned semi join (operators/bloomjoin.py): purchase
     events of users who ever produced a high-value error. The dimension's
@@ -3642,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_value_by_type": q_resample_value_by_type,
         "zscore_anomalies_events": q_zscore_anomalies_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
+        "rolling_value_by_user": q_rolling_value_by_user,
         "pagerank_user_graph": q_pagerank_user_graph,
         "salted_join_events": q_salted_join_events,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -3744,6 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_value_by_type": SQL_RESAMPLE,
         "zscore_anomalies_events": SQL_ZSCORE,
         "bloom_semi_join_events": SQL_BLOOM_SEMI_JOIN,
+        "rolling_value_by_user": SQL_ROLLING,
         "pagerank_user_graph": _sql_pagerank(),
         "salted_join_events": SQL_SALTED_JOIN,
         "weighted_sample_docs": _sql_weighted_sample(),

@@ -114,6 +114,7 @@ HEADLINE = [
     "resample_value_by_type",
     "zscore_anomalies_events",
     "bloom_semi_join_events",
+    "rolling_value_by_user",
     "pagerank_user_graph",
     "salted_join_events",
     "stream_interval_join_events",
@@ -200,6 +201,12 @@ def main() -> None:
     unknown = [s for s in only if s not in HEADLINE]
     if unknown:  # a typo'd subset would silently measure nothing
         raise SystemExit(f"OTR_BENCH_ONLY names not in HEADLINE: {unknown}")
+    # OTR_BENCH_CDC_ONLY=1 skips the headline loop and measures just the
+    # CDC replay/stream sections — the throughput evidence fits a short
+    # quiet window (~4 min) where the full suite (~18 min) rarely does.
+    cdc_only = os.environ.get("OTR_BENCH_CDC_ONLY", "") == "1"
+    if cdc_only and only:
+        raise SystemExit("OTR_BENCH_CDC_ONLY and OTR_BENCH_ONLY are exclusive")
 
     from oplogtoredis_spark.config import EngineConfig
     from oplogtoredis_spark.session import get_spark
@@ -252,10 +259,11 @@ def main() -> None:
     t_suite0 = time.time()
 
     qmap = entry_mod.queries()
-    for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
-        best, raw = _timed_reps(lambda: _force(qmap[name](spark, SF_DIR)))
-        timings[name] = round(best, 3)
-        raw_reps[name] = raw
+    if not cdc_only:
+        for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
+            best, raw = _timed_reps(lambda: _force(qmap[name](spark, SF_DIR)))
+            timings[name] = round(best, 3)
+            raw_reps[name] = raw
 
     if only:
         out = {
@@ -395,11 +403,63 @@ def main() -> None:
     raw_reps["cdc_mor_read_autocompacted"] = raw
     assert t_ac.read(spark).count() == cow_rows
 
+    # --- clustered rewrite + file-skipping read (the read-path lever) ---
+    # A 2M-row lake (one row per event: seq folded into the key) clustered
+    # on lang; the pruned single-lang read vs the full filtered read
+    # quantifies what footer/manifest-stats skipping buys at row counts
+    # where scan bytes dominate. Build is timed once (it's a maintenance
+    # job, not a read).
+    clustered_stats = None
+    if not cdc_only:
+        from pyspark.sql import functions as _FF
+
+        from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+
+        cl_work = f"/tmp/otr_bench_clustered_{CPUS}"
+        shutil.rmtree(cl_work, ignore_errors=True)
+        envl = spark.read.parquet(events_dir).select(
+            "repo",
+            _FF.concat_ws(
+                "#", "path", _FF.col("seq").cast("string")
+            ).alias("path"),
+            "ts", "tx_idx", "op", "commit", "lang", "content",
+        )
+        t_cl = LakeTable.create(
+            os.path.join(cl_work, "tbl"), TARGET_SCHEMA, n_buckets=32
+        )
+        load1 = os.getloadavg()[0]
+        t0 = time.time()
+        t_cl.merge_batch(envl, 0)
+        t_cl.rewrite_clustered(spark, ["lang"], files_per_bucket=8)
+        timings["lake_clustered_build_2m"] = round(time.time() - t0, 3)
+        raw_reps["lake_clustered_build_2m"] = [
+            [timings["lake_clustered_build_2m"], round(load1, 2)]
+        ]
+        full_s, raw = _timed_reps(
+            lambda: _force(t_cl.read(spark).where(_FF.col("lang") == "go"))
+        )
+        timings["lake_read_full_2m"] = round(full_s, 3)
+        raw_reps["lake_read_full_2m"] = raw
+        pruned_s, raw = _timed_reps(
+            lambda: _force(t_cl.read_pruned(spark, "lang", "go", "go"))
+        )
+        timings["lake_read_pruned_2m"] = round(pruned_s, 3)
+        raw_reps["lake_read_pruned_2m"] = raw
+        pp = t_cl.prune_plan("lang", "go", "go")
+        clustered_stats = {
+            "files_total": pp["files_total"],
+            "files_skipped": pp["files_skipped"],
+        }
+
     git_rev = _git_rev()
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "headline query suite + CDC replay wall time",
+        "metric": (
+            "CDC replay wall time (OTR_BENCH_CDC_ONLY)"
+            if cdc_only
+            else "headline query suite + CDC replay wall time"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -423,6 +483,8 @@ def main() -> None:
         },
         "git_rev": git_rev,
     }
+    if clustered_stats is not None:
+        out["clustered_read"] = clustered_stats
     print(json.dumps(out))
     spark.stop()
 

@@ -370,6 +370,60 @@ def resample_gapfill(
     )
 
 
+def rolling_window_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_ms: int = 3_600_000,
+) -> DataFrame:
+    """Per-row trailing-window aggregate: for every event, the count and
+    sum of the key's events in ``[ts − window_ms, ts]`` (inclusive both
+    ends — the RANGE frame's semantics, mirrored exactly by the oracle).
+
+    Plan: ONE Exchange on the keys + one sort; the RANGE BETWEEN frame is
+    a streaming window (Spark buffers only the frame, hot keys spill).
+    Values are summed in e4 fixed point over the frame — deterministic at
+    any parallelism; ties in ``ts_col`` share a frame END (RANGE, not
+    ROWS: all equal-timestamp rows see the same trailing sum, so the
+    result is well-defined under duplicate timestamps, where a ROWS frame
+    would be partition-order-dependent).
+
+    At-least-once inputs (sources/generator logs with dup_frac) must be
+    deduplicated UPSTREAM: a redelivered row raises trailing_n/sum like
+    any other row — frame aggregates have no merge predicate to absorb
+    duplicates the way the lake's MERGE does.
+
+    Output: input columns + (ms, trailing_n, trailing_sum)."""
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    clash = {"_v", "ms", "trailing_n", "trailing_sum"} & set(df.columns)
+    if clash - {ts_col}:
+        raise ValueError(
+            f"input columns collide with rolling internals: {sorted(clash)}"
+        )
+    from pyspark.sql.window import Window
+
+    ms = (F.unix_millis(F.col(ts_col))
+          if dict(df.dtypes)[ts_col].startswith("timestamp")
+          else F.col(ts_col).cast("long"))
+    v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("ms")
+        .rangeBetween(-int(window_ms), 0)
+    )
+    return (
+        df.withColumn("ms", ms.cast("long"))
+        .withColumn("_v", v4)
+        .withColumn("trailing_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "trailing_sum", (F.sum("_v").over(w) / F.lit(10000.0))
+        )
+        .drop("_v")
+    )
+
+
 def zscore_anomalies(
     df: DataFrame,
     keys: Sequence[str],

@@ -477,3 +477,55 @@ class TestZscoreAnomalies:
                                    "event_id long, k string, value double, z double")
         with pytest.raises(ValueError, match="zscore internals"):
             zscore_anomalies(df, ["k"])
+
+
+class TestRollingWindowSum:
+    def _df(self, spark):
+        rows = [
+            ("a", 0, 1.0), ("a", 500, 2.0), ("a", 1000, 4.0),
+            ("a", 1600, 8.0),        # frame [600,1600]: 0 and 500 fall out
+            ("a", 5000, 16.0),       # all others out
+            ("b", 0, 100.0),
+        ]
+        return spark.createDataFrame(rows, "k string, ts long, value double")
+
+    def test_trailing_frame_semantics(self, spark):
+        from oplogtoredis_spark.operators.analytics import rolling_window_sum
+
+        out = {(r.k, r.ms): (r.trailing_n, r.trailing_sum)
+               for r in rolling_window_sum(self._df(spark), ["k"], "ts",
+                                           "value", window_ms=1000).collect()}
+        assert out[("a", 0)] == (1, 1.0)
+        assert out[("a", 500)] == (2, 3.0)
+        assert out[("a", 1000)] == (3, 7.0)      # inclusive lower bound
+        assert out[("a", 1600)] == (2, 12.0)     # 0 and 500 dropped out
+        assert out[("a", 5000)] == (1, 16.0)
+        assert out[("b", 0)] == (1, 100.0)
+
+    def test_duplicate_timestamps_share_a_frame(self, spark):
+        from oplogtoredis_spark.operators.analytics import rolling_window_sum
+
+        df = spark.createDataFrame(
+            [("a", 10, 1.0), ("a", 10, 2.0)], "k string, ts long, value double"
+        )
+        rows = rolling_window_sum(df, ["k"], "ts", "value", 100).collect()
+        # RANGE frame: both equal-ts rows see the full 3.0
+        assert sorted((r.trailing_n, r.trailing_sum) for r in rows) == [
+            (2, 3.0), (2, 3.0)
+        ]
+
+    def test_one_exchange_and_guards(self, spark):
+        from oplogtoredis_spark.operators.analytics import rolling_window_sum
+
+        df = self._df(spark)
+        plan = (
+            rolling_window_sum(df, ["k"])._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        with pytest.raises(ValueError, match="positive"):
+            rolling_window_sum(df, ["k"], window_ms=0)
+        from pyspark.sql import functions as F
+
+        with pytest.raises(ValueError, match="rolling internals"):
+            rolling_window_sum(df.withColumn("ms", F.lit(1)), ["k"])
