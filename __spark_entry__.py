@@ -2359,6 +2359,92 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ms
 """
 
 
+def q_editdist_dup_pairs(spark, sf_dir):
+    """Exact edit-distance near-dup pairs over a 16-char normalized prefix
+    (operators/editdist.py): FastSS deletion-neighborhood candidates (map-
+    side explode, fan-out len+1 at k=1) → equality self-join on the variant
+    string → one pair-dedup shuffle → threshold-bounded levenshtein verify.
+    Complete by the FastSS theorem; never a Cartesian product (plan-pinned
+    in tests)."""
+    from oplogtoredis_spark.operators.editdist import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir, par=True).select(
+        "doc_id", F.substring(F.lower("text"), 1, 16).alias("pfx")
+    )
+    return edit_distance_pairs(docs, "doc_id", "pfx", k=1).select(
+        "id_a", "id_b", "dist"
+    )
+
+
+SQL_EDITDIST = """
+WITH kk AS (SELECT doc_id, substr(lower(text), 1, 16) AS pfx FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.pfx, b.pfx) AS dist
+FROM kk a JOIN kk b ON a.doc_id < b.doc_id
+WHERE abs(length(a.pfx) - length(b.pfx)) <= 1
+  AND levenshtein(a.pfx, b.pfx) <= 1
+"""
+
+
+def q_mad_anomalies_events(spark, sf_dir):
+    """Robust per-type outliers (operators/analytics.py mad_anomalies):
+    |v − median| > 3.5 × MAD — the 50%-breakdown sibling of the z-score
+    query (one extreme row can't mask itself by inflating the stddev).
+    Exact interpolated percentiles over e4 integers (partition-order-
+    independent); two aggregate-sized broadcasts, the facts never
+    shuffle."""
+    from oplogtoredis_spark.operators.analytics import mad_anomalies
+
+    ev = _ev(spark, sf_dir, par=True).select("event_id", "event_type", "value")
+    return mad_anomalies(ev, ["event_type"], threshold=3.5)
+
+
+SQL_MAD = """
+WITH v AS (SELECT event_id, event_type, value,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+           FROM events),
+md AS (SELECT event_type, quantile_cont(v4, 0.5) AS med4
+       FROM v GROUP BY 1),
+dv AS (SELECT v.*, md.med4, abs(CAST(v.v4 AS DOUBLE) - md.med4) AS dev
+       FROM v JOIN md USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad4
+        FROM dv GROUP BY 1 HAVING quantile_cont(dev, 0.5) > 0.0)
+SELECT dv.event_id, dv.event_type, dv.value,
+       round(dv.med4 / 10000.0, 4) AS med,
+       round(mad.mad4 / 10000.0, 4) AS mad,
+       round(dv.dev / mad.mad4, 4) AS rscore
+FROM dv JOIN mad USING (event_type)
+WHERE dv.dev > 3.5 * mad.mad4
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (operators/analytics.py transition_matrix): ONE corpus-sized Exchange
+    (the lead() window on user_id, tie-broken by event_id so duplicate
+    timestamps stay deterministic), then a partial-agg'd pair groupBy and
+    a |states|²-sized normalization window."""
+    from oplogtoredis_spark.operators.analytics import transition_matrix
+
+    ev = _ev(spark, sf_dir, par=True).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return transition_matrix(ev)
+
+
+SQL_TRANSITIONS = """
+WITH s AS (SELECT event_type AS state,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_state
+           FROM events),
+c AS (SELECT state, next_state, count(*) AS n
+      FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+SELECT state, next_state, n,
+       round(n / (sum(n) OVER (PARTITION BY state)), 4) AS p
+FROM c
+"""
+
+
 def q_bloom_semi_join_events(spark, sf_dir):
     """Explicit Bloom-pruned semi join (operators/bloomjoin.py): purchase
     events of users who ever produced a high-value error. The dimension's
@@ -3673,6 +3759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_anomalies_events": q_zscore_anomalies_events,
         "bloom_semi_join_events": q_bloom_semi_join_events,
         "rolling_value_by_user": q_rolling_value_by_user,
+        "editdist_dup_pairs": q_editdist_dup_pairs,
+        "mad_anomalies_events": q_mad_anomalies_events,
+        "event_transitions": q_event_transitions,
         "pagerank_user_graph": q_pagerank_user_graph,
         "salted_join_events": q_salted_join_events,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -3776,6 +3865,9 @@ def oracle_sql() -> dict[str, str]:
         "zscore_anomalies_events": SQL_ZSCORE,
         "bloom_semi_join_events": SQL_BLOOM_SEMI_JOIN,
         "rolling_value_by_user": SQL_ROLLING,
+        "editdist_dup_pairs": SQL_EDITDIST,
+        "mad_anomalies_events": SQL_MAD,
+        "event_transitions": SQL_TRANSITIONS,
         "pagerank_user_graph": _sql_pagerank(),
         "salted_join_events": SQL_SALTED_JOIN,
         "weighted_sample_docs": _sql_weighted_sample(),

@@ -115,6 +115,9 @@ HEADLINE = [
     "zscore_anomalies_events",
     "bloom_semi_join_events",
     "rolling_value_by_user",
+    "editdist_dup_pairs",
+    "mad_anomalies_events",
+    "event_transitions",
     "pagerank_user_graph",
     "salted_join_events",
     "stream_interval_join_events",

@@ -545,3 +545,110 @@ def linear_trend(
         F.round(slope_e4 / F.lit(10000.0), 4).alias("slope"),
         F.round(intercept_e4 / F.lit(10000.0), 4).alias("intercept"),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    threshold: float = 3.5,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-key robust outliers: rows whose value deviates from the key's
+    MEDIAN by more than ``threshold`` × MAD (median absolute deviation).
+
+    The robust sibling of zscore_anomalies: a single extreme row inflates
+    mean AND stddev (masking itself), while median/MAD have a 50%
+    breakdown point — the standard posture for long-tailed telemetry.
+
+    Determinism: values go to e4 fixed point (long) first; ``percentile``
+    is Spark's EXACT sort-based aggregate with linear interpolation —
+    identical to DuckDB's quantile_cont/median on the same integers, and
+    partition-order-independent (unlike float sums). MAD is inherently
+    two-pass (the deviation needs the median first): two aggregate
+    shuffles, each broadcast back onto the facts — the corpus never
+    shuffles. The 100 TB single-pass alternative is approx_percentile
+    (mergeable KLL sketch) at a documented accuracy cost.
+
+    Output: fact rows + (med, mad, rscore) where |v − med| > threshold ×
+    MAD; keys with MAD = 0 (over half the values identical) yield no rows
+    (rscore undefined), matching the oracle.
+    """
+    clash = {"_v", "_med", "_mad", "med", "mad", "rscore"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with mad internals: {sorted(clash)}"
+        )
+    v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    facts = df.withColumn("_v", v4)
+    med = facts.groupBy(*keys).agg(
+        F.percentile("_v", F.lit(0.5)).alias("_med")
+    )
+    bcast = F.broadcast if broadcast_stats else (lambda d: d)
+    with_med = facts.join(bcast(med), list(keys))
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(
+            F.percentile(
+                F.abs(F.col("_v").cast("double") - F.col("_med")), F.lit(0.5)
+            ).alias("_mad")
+        )
+        .where(F.col("_mad") > 0.0)
+    )
+    dev = F.abs(F.col("_v").cast("double") - F.col("_med"))
+    return (
+        with_med.join(bcast(mad), list(keys))
+        .where(dev > F.lit(float(threshold)) * F.col("_mad"))
+        .withColumn("med", F.round(F.col("_med") / F.lit(10000.0), 4))
+        .withColumn("mad", F.round(F.col("_mad") / F.lit(10000.0), 4))
+        .withColumn("rscore", F.round(dev / F.col("_mad"), 4))
+        .drop("_v", "_med", "_mad")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    seq_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every observed (state → next_state) step, its count and
+    the row-normalized probability.
+
+    Determinism under duplicate timestamps: the sequence order is
+    (ts, tiebreak) — the tiebreaker must be unique per entity (the event
+    id), otherwise ``lead`` is partition-order-dependent; the oracle
+    mirrors the same ORDER BY.
+
+    Plan: ONE Exchange on the entity key for the lead() window (the only
+    corpus-sized shuffle), then a partial-agg'd groupBy on the
+    (state, next) pair and a broadcast-sized row-normalization window over
+    the state — |states|² rows, negligible at any corpus size.
+
+    Output: (state, next_state, n, p) with p = n / Σ_next n.
+    """
+    clash = {"_nxt", "state", "next_state", "n", "p"} & set(df.columns)
+    if clash - {state_col}:
+        raise ValueError(
+            f"input columns collide with transition internals: {sorted(clash)}"
+        )
+    from pyspark.sql.window import Window
+
+    seq = Window.partitionBy(seq_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        df.select(seq_col, ts_col, tiebreak_col, state_col)
+        .withColumn("_nxt", F.lead(state_col).over(seq))
+        .where(F.col("_nxt").isNotNull())
+    )
+    counts = (
+        steps.groupBy(
+            F.col(state_col).alias("state"), F.col("_nxt").alias("next_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("state")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), 4)
+    )

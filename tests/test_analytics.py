@@ -529,3 +529,97 @@ class TestRollingWindowSum:
 
         with pytest.raises(ValueError, match="rolling internals"):
             rolling_window_sum(df.withColumn("ms", F.lit(1)), ["k"])
+
+
+class TestMadAnomalies:
+    def _df(self, spark):
+        # k=a: values 1..9 plus a 1000 outlier; median 5, MAD 2.5 over the
+        # 10 values (1..9,1000 -> sorted devs from med)
+        rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+        rows += [("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 50.0)]  # MAD 0
+        return spark.createDataFrame(rows, "k string, value double")
+
+    def test_outlier_flagged_and_mad0_key_silent(self, spark):
+        from oplogtoredis_spark.operators.analytics import mad_anomalies
+
+        out = mad_anomalies(self._df(spark), ["k"], threshold=3.5).collect()
+        # key b has MAD 0 -> no rows despite the 50.0 spike
+        assert {r.k for r in out} == {"a"}
+        assert [r.value for r in out] == [1000.0]
+        r = out[0]
+        # median of (1..9, 1000) = 5.5; devs sorted -> MAD = 2.5... compute:
+        # devs |v-5.5|: 4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5 -> median 2.5
+        assert r.med == 5.5 and r.mad == 2.5
+        assert r.rscore == pytest.approx((1000.0 - 5.5) / 2.5, abs=1e-4)
+
+    def test_threshold_boundary_strict(self, spark):
+        from oplogtoredis_spark.operators.analytics import mad_anomalies
+
+        df = spark.createDataFrame(
+            [("a", 0.0), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)],
+            "k string, value double",
+        )
+        # med 2, MAD 1: |4-2| = 2 -> rscore 2, nothing beyond 3.5
+        assert mad_anomalies(df, ["k"]).count() == 0
+        assert mad_anomalies(df, ["k"], threshold=1.5).count() == 2
+
+    def test_collision_guard(self, spark):
+        from oplogtoredis_spark.operators.analytics import mad_anomalies
+        from pyspark.sql import functions as F
+
+        df = self._df(spark).withColumn("mad", F.lit(1))
+        with pytest.raises(ValueError, match="mad internals"):
+            mad_anomalies(df, ["k"])
+
+
+class TestTransitionMatrix:
+    def test_counts_and_row_normalization(self, spark):
+        from oplogtoredis_spark.operators.analytics import transition_matrix
+
+        rows = [
+            (1, 1, 10, "view"), (2, 1, 20, "view"), (3, 1, 30, "buy"),
+            (4, 2, 10, "view"), (5, 2, 20, "buy"),
+            (6, 3, 10, "buy"),            # no successor -> no step
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, event_type string"
+        )
+        out = {
+            (r.state, r.next_state): (r.n, r.p)
+            for r in transition_matrix(df).collect()
+        }
+        assert out == {
+            ("view", "view"): (1, 0.3333),
+            ("view", "buy"): (2, 0.6667),
+        }
+
+    def test_duplicate_ts_deterministic_by_tiebreak(self, spark):
+        from oplogtoredis_spark.operators.analytics import transition_matrix
+
+        rows = [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 10, "c")]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, event_type string"
+        )
+        for _ in range(3):
+            out = {
+                (r.state, r.next_state)
+                for r in transition_matrix(df.repartition(7)).collect()
+            }
+            assert out == {("a", "b"), ("b", "c")}
+
+    def test_one_corpus_exchange(self, spark):
+        from oplogtoredis_spark.operators.analytics import transition_matrix
+
+        df = spark.createDataFrame(
+            [(1, 1, 10, "a"), (2, 1, 20, "b")],
+            "event_id long, user_id long, ts long, event_type string",
+        )
+        plan = (
+            transition_matrix(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        # user window + pair groupBy + normalization window = 3 exchanges,
+        # but only the FIRST is corpus-sized; pin the count so a join or
+        # extra corpus shuffle can't sneak in
+        assert plan.count("Exchange hashpartitioning") == 3
+        assert "Join" not in plan
