@@ -2445,6 +2445,153 @@ FROM c
 """
 
 
+def q_dq_expectations(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py) over the
+    orders/lineitem/customer relational tables: all row-local checks fold
+    into ONE aggregate per table (one scan each), uniqueness is one
+    partial-agg'd shuffle, and referential integrity is a null-safe LEFT
+    ANTI join — customer broadcasts (dimension), orders does not
+    (fact-sized parent, shuffled anti join). The accepted_values check
+    deliberately excludes status 'P' so the report demonstrably counts
+    (the other checks hold at zero on this corpus)."""
+    from oplogtoredis_spark.operators.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        not_null,
+        run_expectations,
+        unique,
+    )
+
+    _ensure_shipped(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o_rep = run_expectations(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique(["o_orderkey"]),
+            in_range("o_totalprice", 0.0, 10000000.0),
+            accepted_values("o_orderstatus", ["O", "F"]),
+            foreign_key(["o_custkey"], customer, ["c_custkey"]),
+        ],
+    )
+    l_rep = run_expectations(
+        lineitem,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 0.1),
+            in_range("l_quantity", 1.0, 50.0),
+            foreign_key(
+                ["l_orderkey"], orders, ["o_orderkey"], broadcast=False
+            ),
+        ],
+    )
+    return o_rep.withColumn("tbl", F.lit("orders")).unionByName(
+        l_rep.withColumn("tbl", F.lit("lineitem"))
+    )
+
+
+SQL_DQ = """
+SELECT 'orders' AS tbl, 'not_null:o_orderkey' AS "check",
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'orders', 'unique:o_orderkey',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+      HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders', 'in_range:o_totalprice[0.0,10000000.0]',
+       CAST(count(*) AS BIGINT)
+FROM orders
+WHERE o_totalprice IS NOT NULL
+  AND o_totalprice NOT BETWEEN 0.0 AND 10000000.0
+UNION ALL
+SELECT 'orders', 'accepted_values:o_orderstatus', CAST(count(*) AS BIGINT)
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT 'orders', 'foreign_key:o_custkey', CAST(count(*) AS BIGINT)
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem', 'not_null:l_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem', 'in_range:l_discount[0.0,0.1]', CAST(count(*) AS BIGINT)
+FROM lineitem
+WHERE l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1
+UNION ALL
+SELECT 'lineitem', 'in_range:l_quantity[1.0,50.0]', CAST(count(*) AS BIGINT)
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0
+UNION ALL
+SELECT 'lineitem', 'foreign_key:l_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_star_revenue_by_nation(spark, sf_dir):
+    """Star-schema revenue rollup (the TPC-H Q5 shape): lineitem ⋈ orders
+    (both fact-sized — shuffle on the orderkey) ⋈ customer (shuffle on the
+    custkey at real scale; AQE may broadcast at bench SF) ⋈ nation ⋈
+    region (explicit broadcasts — constant-size dims). Filters (order-date
+    year, region name) are pushed to the scans; revenue sums in e4 fixed
+    point carried as DECIMAL(38,0) — Σ(price·1e4) of trillions of rows
+    exceeds int64, and a double sum is partition-order-dependent."""
+    _ensure_shipped(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(rev4).cast("double") / F.lit(10000.0), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+SQL_STAR_REVENUE = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                 * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_bloom_semi_join_events(spark, sf_dir):
     """Explicit Bloom-pruned semi join (operators/bloomjoin.py): purchase
     events of users who ever produced a high-value error. The dimension's
@@ -3762,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_dup_pairs": q_editdist_dup_pairs,
         "mad_anomalies_events": q_mad_anomalies_events,
         "event_transitions": q_event_transitions,
+        "dq_expectations": q_dq_expectations,
+        "star_revenue_by_nation": q_star_revenue_by_nation,
         "pagerank_user_graph": q_pagerank_user_graph,
         "salted_join_events": q_salted_join_events,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -3868,6 +4017,8 @@ def oracle_sql() -> dict[str, str]:
         "editdist_dup_pairs": SQL_EDITDIST,
         "mad_anomalies_events": SQL_MAD,
         "event_transitions": SQL_TRANSITIONS,
+        "dq_expectations": SQL_DQ,
+        "star_revenue_by_nation": SQL_STAR_REVENUE,
         "pagerank_user_graph": _sql_pagerank(),
         "salted_join_events": SQL_SALTED_JOIN,
         "weighted_sample_docs": _sql_weighted_sample(),

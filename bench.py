@@ -118,6 +118,8 @@ HEADLINE = [
     "editdist_dup_pairs",
     "mad_anomalies_events",
     "event_transitions",
+    "dq_expectations",
+    "star_revenue_by_nation",
     "pagerank_user_graph",
     "salted_join_events",
     "stream_interval_join_events",
