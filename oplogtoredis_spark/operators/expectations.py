@@ -47,10 +47,14 @@ def in_range(col: str, lo: float, hi: float) -> dict:
 
 
 def accepted_values(col: str, values: Sequence) -> dict:
+    # NULLs are never violations (use not_null to forbid them) — and a None
+    # INSIDE the list would poison isin with three-valued NULL logic
+    # (x IN (..., NULL) is NULL, not False, so ~isin silently flags nothing)
+    vals = [v for v in values if v is not None]
     return {
         "kind": "row",
         "name": f"accepted_values:{col}",
-        "pred": F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+        "pred": F.col(col).isNotNull() & ~F.col(col).isin(vals),
     }
 
 

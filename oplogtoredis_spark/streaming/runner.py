@@ -224,6 +224,10 @@ def start_stream(
     merge_prune: bool = True,
     merge_mode: str = "cow",
     compact_min_deltas: int | None = None,
+    dq_checks: list | None = None,
+    dq_policy: str = "fail",
+    dq_quarantine_dir: str | None = None,
+    dq_on_report=None,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -233,7 +237,11 @@ def start_stream(
     ``source_format``: "parquet" (columnar log segments — the Iceberg
     changelog analogue) or "jsonl" (newline-delimited JSON event lines —
     the raw-oplog-dump analogue). Both present the same EVENT_SCHEMA to the
-    pipeline; everything downstream is format-agnostic."""
+    pipeline; everything downstream is format-agnostic.
+
+    ``dq_checks``: optional expectation suite (operators/expectations.py)
+    gating every micro-batch BEFORE the merge; ``dq_policy`` is one of
+    fail / quarantine / log (streaming/gate.py)."""
     from ..sources.schemas import TARGET_SCHEMA
 
     if sink_factory is None:
@@ -269,24 +277,39 @@ def start_stream(
         events = events.dropDuplicatesWithinWatermark(
             ["repo", "path", "ts", "tx_idx"]
         )
-    writer = events.writeStream.foreachBatch(
-        make_batch_applier(
-            table_path,
-            extra_payload_cols,
-            fail_before_batch,
-            # epoch namespace = checkpoint LINEAGE, not just its path: batch
-            # ids are only unique within one checkpoint, and ids restart at
-            # 0 when the resume policy archives a stale/unreadable
-            # checkpoint and a fresh one is created at the same path — the
-            # per-lineage token keeps the old lineage's applied-watermark
-            # from silently skipping the new lineage's batches
-            epoch_ns=f"{os.path.abspath(checkpoint_dir)}#{_lineage_token(checkpoint_dir)}",
-            sink_factory=sink_factory,
-            merge_prune=merge_prune,
-            merge_mode=merge_mode,
-            compact_min_deltas=compact_min_deltas,
+    # epoch namespace = checkpoint LINEAGE, not just its path: batch
+    # ids are only unique within one checkpoint, and ids restart at
+    # 0 when the resume policy archives a stale/unreadable
+    # checkpoint and a fresh one is created at the same path — the
+    # per-lineage token keeps the old lineage's applied-watermark
+    # from silently skipping the new lineage's batches
+    epoch_ns = (
+        f"{os.path.abspath(checkpoint_dir)}#{_lineage_token(checkpoint_dir)}"
+    )
+    applier = make_batch_applier(
+        table_path,
+        extra_payload_cols,
+        fail_before_batch,
+        epoch_ns=epoch_ns,
+        sink_factory=sink_factory,
+        merge_prune=merge_prune,
+        merge_mode=merge_mode,
+        compact_min_deltas=compact_min_deltas,
+    )
+    if dq_checks:
+        from .gate import make_gated_applier
+
+        applier = make_gated_applier(
+            applier,
+            dq_checks,
+            policy=dq_policy,
+            quarantine_dir=dq_quarantine_dir,
+            epoch_ns=epoch_ns,
+            on_report=dq_on_report,
         )
-    ).option("checkpointLocation", checkpoint_dir)
+    writer = events.writeStream.foreachBatch(applier).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:

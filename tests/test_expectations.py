@@ -100,3 +100,13 @@ def test_guards(spark, child, parent):
         run_expectations(child, [not_null("v"), not_null("v")])
     with pytest.raises(ValueError, match="column counts differ"):
         foreign_key(["a", "b"], parent, ["pk"])
+
+
+def test_accepted_values_tolerates_none_in_list(spark):
+    """A None inside the accepted list must not poison isin with
+    three-valued NULL logic (x IN (..., NULL) is NULL, not False)."""
+    df = spark.createDataFrame([("go",), ("??",), (None,)], "lang string")
+    got = run_expectations(
+        df, [accepted_values("lang", ["go", None])]
+    ).collect()[0]
+    assert got.n_violations == 1
