@@ -2445,6 +2445,68 @@ FROM c
 """
 
 
+def q_ab_test_value(spark, sf_dir):
+    """Per-event-type Welch two-sample test over a deterministic hash-
+    assigned 50/50 user split (operators/analytics.py ab_test): exact
+    integer sufficient statistics per arm as conditional aggregates — ONE
+    partial-agg'd shuffle, no pivot join; the portable sample hash makes
+    the assignment oracle-reproducible."""
+    from oplogtoredis_spark.operators.analytics import ab_test
+
+    ev = _ev(spark, sf_dir, par=True).select("user_id", "event_type", "value")
+    return ab_test(ev, "user_id", "value", keys=["event_type"], salt="exp1")
+
+
+def _sql_ab_test() -> str:
+    from oplogtoredis_spark.operators.sampling import _D, sample_hash_sql
+
+    h = sample_hash_sql("user_id", "exp1")
+    return f"""
+WITH v AS (SELECT event_type,
+                  CASE WHEN {h} < {_D // 2} THEN 0 ELSE 1 END AS arm,
+                  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4
+           FROM events),
+st AS (SELECT event_type,
+              CAST(count(*) FILTER (arm = 0) AS DECIMAL(38,0)) AS na,
+              CAST(count(*) FILTER (arm = 1) AS DECIMAL(38,0)) AS nb,
+              CAST(sum(v4) FILTER (arm = 0) AS DECIMAL(38,0)) AS sa,
+              CAST(sum(v4) FILTER (arm = 1) AS DECIMAL(38,0)) AS sb,
+              CAST(sum(CAST(v4 AS DECIMAL(38,0)) * v4) FILTER (arm = 0)
+                   AS DECIMAL(38,0)) AS ssa,
+              CAST(sum(CAST(v4 AS DECIMAL(38,0)) * v4) FILTER (arm = 1)
+                   AS DECIMAL(38,0)) AS ssb
+       FROM v GROUP BY 1
+       HAVING count(*) FILTER (arm = 0) >= 2
+          AND count(*) FILTER (arm = 1) >= 2),
+w AS (SELECT event_type,
+             CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb,
+             CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             CAST(na * ssa - sa * sa AS DOUBLE)
+               / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+             CAST(nb * ssb - sb * sb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb,
+             na, nb
+      FROM st),
+f AS (SELECT event_type, na, nb, ma, mb, va, vb, dna, dnb,
+             va / dna + vb / dnb AS se2
+      FROM w)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma / 10000.0, 4) AS mean_a,
+       round(mb / 10000.0, 4) AS mean_b,
+       round((ma - mb) / 10000.0, 4) AS diff,
+       round((ma - mb) / sqrt(se2), 4) AS t_stat,
+       round((se2 * se2) / ((va / dna) * (va / dna) / (dna - 1.0)
+                            + (vb / dnb) * (vb / dnb) / (dnb - 1.0)),
+             4) AS df_welch
+FROM f WHERE se2 > 0.0
+"""
+
+
+SQL_AB_TEST = _sql_ab_test()
+
+
 def q_dq_expectations(spark, sf_dir):
     """Declarative data-quality gate (operators/expectations.py) over the
     orders/lineitem/customer relational tables: all row-local checks fold
@@ -3909,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "editdist_dup_pairs": q_editdist_dup_pairs,
         "mad_anomalies_events": q_mad_anomalies_events,
         "event_transitions": q_event_transitions,
+        "ab_test_value": q_ab_test_value,
         "dq_expectations": q_dq_expectations,
         "star_revenue_by_nation": q_star_revenue_by_nation,
         "pagerank_user_graph": q_pagerank_user_graph,
@@ -4017,6 +4080,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_dup_pairs": SQL_EDITDIST,
         "mad_anomalies_events": SQL_MAD,
         "event_transitions": SQL_TRANSITIONS,
+        "ab_test_value": SQL_AB_TEST,
         "dq_expectations": SQL_DQ,
         "star_revenue_by_nation": SQL_STAR_REVENUE,
         "pagerank_user_graph": _sql_pagerank(),

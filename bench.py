@@ -118,6 +118,7 @@ HEADLINE = [
     "editdist_dup_pairs",
     "mad_anomalies_events",
     "event_transitions",
+    "ab_test_value",
     "dq_expectations",
     "star_revenue_by_nation",
     "pagerank_user_graph",

@@ -652,3 +652,95 @@ def transition_matrix(
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(total), 4)
     )
+
+
+def ab_test(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str = "value",
+    keys: Sequence[str] = (),
+    salt: str = "",
+) -> DataFrame:
+    """Two-sample Welch t-test per key over a DETERMINISTIC 50/50 variant
+    assignment: the unit (user) hashes into A or B with the portable
+    sample hash (operators/sampling.py — same draw the train/eval split
+    uses, so the oracle reproduces the assignment bit-for-bit and a rerun
+    never reshuffles units between arms).
+
+    Statistics come from exact integer sufficient statistics per arm
+    (n, Σv, Σv² at e4 fixed point in DECIMAL(38,0) — the linear_trend /
+    zscore discipline): partition-order-independent, overflow-proof at
+    10^12 rows. Welch: t = (m_A − m_B)/√(s²_A/n_A + s²_B/n_B), df by
+    Welch–Satterthwaite — doubles only in the final closed form.
+
+    Plan: ONE partial-agg'd shuffle on the keys; arms are conditional
+    aggregates (no pivot join, no second pass). The hash and e4 value are
+    materialized ONCE per row in a child projection — inlining them into
+    six aggregate expressions would re-evaluate per aggregate (no CSE
+    across aggregate expressions).
+
+    Output per key: (n_a, n_b, mean_a, mean_b, diff, t_stat, df_welch);
+    keys where either arm has n < 2 or the pooled variance is 0 are
+    dropped (t undefined).
+    """
+    from .sampling import _D, _sample_hash
+
+    clash = {"_h", "_v", "n_a", "n_b", "mean_a", "mean_b", "diff",
+             "t_stat", "df_welch"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with ab_test internals: {sorted(clash)}"
+        )
+    v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    rows = df.select(
+        *keys,
+        _sample_hash(F.col(unit_col), salt).alias("_h"),
+        v4.alias("_v"),
+    )
+    in_a = F.col("_h") < F.lit(_D // 2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def arm(cond, suffix):
+        av = F.when(cond, F.col("_v"))
+        return [
+            F.count(av).cast("decimal(38,0)").alias(f"_n{suffix}"),
+            dec(F.sum(av)).alias(f"_s{suffix}"),
+            dec(F.sum(dec(av) * av)).alias(f"_ss{suffix}"),
+        ]
+
+    stats = rows.groupBy(*keys).agg(*arm(in_a, "a"), *arm(~in_a, "b"))
+
+    def welch(side):
+        n = F.col(f"_n{side}").cast("double")
+        var_num = (
+            F.col(f"_n{side}") * F.col(f"_ss{side}")
+            - F.col(f"_s{side}") * F.col(f"_s{side}")
+        ).cast("double")
+        mean4 = F.col(f"_s{side}").cast("double") / n
+        var4 = var_num / (n * (n - F.lit(1.0)))  # sample variance, e4²
+        return n, mean4, var4
+
+    na, ma, va = welch("a")
+    nb, mb, vb = welch("b")
+    se2 = va / na + vb / nb  # e4² scale cancels in t and df
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) ** 2 / (na - F.lit(1.0))
+        + (vb / nb) ** 2 / (nb - F.lit(1.0))
+    )
+    return (
+        stats.where(
+            (F.col("_na") >= 2) & (F.col("_nb") >= 2)
+        )
+        .select(
+            *keys,
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.round(ma / 10000.0, 4).alias("mean_a"),
+            F.round(mb / 10000.0, 4).alias("mean_b"),
+            F.round((ma - mb) / 10000.0, 4).alias("diff"),
+            F.when(se2 > 0.0, F.round(t, 4)).alias("t_stat"),
+            F.when(se2 > 0.0, F.round(dfw, 4)).alias("df_welch"),
+        )
+        .where(F.col("t_stat").isNotNull())
+    )

@@ -623,3 +623,70 @@ class TestTransitionMatrix:
         # extra corpus shuffle can't sneak in
         assert plan.count("Exchange hashpartitioning") == 3
         assert "Join" not in plan
+
+
+class TestAbTest:
+    def test_matches_numpy_welch(self, spark):
+        """Assignment + statistics vs a pure-Python Welch reference on the
+        same hash-assigned arms."""
+        import numpy as np
+
+        from oplogtoredis_spark.operators.analytics import ab_test
+        from oplogtoredis_spark.operators.sampling import _D, _sample_hash
+        from pyspark.sql import functions as F
+
+        rows = [(u, "m", float(u % 13) + (u % 3) * 0.25) for u in range(400)]
+        df = spark.createDataFrame(rows, "user_id long, k string, value double")
+        out = ab_test(df, "user_id", "value", keys=["k"], salt="s1").collect()
+        assert len(out) == 1
+        r = out[0]
+
+        # reproduce the assignment with the SAME portable hash
+        h = {
+            x.user_id: x.h
+            for x in df.select(
+                "user_id", _sample_hash(F.col("user_id"), "s1").alias("h")
+            ).collect()
+        }
+        a = np.array([round(v * 1e4) for u, _, v in rows if h[u] < _D // 2])
+        b = np.array([round(v * 1e4) for u, _, v in rows if h[u] >= _D // 2])
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.mean_a == pytest.approx(a.mean() / 1e4, abs=1e-4)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        se2 = va / len(a) + vb / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        dfw = se2**2 / (
+            (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert r.t_stat == pytest.approx(t, abs=1e-3)
+        assert r.df_welch == pytest.approx(dfw, rel=1e-3)
+
+    def test_degenerate_arms_dropped(self, spark):
+        from oplogtoredis_spark.operators.analytics import ab_test
+
+        # two units -> one arm may be empty/singleton; zero-variance both arms
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 1.0)], "user_id long, value double"
+        )
+        assert ab_test(df, "user_id", "value").count() == 0
+
+    def test_single_shuffle_no_join(self, spark):
+        from oplogtoredis_spark.operators.analytics import ab_test
+
+        df = spark.createDataFrame(
+            [(u, float(u)) for u in range(20)], "user_id long, value double"
+        )
+        plan = (
+            ab_test(df, "user_id", "value")._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "Join" not in plan
+
+    def test_collision_guard(self, spark):
+        from oplogtoredis_spark.operators.analytics import ab_test
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+        with pytest.raises(ValueError, match="ab_test internals"):
+            ab_test(df.withColumn("t_stat", F.lit(1)), "user_id", "value")
