@@ -1612,12 +1612,71 @@ class LakeTable:
         self._append_lineage(f"compact_buckets:{new_version}", stats)
         return stats
 
+    @staticmethod
+    def _with_zorder_key(
+        df: DataFrame, cols: list, bits: int
+    ) -> tuple[DataFrame, list]:
+        """Attach the Morton (Z-order) key column ``_z`` built from
+        ``bits``-bit QUANTILE ranks of each column in ``cols``.
+
+        Rank normalization (not min/max scaling) is what makes this work
+        on skewed data: boundaries come from ONE bounded approxQuantile
+        pass (a mergeable sketch — the same driver-side cost shape as
+        Delta's range_partition_id sampling), are inlined as a 2^bits-1
+        element array literal per column, and the per-row bin is
+        ``size(filter(bnds, b -> b <= v))`` — pure JVM array work over a
+        broadcast-literal, no join, no window. NULLs bin to 0 (every
+        comparison is NULL -> filtered out). Bit interleaving uses literal
+        shifts only (the DataFrame-API shiftleft limitation)."""
+        if len(cols) < 2:
+            raise ValueError(
+                "zorder needs >= 2 cluster columns (one column is linear)"
+            )
+        if not 1 <= bits <= 16:
+            raise ValueError("zorder_bits must be in [1, 16]")
+        if len(cols) * bits > 62:
+            raise ValueError(
+                f"{len(cols)} cols x {bits} bits exceeds the 62-bit z key"
+            )
+        if "_z" in df.columns:
+            raise ValueError("input column _z collides with zorder internals")
+        numeric = (T.NumericType,)
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(f"zorder column {c} is not numeric")
+        n_bins = 1 << bits
+        probs = [i / n_bins for i in range(1, n_bins)]
+        err = max(0.0005, 1.0 / (4 * n_bins))
+        bnds = df.stat.approxQuantile(cols, probs, err)
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            if not bnds[i]:
+                # all-NULL column: approxQuantile returns no boundaries;
+                # every row bins to 0 and the column contributes no bits
+                continue
+            v = F.col(c).cast("double")
+            bin_i = F.size(
+                F.filter(
+                    F.lit([float(b) for b in bnds[i]]),
+                    lambda b: b <= v,  # noqa: B023 — v is loop-final per expr
+                )
+            ).cast("long")
+            for j in range(bits):
+                bit = F.shiftright(bin_i, j).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(
+                    F.shiftleft(bit.cast("long"), j * k + i)
+                )
+        return df.withColumn("_z", z), ["_z"]
+
     def rewrite_clustered(
         self,
         spark: SparkSession,
         cluster_by: list[str] | tuple[str, ...],
         files_per_bucket: int = 4,
         drop_tombstones_older_than_ts: int = 0,
+        strategy: str = "linear",
+        zorder_bits: int = 8,
     ) -> dict:
         """OPTIMIZE-with-sort-order (Iceberg rewrite_data_files with a sort
         strategy / Delta OPTIMIZE ZORDER analogue): fold any deltas and
@@ -1627,21 +1686,42 @@ class LakeTable:
         read_pruned's footer-stats file skipping bite (a hash-bucketed
         table spreads every value range across every file otherwise).
 
+        ``strategy="linear"`` (default) sorts lexicographically on
+        ``cluster_by`` — tight footer ranges on the FIRST column, but a
+        diverse leading column scatters every later column across every
+        file (pruning on the second column skips nothing).
+        ``strategy="zorder"`` interleaves the bits of per-column QUANTILE
+        ranks (``zorder_bits`` bits each, boundaries from one bounded
+        approxQuantile pass — rank-based like Delta's OPTIMIZE ZORDER
+        range_partition_id normalization, so skewed columns still spread
+        across the full bin space) into one Morton key: every clustered
+        dimension gets usefully tight per-file ranges, the multi-predicate
+        trade being each is somewhat looser than linear's leading column.
+        Requires >= 2 numeric cluster columns (one column IS linear).
+
         The bucket-by-key layout is PRESERVED (pb stays the partition
         column — merge correctness depends on a key living in exactly one
         bucket); the clustering happens within buckets: range-partitioning
-        the write on (pb, cluster_by...) makes each task hold a contiguous
+        the write on (pb, <order>) makes each task hold a contiguous
         (bucket, value-range) slab, so each written file's footer min/max
         is tight. Runs as its own snapshot commit; single-writer discipline
         applies, same as compact."""
         if not cluster_by:
             raise ValueError("cluster_by must name at least one column")
+        if strategy not in ("linear", "zorder"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         m = self.manifest()
         live = self.read(spark, include_deleted=True)
         kept = live.where(
             (~F.col("deleted"))
             | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
         )
+        if strategy == "zorder":
+            kept, order_cols = self._with_zorder_key(
+                kept, list(cluster_by), int(zorder_bits)
+            )
+        else:
+            order_cols = list(cluster_by)
         n_parts = max(1, len(m["buckets"])) * max(1, int(files_per_bucket))
         new_version = m["version"] + 1
         rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
@@ -1649,9 +1729,10 @@ class LakeTable:
         (
             kept.withColumn("pb", F.col("bucket"))
             .repartitionByRange(
-                n_parts, F.col("pb"), *[F.col(c) for c in cluster_by]
+                n_parts, F.col("pb"), *[F.col(c) for c in order_cols]
             )
-            .sortWithinPartitions("pb", *cluster_by)
+            .sortWithinPartitions("pb", *order_cols)
+            .drop("_z")
             .write.partitionBy("pb")
             .mode("overwrite")
             .parquet(out_dir)

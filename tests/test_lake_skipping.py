@@ -158,6 +158,111 @@ def test_manifest_stats_plan_reads_no_footers(spark, table, monkeypatch):
     assert plan["files_skipped"] > 0
 
 
+# --- Z-order (Morton) clustering --------------------------------------------
+# A 32x32 grid over two INDEPENDENT numeric payload columns (x, y): linear
+# sort on [x, y] gives tight files on x but scatters y across every file;
+# zorder gives useful pruning on BOTH dimensions.
+
+
+def _grid_batch(spark, n_side):
+    cols = (
+        "repo string, path string, ts long, tx_idx int, op string,"
+        " commit string, lang string, content string, x long, y long"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "docs",
+                str(i),
+                1 << 32,
+                i,
+                "u",
+                "c1",
+                "en",
+                f"doc {i}",
+                i // n_side,
+                i % n_side,
+            )
+            for i in range(n_side * n_side)
+        ],
+        cols,
+    )
+
+
+@pytest.fixture()
+def grid_table(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "grid"), TARGET_SCHEMA, n_buckets=1)
+    t.merge_batch(_grid_batch(spark, 32), 0, extra_payload_cols=("x", "y"))
+    return t
+
+
+def _skip_frac(t, col, lo, hi):
+    plan = t.prune_plan(col, lo, hi)
+    return plan["files_skipped"] / plan["files_total"]
+
+
+def test_zorder_prunes_both_dimensions(spark, grid_table):
+    t = grid_table
+    t.rewrite_clustered(
+        spark, ["x", "y"], files_per_bucket=16, strategy="zorder",
+        zorder_bits=5,
+    )
+    # each dimension's 4/32-value slice keeps only the Morton blocks that
+    # intersect it — most files skip on EITHER predicate
+    assert _skip_frac(t, "x", 0, 3) >= 0.5
+    assert _skip_frac(t, "y", 0, 3) >= 0.5
+    for col in ("x", "y"):
+        got = t.read_pruned(spark, col, 0, 3)
+        want = t.read(spark).where(F.col(col).between(0, 3))
+        assert sorted((r.path, r[col]) for r in got.collect()) == sorted(
+            (r.path, r[col]) for r in want.collect()
+        )
+        assert got.count() == 4 * 32
+
+
+def test_linear_scatters_second_dimension(spark, grid_table):
+    t = grid_table
+    t.rewrite_clustered(spark, ["x", "y"], files_per_bucket=16)
+    lin_y = _skip_frac(t, "y", 0, 3)
+    assert _skip_frac(t, "x", 0, 3) >= 0.75  # leading column: tight
+    assert lin_y <= 0.25  # scattered by the diverse leading column
+    t.rewrite_clustered(
+        spark, ["x", "y"], files_per_bucket=16, strategy="zorder",
+        zorder_bits=5,
+    )
+    assert _skip_frac(t, "y", 0, 3) > lin_y
+
+
+def test_zorder_preserves_state_and_validates(spark, grid_table):
+    t = grid_table
+    before = sorted((r.path, r.x, r.y) for r in t.read(spark).collect())
+    st = t.rewrite_clustered(
+        spark, ["x", "y"], files_per_bucket=8, strategy="zorder",
+        zorder_bits=4,
+    )
+    assert st["clustered"] and st["stat_files"] > 0
+    after_df = t.read(spark)
+    assert "_z" not in after_df.columns  # the key never persists
+    assert sorted((r.path, r.x, r.y) for r in after_df.collect()) == before
+    with pytest.raises(ValueError, match=">= 2 cluster columns"):
+        t.rewrite_clustered(spark, ["x"], strategy="zorder")
+    with pytest.raises(ValueError, match="not numeric"):
+        t.rewrite_clustered(spark, ["x", "lang"], strategy="zorder")
+    with pytest.raises(ValueError, match="zorder_bits"):
+        t.rewrite_clustered(
+            spark, ["x", "y"], strategy="zorder", zorder_bits=0
+        )
+    with pytest.raises(ValueError, match="62-bit"):
+        t.rewrite_clustered(
+            spark,
+            ["x", "y", "last_ts", "bucket"],
+            strategy="zorder",
+            zorder_bits=16,
+        )
+    with pytest.raises(ValueError, match="unknown strategy"):
+        t.rewrite_clustered(spark, ["x", "y"], strategy="hilbert")
+
+
 def test_manifest_stats_never_stale_after_rewrite(spark, table):
     """A later CoW merge rewrites buckets into NEW dirs; manifest stats are
     keyed by file path, so the rewritten buckets fall back to footers and
