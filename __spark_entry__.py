@@ -1153,6 +1153,45 @@ FROM c
 """
 
 
+def q_span_dedup_docs(spark, sf_dir):
+    """Cross-document repeated-SPAN removal (operators/spandedup.py — the
+    C4 'discard repeated text' posture at word-span granularity): every
+    repeated 3-word span keeps only its corpus-wide first occurrence
+    (winner = smallest (doc_id, span_idx), a deterministic total order),
+    documents reassemble from their surviving spans in order, and documents
+    reduced to nothing drop entirely. Two well-keyed shuffles over
+    span-level rows (span window + per-doc regroup), no join, no UDF; the
+    value hash covers the REASSEMBLED text byte-for-byte."""
+    from oplogtoredis_spark.operators.spandedup import span_dedup
+
+    return span_dedup(
+        _docs(spark, sf_dir, par=True).select("doc_id", "text"),
+        span_words=3,
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(x='text')} AS toks FROM documents),
+ n AS (SELECT doc_id, toks, greatest(CAST(ceil(len(toks)/3.0) AS INT), 1) AS ns
+       FROM t),
+ e AS (SELECT doc_id, toks, unnest(range(ns))::INT AS span_idx FROM n),
+ s AS (SELECT doc_id, span_idx,
+              array_to_string(toks[span_idx*3+1 : span_idx*3+3], ' ') AS span
+       FROM e),
+ k AS (SELECT doc_id, span_idx, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1
+                  AS keep
+       FROM s)
+SELECT doc_id,
+       array_to_string(list(span ORDER BY span_idx) FILTER (WHERE keep), ' ')
+           AS text,
+       count(*)::BIGINT AS n_spans,
+       (count(*) - count(*) FILTER (WHERE keep))::BIGINT AS n_spans_dropped
+FROM k GROUP BY doc_id
+HAVING count(*) FILTER (WHERE keep) > 0
+"""
+
+
 def q_fuzzy_dedup_pipeline(spark, sf_dir):
     """The NEAR-duplicate end of the composed pipeline: exact n-gram
     Jaccard pairs → connected components (alternating star rounds) → keep
@@ -1633,6 +1672,94 @@ SELECT doc_id::VARCHAR AS path, lang,
        CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
             THEN CAST(doc_id % 5 AS BIGINT) END AS stars
 FROM documents
+"""
+
+
+def q_lake_read_tagged(spark, sf_dir):
+    """Snapshot TAGS + ROLLBACK through the lake (streaming/lake.py
+    create_tag / rollback / tag-pinned expire_snapshots — Iceberg's
+    create_tag + rollback_to_snapshot semantics): commit 1 loads the corpus
+    (drafts carry a ' zz draft pending zz' suffix on doc_id%5, extra docs on
+    doc_id%7 under doc_id+1000000) and is tagged ``pre_incident``; commit 2
+    is an INCIDENT that deletes every even doc; ``rollback`` restores the
+    tagged snapshot (state AND replay ledger — the changelog across the
+    rollback is the inverse diff); commit 3 applies the real fix (clean
+    drafts, drop extras); ``expire_snapshots`` then reclaims the incident's
+    dirs while the tag pins commit 1's. The result unions the CURRENT state
+    (== documents exactly) with the tag read (commit-1 state, readable
+    after expiry), so one value hash verifies rollback correctness and
+    ref-pinned time travel together."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_tag_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    drafts = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(
+            docs.where(F.col("doc_id") % 5 != 0)
+            .unionByName(drafts)
+            .unionByName(extras),
+            1,
+        ),
+        0,
+    )
+    t.create_tag("pre_incident")
+    # the incident: a bad job tombstones every even doc
+    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 2, op="d"), 1)
+    t.rollback(t.resolve_ref("pre_incident"))
+    # the real fix, applied on the restored state
+    t.merge_batch(
+        env(docs.where(F.col("doc_id") % 5 == 0), 3).unionByName(
+            env(extras, 3, op="d")
+        ),
+        2,
+    )
+    t.expire_snapshots(keep_last=2)  # reclaims the incident; tag pins c1
+    cols = lambda snap: [  # noqa: E731
+        F.lit(snap).alias("snapshot"),
+        F.col("path"),
+        F.col("lang"),
+        F.length("content").cast("long").alias("n_chars"),
+    ]
+    return t.read(spark).select(*cols("current")).unionByName(
+        t.read(spark, tag="pre_incident").select(*cols("pre_incident"))
+    )
+
+
+SQL_LAKE_READ_TAGGED = """
+SELECT 'current' AS snapshot, doc_id::VARCHAR AS path, lang,
+       LENGTH(text)::BIGINT AS n_chars
+FROM documents
+UNION ALL
+SELECT 'pre_incident', doc_id::VARCHAR, lang,
+       (LENGTH(text) + CASE WHEN doc_id % 5 = 0 THEN 20 ELSE 0 END)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'pre_incident', (doc_id + 1000000)::VARCHAR, lang, LENGTH(text)::BIGINT
+FROM documents WHERE doc_id % 7 = 0
 """
 
 
@@ -3949,8 +4076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_view_lake": q_index_view_lake,
         "lake_read_clustered": q_lake_read_clustered,
         "schema_evolution_lake": q_schema_evolution_lake,
+        "lake_read_tagged": q_lake_read_tagged,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
+        "span_dedup_docs": q_span_dedup_docs,
         "decontaminate_ngram": q_decontaminate_ngram,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -4058,8 +4187,10 @@ def oracle_sql() -> dict[str, str]:
         # live set == documents; stars derives from which commit last wrote
         # the row (commit-1 rows conform to the evolved schema as NULL)
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,
+        "lake_read_tagged": SQL_LAKE_READ_TAGGED,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
+        "span_dedup_docs": SQL_SPAN_DEDUP,
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "doc_repetition": SQL_DOC_REPETITION,
         "pii_redact": SQL_PII_REDACT,

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -170,6 +171,7 @@ class LakeTable:
         self.path = path
         self._manifest_dir = os.path.join(path, "_manifests")
         self._lineage_dir = os.path.join(path, "_lineage")
+        self._refs_dir = os.path.join(path, "_refs")
         # single-slot cache of batch-invariant merge expressions (see
         # _epoch_exprs): (key, dict) — streaming epochs share one batch
         # schema, so the hit rate is every epoch after the first
@@ -465,11 +467,14 @@ class LakeTable:
         include_deleted: bool = False,
         buckets: list[int] | None = None,
         version: int | None = None,
+        tag: str | None = None,
         _file_filter=None,
     ) -> DataFrame:
         """Read the table state. ``version`` time-travels to an older
         snapshot (Iceberg's VERSION AS OF analogue) — valid while that
-        snapshot's data dirs are retained (see expire_snapshots).
+        snapshot's data dirs are retained (see expire_snapshots);
+        ``tag`` time-travels by name (a tag PINS its snapshot's dirs
+        through expiry, so tag reads stay valid until the tag is dropped).
 
         With merge-on-read deltas present (merge_batch(merge_mode="mor")),
         the read unions base rows with every live delta and re-runs the LWW
@@ -486,6 +491,10 @@ class LakeTable:
         a later delta), and the read-time LWW collapse needs the base row
         present to outvote it — pruning base files under live deltas could
         resurrect superseded rows."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version= or tag=, not both")
+            version = self.resolve_ref(tag)
         m = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         sel = dict(m["buckets"])
@@ -1814,6 +1823,10 @@ class LakeTable:
 
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        # named refs PIN their snapshots (Iceberg semantics: expire_snapshots
+        # never reclaims a snapshot a tag points at) — drop the tag first to
+        # release the bytes
+        keep_versions |= set(self.tags().values())
         referenced: set[str] = set()
         for v in keep_versions:
             try:
@@ -1852,6 +1865,120 @@ class LakeTable:
                     # nothing referenced remains: sweep the shell (markers)
                     _sh.rmtree(snap_dir, ignore_errors=True)
         return removed
+
+    # ---------------- named refs (tags) + rollback ----------------
+    #: ref names are plain path-safe identifiers (Iceberg's ref-name shape);
+    #: anything else risks becoming a path traversal through the _refs dir
+    _REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def create_tag(
+        self, name: str, version: int | None = None, replace: bool = False
+    ) -> int:
+        """Name a snapshot (Iceberg's ``create_tag`` analogue). A tag PINS
+        its snapshot: ``expire_snapshots`` keeps every data dir the tagged
+        manifest references until the tag is dropped, and ``read(tag=...)``
+        time-travels by name. Returns the pinned version.
+
+        Creation is atomic (tmp + ``os.replace``); an existing tag is only
+        moved with ``replace=True`` (Iceberg's REPLACE TAG)."""
+        if not self._REF_NAME.match(name or ""):
+            raise ValueError(
+                f"invalid ref name {name!r}: want [A-Za-z0-9][A-Za-z0-9._-]*"
+                " (max 64 chars)"
+            )
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # unknown snapshot -> FileNotFoundError, fail loud
+        os.makedirs(self._refs_dir, exist_ok=True)
+        p = os.path.join(self._refs_dir, f"{name}.json")
+        if not replace and os.path.exists(p):
+            raise ValueError(
+                f"tag {name!r} already exists (at v{self.resolve_ref(name)});"
+                " pass replace=True to move it"
+            )
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        os.replace(tmp, p)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; its snapshot's bytes become reclaimable by the next
+        ``expire_snapshots`` (unless still inside ``keep_last`` or referenced
+        by a later manifest, e.g. a rollback commit)."""
+        p = os.path.join(self._refs_dir, f"{name}.json")
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name!r}") from None
+
+    def tags(self) -> dict:
+        """All named refs as ``{name: version}``."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self._refs_dir):
+            return out
+        for fname in sorted(os.listdir(self._refs_dir)):
+            if not fname.endswith(".json") or ".tmp-" in fname:
+                continue
+            with open(os.path.join(self._refs_dir, fname)) as f:
+                rec = json.load(f)
+            out[rec["name"]] = int(rec["version"])
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        """Tag name -> snapshot version (KeyError if absent)."""
+        p = os.path.join(self._refs_dir, f"{name}.json")
+        try:
+            with open(p) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name!r}") from None
+
+    def rollback(self, to_version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        ``rollback_to_snapshot``): commits a NEW version whose content —
+        buckets, merge-on-read deltas, schema bookkeeping, AND the replay
+        idempotency ledger — is the target manifest's. History is preserved
+        (the bad snapshots stay readable until expired), ``changes()``
+        across the rollback emits the inverse diff by construction (it
+        diffs manifests), and epochs applied after the target become
+        applicable again: state and ledger roll back together, so a
+        re-delivered fix epoch is not silently skipped.
+
+        The new manifest references the TARGET's data dirs, which therefore
+        stay pinned through ``expire_snapshots`` for as long as the rollback
+        commit itself is retained. Fails loud (``SnapshotExpiredError``) if
+        the target's bytes were already reclaimed. Single-writer discipline
+        applies (call between epochs, like compact)."""
+        to_version = int(to_version)
+        cur = self.current_version()
+        if to_version > cur:
+            raise ValueError(
+                f"cannot roll forward: target v{to_version} > CURRENT v{cur}"
+            )
+        if to_version == cur:
+            return cur  # no-op
+        target = self.manifest(to_version)  # FileNotFoundError if unknown
+        dirs = [os.path.join(self.path, d) for d in target["buckets"].values()]
+        ddirs = [
+            os.path.join(self.path, e["dir"])
+            for entries in target.get("bucket_deltas", {}).values()
+            for e in entries
+        ]
+        missing = [d for d in (*dirs, *ddirs) if not os.path.isdir(d)]
+        if missing:
+            raise SnapshotExpiredError(
+                f"cannot rollback {self.path} to v{to_version}: it references"
+                f" {len(missing)} expired data dir(s) (first: "
+                f"{os.path.relpath(missing[0], self.path)}) — reclaimed by "
+                "expire_snapshots; only retained snapshots are restorable"
+            )
+        new_version = cur + 1
+        self._write_manifest({**target, "version": new_version})
+        self._append_lineage(
+            f"rollback:{new_version}",
+            {"rollback_to": to_version, "version": new_version},
+        )
+        return new_version
 
     # ---------------- lineage (per-partition/batch records) ----------------
     def _append_lineage(self, epoch_key, stats: dict) -> None:
