@@ -1763,6 +1763,71 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def q_wap_publish_lake(spark, sf_dir):
+    """Write-audit-publish merges (streaming/wap.py — Iceberg's WAP staged
+    commit composed from merge + expectation audit + tag publish +
+    rollback): epoch 0 loads the even docs and publishes; epoch 1 carries a
+    poisoned lang ('xx' on doc_id%5) — its audit fails, the merge ROLLS
+    BACK, and the ``published`` tag never moves; epoch 2 re-sends the odd
+    docs corrected under the SAME batch id (the rolled-back ledger makes
+    that legal) and publishes. The result reads through the ``published``
+    tag — the consumer boundary that never saw the bad snapshot — and
+    equals the documents table exactly."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.expectations import (
+        accepted_values,
+        not_null,
+    )
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+    from oplogtoredis_spark.streaming.wap import WriteAuditError, wap_merge
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+    checks = lambda: [  # noqa: E731 — Columns must be built per call
+        not_null("content"),
+        accepted_values("lang", ["de", "en", "es", "fr", "zh"]),
+    ]
+
+    def env(df, ts):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit("u").alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_wap_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+    )
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    wap_merge(t, spark, env(evens, 1), 0, checks())
+    poisoned = odds.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+    )
+    try:
+        wap_merge(t, spark, env(poisoned, 2), 1, checks())
+        raise AssertionError("poisoned epoch must fail its audit")
+    except WriteAuditError:
+        pass  # rolled back; tag still at epoch 0's snapshot
+    wap_merge(t, spark, env(odds, 2), 1, checks())
+    return t.read(spark, tag="published").select(
+        "path", "lang", F.length("content").cast("long").alias("n_chars")
+    )
+
+
+SQL_WAP_PUBLISH = """
+SELECT doc_id::VARCHAR AS path, lang, LENGTH(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
 def q_index_view_lake(spark, sf_dir):
     """Retraction-maintained INVERTED INDEX over the CDC lake
     (operators/indexview.py IncrementalIndexView): the postings follow the
@@ -4077,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_read_clustered": q_lake_read_clustered,
         "schema_evolution_lake": q_schema_evolution_lake,
         "lake_read_tagged": q_lake_read_tagged,
+        "wap_publish_lake": q_wap_publish_lake,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "span_dedup_docs": q_span_dedup_docs,
@@ -4188,6 +4254,7 @@ def oracle_sql() -> dict[str, str]:
         # the row (commit-1 rows conform to the evolved schema as NULL)
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,
         "lake_read_tagged": SQL_LAKE_READ_TAGGED,
+        "wap_publish_lake": SQL_WAP_PUBLISH,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "span_dedup_docs": SQL_SPAN_DEDUP,
