@@ -78,6 +78,9 @@ HEADLINE = [
     "index_view_lake",
     "lake_read_clustered",
     "schema_evolution_lake",
+    "lake_read_tagged",
+    "wap_publish_lake",
+    "span_dedup_docs",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",

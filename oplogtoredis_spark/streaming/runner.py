@@ -41,6 +41,9 @@ def make_batch_applier(
     merge_prune: bool = True,
     merge_mode: str = "cow",
     compact_min_deltas: int | None = None,
+    wap_checks: list | None = None,
+    publish_tag: str = "published",
+    wap_audit_scope: str = "changes",
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
@@ -55,7 +58,18 @@ def make_batch_applier(
     Iceberg's commit.manifest.min-count-to-merge posture), so a long-lived
     stream keeps per-bucket delta counts, and therefore read latency,
     bounded. Runs inside the foreachBatch loop ⇒ the single-writer
-    discipline holds by construction."""
+    discipline holds by construction.
+
+    ``wap_checks`` turns every epoch into a write-audit-publish commit
+    (streaming/wap.py): merge → audit (``wap_audit_scope``) → move
+    ``publish_tag``. A failed audit ROLLS the epoch BACK and kills the
+    stream with the checkpoint still on the bad batch (the fail posture):
+    the table never exposes the bad snapshot to ``publish_tag`` readers,
+    and a restart replays the batch — crash-looping until upstream is
+    fixed, exactly like dq_policy="fail" but auditing the MERGED effect.
+    Compaction commits (``compact_min_deltas``) land after the publish, so
+    the tag may briefly point one version behind the compacted layout —
+    same rows, pre-fold files; the tag's pin keeps them readable."""
     seen = {"n": 0}
     # ONE sink instance for the stream's lifetime (not one per batch): the
     # sink may carry per-stream caches — LakeTable reuses its batch-invariant
@@ -69,11 +83,14 @@ def make_batch_applier(
     # merge_mode/prune/compaction knobs instead of silently dropping them
     is_lake = isinstance(sink, LakeTable)
     if not is_lake and (
-        merge_mode != "cow" or compact_min_deltas is not None
+        merge_mode != "cow"
+        or compact_min_deltas is not None
+        or wap_checks
     ):
         raise ValueError(
-            f"merge_mode={merge_mode!r}/compact_min_deltas only apply to "
-            f"LakeTable sinks; {type(sink).__name__} does not support them"
+            f"merge_mode={merge_mode!r}/compact_min_deltas/wap_checks only "
+            f"apply to LakeTable sinks; {type(sink).__name__} does not "
+            "support them"
         )
 
     def apply(batch_df, batch_id: int):
@@ -84,10 +101,21 @@ def make_batch_applier(
         kw = (
             {"prune": merge_prune, "merge_mode": merge_mode} if is_lake else {}
         )
-        table.merge_batch(
-            batch_df, batch_id, extra_payload_cols=extra_payload_cols,
-            epoch_ns=epoch_ns, **kw,
-        )
+        if wap_checks:
+            from .wap import wap_merge
+
+            wap_merge(
+                table, batch_df.sparkSession, batch_df, batch_id,
+                wap_checks, publish_tag=publish_tag,
+                audit_scope=wap_audit_scope,
+                extra_payload_cols=extra_payload_cols, epoch_ns=epoch_ns,
+                **kw,
+            )
+        else:
+            table.merge_batch(
+                batch_df, batch_id, extra_payload_cols=extra_payload_cols,
+                epoch_ns=epoch_ns, **kw,
+            )
         if compact_min_deltas is not None and merge_mode == "mor" and is_lake:
             table.maybe_compact(batch_df.sparkSession, compact_min_deltas)
 
@@ -228,6 +256,9 @@ def start_stream(
     dq_policy: str = "fail",
     dq_quarantine_dir: str | None = None,
     dq_on_report=None,
+    wap_checks: list | None = None,
+    publish_tag: str = "published",
+    wap_audit_scope: str = "changes",
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -241,7 +272,13 @@ def start_stream(
 
     ``dq_checks``: optional expectation suite (operators/expectations.py)
     gating every micro-batch BEFORE the merge; ``dq_policy`` is one of
-    fail / quarantine / log (streaming/gate.py)."""
+    fail / quarantine / log (streaming/gate.py).
+
+    ``wap_checks``: optional write-audit-publish suite (streaming/wap.py)
+    auditing every epoch's MERGED effect after the merge; passing audits
+    move ``publish_tag`` atomically, failing ones roll the epoch back and
+    kill the stream on the bad batch. Composes with ``dq_checks`` (gate
+    rejects malformed input cheaply; WAP guards the publish boundary)."""
     from ..sources.schemas import TARGET_SCHEMA
 
     if sink_factory is None:
@@ -295,6 +332,9 @@ def start_stream(
         merge_prune=merge_prune,
         merge_mode=merge_mode,
         compact_min_deltas=compact_min_deltas,
+        wap_checks=wap_checks,
+        publish_tag=publish_tag,
+        wap_audit_scope=wap_audit_scope,
     )
     if dq_checks:
         from .gate import make_gated_applier

@@ -133,6 +133,66 @@ def test_cross_epoch_unique_check_via_table_scope(spark, table):
     assert _state(table, spark) == [("a", "same")]
 
 
+GOOD_LANGS = ["go", "py", "js", "md", "java", "rs", "ts", "c", "rb", "cpp"]
+
+
+def test_streaming_wap_publishes_every_clean_epoch(spark, tmp_path):
+    from oplogtoredis_spark.config import EngineConfig
+    from oplogtoredis_spark.sources.generator import (
+        generate_events,
+        write_events,
+    )
+    from oplogtoredis_spark.streaming.runner import run_to_completion
+
+    d = tmp_path / "ev"
+    write_events(generate_events(n_events=800, n_repos=16, seed=7), str(d), n_files=4)
+    t = run_to_completion(
+        spark, str(d), str(tmp_path / "tbl"), str(tmp_path / "ck"),
+        EngineConfig(target_buckets=8), max_files_per_trigger=2,
+        wap_checks=[not_null("repo"), accepted_values("lang", GOOD_LANGS)],
+    )
+    # every epoch audited and published: the tag tracks CURRENT, and the
+    # published view equals the live view
+    assert t.resolve_ref("published") == t.current_version()
+    assert (
+        t.read(spark, tag="published").count() == t.read(spark).count() > 0
+    )
+
+
+def test_streaming_wap_failure_rolls_back_and_blocks_publish(spark, tmp_path):
+    from oplogtoredis_spark.config import EngineConfig
+    from oplogtoredis_spark.sources.generator import (
+        generate_events,
+        write_events,
+    )
+    from oplogtoredis_spark.streaming.lake import LakeTable
+    from oplogtoredis_spark.streaming.runner import start_stream
+
+    d = tmp_path / "ev"
+    ev = generate_events(n_events=1200, n_repos=20, seed=23)
+    bad = ev.index[(ev.index > len(ev) * 0.6) & ev["lang"].notna()][:30]
+    ev.loc[bad, "lang"] = "??"
+    write_events(ev, str(d), n_files=4)
+    q = start_stream(
+        spark, str(d), str(tmp_path / "tbl"), str(tmp_path / "ck"),
+        EngineConfig(target_buckets=8), max_files_per_trigger=1,
+        wap_checks=[accepted_values("lang", GOOD_LANGS)],
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination()
+    assert "WriteAuditError" in str(ei.value) or "write-audit" in str(ei.value)
+    t = LakeTable(str(tmp_path / "tbl"))
+    # the poisoned epoch merged, failed its audit, and ROLLED BACK: no '??'
+    # row is live, and the published tag points at the last audited snapshot
+    assert t.read(spark).where("lang = '??'").count() == 0
+    v_pub = t.resolve_ref("published")
+    pub = t.read(spark, tag="published")
+    assert pub.where("lang = '??'").count() == 0 and pub.count() > 0
+    # rollback is visible in history: CURRENT advanced past the tag
+    # (merge + rollback commits) while the published view stayed clean
+    assert t.current_version() > v_pub
+
+
 def test_guards(spark, table):
     b = _batch(spark, [("r", "a", 1 << 32, 0, "i", "c1", "py", "x")])
     with pytest.raises(ValueError, match="no checks"):
