@@ -1192,6 +1192,49 @@ HAVING count(*) FILTER (WHERE keep) > 0
 """
 
 
+def q_pack_chunks_docs(spark, sf_dir):
+    """Deterministic sequence packing (operators/packing.py): chunks are
+    assigned to fixed token-budget training shards by the portable hash
+    (greedy bin packing is a sequential fold — the one unparallelizable
+    shape — so shards get the budget in EXPECTATION instead, stated not
+    hidden), then positioned (pack_pos) and offset (token_offset) within
+    their shard by a bounded per-shard window. One count job + one window
+    shuffle; reproducible at any parallelism."""
+    from oplogtoredis_spark.operators.packing import pack_chunks
+    from oplogtoredis_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        _docs(spark, sf_dir, par=True).select("doc_id", "text"),
+        chunk_tokens=40, overlap=8,
+    )
+    return pack_chunks(chunks, budget=4000).select(
+        "doc_id", "chunk_idx", "n_tokens", "shard_id", "pack_pos",
+        "token_offset",
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH c AS ({SQL_CHUNK_DOCUMENTS}),
+ tot AS (SELECT greatest(1, CAST((sum(n_tokens) + 3999) // 4000 AS INT)) AS ns
+         FROM c),
+ h AS (SELECT doc_id, chunk_idx, n_tokens,
+              ('0x' || substr(sha256(
+                  concat_ws('|', doc_id::VARCHAR, chunk_idx::VARCHAR) || ''
+              ), 1, 15))::BIGINT AS hv
+       FROM c),
+ s AS (SELECT doc_id, chunk_idx, n_tokens, hv, (hv % ns)::INT AS shard_id
+       FROM h, tot)
+SELECT doc_id, chunk_idx, n_tokens, shard_id,
+       (row_number() OVER w - 1)::INT AS pack_pos,
+       COALESCE(sum(n_tokens) OVER (
+           PARTITION BY shard_id ORDER BY hv, doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS token_offset
+FROM s
+WINDOW w AS (PARTITION BY shard_id ORDER BY hv, doc_id, chunk_idx)
+"""
+
+
 def q_fuzzy_dedup_pipeline(spark, sf_dir):
     """The NEAR-duplicate end of the composed pipeline: exact n-gram
     Jaccard pairs → connected components (alternating star rounds) → keep
@@ -4146,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "span_dedup_docs": q_span_dedup_docs,
+        "pack_chunks_docs": q_pack_chunks_docs,
         "decontaminate_ngram": q_decontaminate_ngram,
         "doc_repetition": q_doc_repetition,
         "pii_redact": q_pii_redact,
@@ -4258,6 +4302,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "span_dedup_docs": SQL_SPAN_DEDUP,
+        "pack_chunks_docs": SQL_PACK_CHUNKS,
         "decontaminate_ngram": SQL_DECONTAMINATE,
         "doc_repetition": SQL_DOC_REPETITION,
         "pii_redact": SQL_PII_REDACT,

@@ -81,6 +81,7 @@ HEADLINE = [
     "lake_read_tagged",
     "wap_publish_lake",
     "span_dedup_docs",
+    "pack_chunks_docs",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
