@@ -1917,7 +1917,13 @@ class LakeTable:
         if not os.path.isdir(self._refs_dir):
             return out
         for fname in sorted(os.listdir(self._refs_dir)):
-            if not fname.endswith(".json") or ".tmp-" in fname:
+            # crashed-writer leftovers are `<name>.json.tmp-<hex>` — they
+            # fail the suffix test; the stem must be a VALID ref name (a
+            # name like "v1.tmp-x" is legal, so do not substring-filter)
+            if not fname.endswith(".json"):
+                continue
+            stem = fname[: -len(".json")]
+            if not self._REF_NAME.match(stem):
                 continue
             with open(os.path.join(self._refs_dir, fname)) as f:
                 rec = json.load(f)

@@ -115,6 +115,24 @@ def test_tag_pins_snapshot_through_expiry(spark, table):
         table.read(spark, version=v1).collect()
 
 
+def test_tags_listing_survives_dotted_names_and_tmp_leftovers(spark, table):
+    import os
+
+    table.merge_batch(
+        _batch(spark, [("r", "a", 1 << 32, 0, "i", "c1", "py", "v1")]), 0
+    )
+    v1 = table.current_version()
+    # a legal name CONTAINING ".tmp-" must list (no substring filtering)
+    table.create_tag("rel-1.tmp-candidate")
+    # a crashed-writer leftover (`<name>.json.tmp-<hex>`) must NOT list
+    with open(
+        os.path.join(table._refs_dir, "ghost.json.tmp-deadbeef"), "w"
+    ) as f:
+        f.write('{"name": "ghost", "version": 999}')
+    assert table.tags() == {"rel-1.tmp-candidate": v1}
+    assert table.resolve_ref("rel-1.tmp-candidate") == v1
+
+
 def test_rollback_restores_state_and_replay_ledger(spark, table):
     table.merge_batch(
         _batch(spark, [("r", "a", 1 << 32, 0, "i", "c1", "py", "good")]), 0
