@@ -1871,6 +1871,61 @@ FROM documents
 """
 
 
+def q_lake_fsck(spark, sf_dir):
+    """Table integrity checker (streaming/lake.py fsck — Delta FSCK /
+    Iceberg verify posture): metadata checks (missing/orphan dirs,
+    O(manifest)) plus deep checks over one scan — bucket column vs key
+    hash, file LOCATION vs bucket column (via _metadata.file_path — the
+    corruption the column can't see), duplicate live keys on the collapsed
+    reader view. A healthy two-commit lake reports six zeros; the
+    corruption-detection arms are pinned in tests/test_fsck.py (duplicated
+    file, smuggled cross-bucket file, doctored bucket column, missing
+    dirs, orphan dirs)."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=8,
+    )
+    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 1), 0)
+    t.merge_batch(
+        env(docs.where(F.col("doc_id") % 2 == 1), 2).unionByName(
+            env(docs.where(F.col("doc_id") % 10 == 0), 2, op="d")
+        ),
+        1,
+    )
+    return t.fsck(spark)
+
+
+SQL_LAKE_FSCK = """
+SELECT * FROM (VALUES
+    ('fsck:missing_base_dir',   0::BIGINT),
+    ('fsck:missing_delta_dir',  0::BIGINT),
+    ('fsck:orphan_data_dirs',   0::BIGINT),
+    ('fsck:bucket_assignment',  0::BIGINT),
+    ('fsck:misplaced_file_row', 0::BIGINT),
+    ('fsck:duplicate_live_key', 0::BIGINT)
+) AS t("check", n_violations)
+"""
+
+
 def q_index_view_lake(spark, sf_dir):
     """Retraction-maintained INVERTED INDEX over the CDC lake
     (operators/indexview.py IncrementalIndexView): the postings follow the
@@ -4186,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_lake": q_schema_evolution_lake,
         "lake_read_tagged": q_lake_read_tagged,
         "wap_publish_lake": q_wap_publish_lake,
+        "lake_fsck": q_lake_fsck,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "span_dedup_docs": q_span_dedup_docs,
@@ -4299,6 +4355,7 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,
         "lake_read_tagged": SQL_LAKE_READ_TAGGED,
         "wap_publish_lake": SQL_WAP_PUBLISH,
+        "lake_fsck": SQL_LAKE_FSCK,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
         "span_dedup_docs": SQL_SPAN_DEDUP,

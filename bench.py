@@ -82,6 +82,7 @@ HEADLINE = [
     "wap_publish_lake",
     "span_dedup_docs",
     "pack_chunks_docs",
+    "lake_fsck",
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",

@@ -1986,6 +1986,136 @@ class LakeTable:
         )
         return new_version
 
+    def fsck(self, spark: SparkSession, deep: bool = True) -> DataFrame:
+        """Table integrity report (Delta's FSCK / Iceberg's metadata-
+        verification posture): one row per check, ``(check, n_violations)``,
+        all zeros on a healthy table.
+
+        Metadata checks (driver-side, O(manifest) — free at any scale):
+          * ``missing_base_dir`` / ``missing_delta_dir`` — CURRENT manifest
+            references a data dir that is gone (external deletion, botched
+            restore); readers would fail lazily, fsck says so eagerly.
+          * ``orphan_data_dirs`` — dirs under data/ and delta/ referenced by
+            NO retained manifest: reclaimable leakage from crashed writers
+            (expire_snapshots sweeps snapshot-version dirs it knows about;
+            this counts whatever survived anyway). Informational — orphans
+            waste space but cannot corrupt reads.
+
+        Deep checks (``deep=True``, Spark jobs over the live view — cost is
+        one table read; run them per maintenance window, not per epoch):
+          * ``fsck:duplicate_live_key`` — the collapsed read view must hold
+            at most ONE live row per (repo, path); a duplicate means a base
+            file was corrupted or hand-copied (the MERGE can never produce
+            one).
+          * ``fsck:bucket_assignment`` — every row's stored ``bucket``
+            column equals ``pmod(xxhash64(repo, path), n_buckets)``; a
+            mismatch breaks manifest-level pruning silently (reads that
+            prune would MISS the row), which is exactly why it must be
+            checked rather than assumed.
+          * ``fsck:misplaced_file_row`` — every row LIVES in the ``pb=N``
+            dir its bucket column names (checked via the scan's
+            ``_metadata.file_path``): a hand-copied or mis-restored file in
+            the wrong bucket dir passes the column-vs-hash check yet makes
+            bucket-pruned reads and merges miss its rows — location is the
+            corruption the column cannot see.
+
+        Implemented on the declarative expectation suite, so the deep pass
+        is ONE scan + one key-grouped shuffle (operators/expectations.py).
+        """
+        from ..functions.routing import bucket_for
+        from ..operators.expectations import run_expectations, unique
+
+        m = self.manifest()
+        missing_base = sum(
+            not os.path.isdir(os.path.join(self.path, d))
+            for d in m["buckets"].values()
+        )
+        missing_delta = sum(
+            not os.path.isdir(os.path.join(self.path, e["dir"]))
+            for es in m.get("bucket_deltas", {}).values()
+            for e in es
+        )
+        referenced: set[str] = set()
+        for name in os.listdir(self._manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                mv = self.manifest(int(name[1:-5]))
+                referenced |= set(mv["buckets"].values())
+                for es in mv.get("bucket_deltas", {}).values():
+                    referenced |= {e["dir"] for e in es}
+        orphans = 0
+        for root in ("data", "delta"):
+            droot = os.path.join(self.path, root)
+            if not os.path.isdir(droot):
+                continue
+            for snap in os.listdir(droot):
+                snap_dir = os.path.join(droot, snap)
+                if not os.path.isdir(snap_dir):
+                    continue
+                for b in os.listdir(snap_dir):
+                    if (
+                        os.path.isdir(os.path.join(snap_dir, b))
+                        and os.path.join(root, snap, b) not in referenced
+                    ):
+                        orphans += 1
+        meta = spark.createDataFrame(
+            [
+                ("fsck:missing_base_dir", missing_base),
+                ("fsck:missing_delta_dir", missing_delta),
+                ("fsck:orphan_data_dirs", orphans),
+            ],
+            "check string, n_violations long",
+        )
+        if not deep or missing_base or missing_delta:
+            return meta  # deep reads would crash on missing dirs
+        # raw per-file scan (base + delta dirs) for the two location/column
+        # checks; _metadata.file_path names each row's actual pb= dir
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        dirs = [os.path.join(self.path, d) for d in m["buckets"].values()] + [
+            os.path.join(self.path, e["dir"])
+            for es in m.get("bucket_deltas", {}).values()
+            for e in es
+        ]
+        raw_checks = [
+            {
+                "kind": "row",
+                "name": "fsck:bucket_assignment",
+                "pred": F.col("bucket")
+                != bucket_for(F.col("repo"), F.col("path"), m["n_buckets"]),
+            },
+            {
+                "kind": "row",
+                "name": "fsck:misplaced_file_row",
+                "pred": F.regexp_extract(
+                    F.col("_metadata.file_path"), r"/pb=(\d+)/[^/]+$", 1
+                ).cast("int")
+                != F.col("bucket"),
+            },
+        ]
+        parts = [meta]
+        if dirs:
+            raw = spark.read.schema(schema).parquet(*dirs)
+            parts.append(run_expectations(raw, raw_checks))
+        else:
+            parts.append(
+                spark.createDataFrame(
+                    [(c["name"], 0) for c in raw_checks],
+                    "check string, n_violations long",
+                )
+            )
+        # duplicate check runs on the COLLAPSED reader view — what a
+        # consumer would actually see twice
+        live = self.read(spark, include_deleted=True)
+        parts.append(
+            run_expectations(
+                live,
+                [{**unique(["repo", "path"]), "name": "fsck:duplicate_live_key"}],
+            )
+        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------------- lineage (per-partition/batch records) ----------------
     def _append_lineage(self, epoch_key, stats: dict) -> None:
         # filename = ordinal + random suffix: ordered reads, and two
