@@ -97,6 +97,25 @@ def hist_observe_aggs_on(bucket_col: str, prefix: str) -> list[Column]:
     return aggs
 
 
+def observed_row(obs) -> dict:
+    """``Observation.get`` tolerant of Spark 4's AQE empty-relation
+    propagation: when a micro-batch is EMPTY (e.g. the denylist dropped the
+    whole epoch), AQE replaces the scan with an empty LocalTableScan and the
+    CollectMetrics node vanishes with it — the JVM then hands back a
+    schemaless empty row and ``Observation.get`` dies in ``toPyRow``'s
+    assertion. Every observed aggregate in this engine is a count/sum/max
+    whose empty-input value is 0/NULL, so the correct reading of "the node
+    never ran" is an empty dict (callers all default with ``.get(..) or 0``).
+    Anything that is NOT that specific assertion re-raises."""
+    try:
+        return obs.get
+    except Exception as e:  # Py4JJavaError from PythonSQLUtils.toPyRow
+        msg = str(e)
+        if "toPyRow" not in msg and "assertion failed" not in msg:
+            raise
+        return {}
+
+
 def hist_from_observed(observed: dict, prefix: str) -> dict[str, int]:
     """Collect the non-zero buckets of an observed histogram into a compact
     ``{le: count}`` dict for the lineage record ('inf' for the +Inf

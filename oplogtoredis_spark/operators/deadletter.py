@@ -57,4 +57,6 @@ def quarantine(dead: DataFrame, path: str, epoch_key: str = "") -> int:
     )
     os.makedirs(path, exist_ok=True)
     tagged.write.mode("overwrite").parquet(sub)
-    return int(obs.get.get("n") or 0)
+    from ..functions.histograms import observed_row
+
+    return int(observed_row(obs).get("n") or 0)

@@ -1178,7 +1178,7 @@ class LakeTable:
 
         from pyspark.sql import Observation as _Obs
 
-        from ..functions.histograms import hist_from_observed
+        from ..functions.histograms import hist_from_observed, observed_row
         from ..operators.deadletter import split_dead_letters
 
         # input-side metrics ride the batch's own pass (M1 analogues:
@@ -1332,7 +1332,7 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(out_dir)
             )
-            metrics = obs.get
+            metrics = observed_row(obs)
             if merge_mode == "mor" or not prune or adaptive_dense:
                 affected = sorted(
                     int(d[3:]) for d in os.listdir(out_dir) if d.startswith("pb=")
@@ -1456,7 +1456,7 @@ class LakeTable:
         # count says the dead branch is non-empty (healthy logs pay zero
         # extra jobs); the merge write action above completed the input
         # observation, so the count is final here.
-        im = in_obs.get
+        im = observed_row(in_obs)
         n_dead = int(im.get("unprocessable_in") or 0)
         if n_dead:
             from ..operators.deadletter import quarantine
@@ -1498,7 +1498,7 @@ class LakeTable:
             stats["deletes_in"] = int(im.get("deletes_in") or 0)
             # the histogram observation completes with the merge-write job;
             # `affected` non-empty ⇒ the write ran ⇒ the get is non-blocking
-            hist = hist_from_observed(hist_obs.get, "esz")
+            hist = hist_from_observed(observed_row(hist_obs), "esz")
             if hist:
                 stats["entry_size_hist"] = hist
             mw = im.get("max_wall")
