@@ -1652,6 +1652,83 @@ FROM documents WHERE lang = 'en'
 """
 
 
+_POINT_LOOKUP_IDS = (11, 77, 123, 200, 301, 444)
+
+
+def q_lake_point_lookup(spark, sf_dir):
+    """File-level Bloom-index point lookups (streaming/lake.py
+    rewrite_clustered(bloom_cols=...) / read_pruned(eq=...) — the
+    parquet/Iceberg bloom-filter-index posture): the same lake recipe as
+    lake_read_clustered, re-clustered on ``lang`` with a per-file Bloom
+    bitmap on ``path``. A point lookup on path is exactly what min/max
+    stats CANNOT prune on this layout (every file spans nearly the full
+    path range — the sort order is lang), and what the bitmap prunes to
+    ~one file per probe. Six lookups are unioned; each pruned read equals
+    ``read().where(path = v)`` bit-for-bit (no false negatives; false
+    positives only keep files; the exact predicate re-applies). The query
+    fails loudly if the bloom never skipped a file — the mechanism, not
+    just the values, is what it pins."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_bloom_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=8,
+    )
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.rewrite_clustered(
+        spark, ["lang"], files_per_bucket=4, bloom_cols=["path"]
+    )
+    skipped = 0
+    out = None
+    for i in _POINT_LOOKUP_IDS:
+        plan = t.prune_plan("path", eq=str(i), spark=spark)
+        skipped += plan["files_skipped"]
+        part = t.read_pruned(spark, "path", eq=str(i)).select(
+            "path", "lang", F.length("content").alias("content_len")
+        )
+        out = part if out is None else out.unionByName(part)
+    if skipped == 0:
+        raise RuntimeError("bloom index never skipped a file")
+    return out
+
+
+SQL_LAKE_POINT_LOOKUP = f"""
+SELECT doc_id::VARCHAR AS path, lang, length(text) AS content_len
+FROM documents
+WHERE doc_id IN ({", ".join(str(i) for i in _POINT_LOOKUP_IDS)})
+"""
+
+
 def q_schema_evolution_lake(spark, sf_dir):
     """Schema evolution through the lake (streaming/lake.py merge_schemas /
     conformed reads — the north rule's added-column case as an ORACLED
@@ -4238,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_view_lake": q_distinct_view_lake,
         "index_view_lake": q_index_view_lake,
         "lake_read_clustered": q_lake_read_clustered,
+        "lake_point_lookup": q_lake_point_lookup,
         "schema_evolution_lake": q_schema_evolution_lake,
         "lake_read_tagged": q_lake_read_tagged,
         "wap_publish_lake": q_wap_publish_lake,
@@ -4350,6 +4428,8 @@ def oracle_sql() -> dict[str, str]:
         # live set == documents by the recipe; the pruned read must equal
         # the plain filtered batch
         "lake_read_clustered": SQL_LAKE_READ_CLUSTERED,
+        # live set == documents; six bloom-indexed point lookups unioned
+        "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
         # live set == documents; stars derives from which commit last wrote
         # the row (commit-1 rows conform to the evolved schema as NULL)
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,

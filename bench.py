@@ -77,6 +77,7 @@ HEADLINE = [
     "agg_view_lake",
     "index_view_lake",
     "lake_read_clustered",
+    "lake_point_lookup",
     "schema_evolution_lake",
     "lake_read_tagged",
     "wap_publish_lake",

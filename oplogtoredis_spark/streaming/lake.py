@@ -61,6 +61,15 @@ _FOOTER_STATS_CACHE: dict = {}
 #: this length a string max can no longer be trusted as an upper bound.
 _STATS_MAX_STR = 4000
 
+#: File-level Bloom index hashing seed (manifest entries record their own
+#: seed/bits/k/type, so changing the default never corrupts old entries).
+_BLOOM_SEED = 0xB100F
+
+#: Memoized probe positions: (value_repr, type, bits, k, seed) -> tuple of
+#: bit positions, or None when the value does not cast to the recorded
+#: column type (bloom pruning is then skipped — never a false negative).
+_BLOOM_PROBE_CACHE: dict = {}
+
 
 def _footer_col_range(path: str, col: str):
     """(min, max) for ``col`` across a parquet file's row groups, from the
@@ -574,6 +583,8 @@ class LakeTable:
         lo=None,
         hi=None,
         version: int | None = None,
+        eq=None,
+        spark: SparkSession | None = None,
     ) -> dict:
         """File-skipping plan for ``lo <= col <= hi`` from parquet FOOTER
         min/max stats (Iceberg's manifest column-stats pruning posture —
@@ -590,12 +601,25 @@ class LakeTable:
         Files lacking stats for ``col`` (or with truncation-length string
         values, where footer max may not be an upper bound) are kept.
 
+        ``eq`` plans an EQUALITY lookup instead (mutually exclusive with
+        lo/hi): min/max stats are consulted with lo = hi = eq, and — when
+        ``spark`` is given and the manifest carries file Blooms for ``col``
+        (written by ``rewrite_clustered(bloom_cols=...)``) — a file is
+        additionally skipped when any probe bit position is unset in its
+        bitmap. Blooms have no false negatives; a false positive only keeps
+        a file; files without an entry are kept.
+
         Returns {"kept": {bucket: [files] | None}, "files_total",
         "files_kept", "files_skipped", "buckets_dropped"} — ``None`` marks
         a bucket read whole (live deltas)."""
+        if eq is not None:
+            if lo is not None or hi is not None:
+                raise ValueError("eq is mutually exclusive with lo/hi")
+            lo = hi = eq
         m = self.manifest(version)
         dsel = m.get("bucket_deltas", {})
         manifest_stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {}) if eq is not None else {}
         kept: dict = {}
         total = n_kept = 0
         dropped = []
@@ -615,12 +639,25 @@ class LakeTable:
                 # rewrite_clustered); footer fallback otherwise
                 ms = manifest_stats.get(f"{d}/{f}", {}).get(col)
                 rng = tuple(ms) if ms else _footer_col_range(p, col)
-                if rng is None:
-                    sel.append(p)  # no usable stats: must keep
-                    continue
-                fmin, fmax = rng
-                if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
-                    sel.append(p)
+                if rng is not None:
+                    fmin, fmax = rng
+                    try:
+                        if (lo is not None and fmax < lo) or (
+                            hi is not None and fmin > hi
+                        ):
+                            continue  # provably outside the range: skip
+                    except TypeError:
+                        pass  # probe incomparable with stats: keep the file
+                if eq is not None and spark is not None:
+                    ent = blooms.get(f"{d}/{f}", {}).get(col)
+                    if ent is not None:
+                        pos = self._bloom_probe_positions(spark, eq, ent)
+                        if pos is not None and any(
+                            (ent["w"][pp // 64] >> (pp % 64)) & 1 == 0
+                            for pp in pos
+                        ):
+                            continue  # provably absent: skip
+                sel.append(p)
             n_kept += len(sel)
             kept[b] = sel
             if not sel:
@@ -641,15 +678,18 @@ class LakeTable:
         hi=None,
         include_deleted: bool = False,
         version: int | None = None,
+        eq=None,
     ) -> DataFrame:
-        """read() restricted to ``lo <= col <= hi`` with footer-stats file
-        skipping (see prune_plan) — the payoff of rewrite_clustered's
-        layout. The exact predicate is applied post-collapse, so the result
-        equals ``read().where(...)`` bit-for-bit; the skipping only changes
-        how many files the scan touches."""
-        if lo is None and hi is None:
-            raise ValueError("read_pruned needs lo and/or hi")
-        plan = self.prune_plan(col, lo, hi, version)
+        """read() restricted to ``lo <= col <= hi`` (or ``col = eq``) with
+        footer-stats — and, for ``eq`` on bloom-indexed columns, per-file
+        Bloom — file skipping (see prune_plan): the payoff of
+        rewrite_clustered's layout. The exact predicate is applied
+        post-collapse, so the result equals ``read().where(...)``
+        bit-for-bit; the skipping only changes how many files the scan
+        touches."""
+        if lo is None and hi is None and eq is None:
+            raise ValueError("read_pruned needs lo and/or hi, or eq")
+        plan = self.prune_plan(col, lo, hi, version, eq=eq, spark=spark)
         df = self.read(
             spark,
             include_deleted=include_deleted,
@@ -657,6 +697,8 @@ class LakeTable:
             _file_filter=lambda b, d: plan["kept"].get(b),
         )
         c = F.col(col)
+        if eq is not None:
+            return df.where(c == F.lit(eq))
         if lo is not None:
             df = df.where(c >= F.lit(lo))
         if hi is not None:
@@ -1686,6 +1728,9 @@ class LakeTable:
         drop_tombstones_older_than_ts: int = 0,
         strategy: str = "linear",
         zorder_bits: int = 8,
+        bloom_cols: list[str] | tuple[str, ...] = (),
+        bloom_bits: int = 8192,
+        bloom_hashes: int = 5,
     ) -> dict:
         """OPTIMIZE-with-sort-order (Iceberg rewrite_data_files with a sort
         strategy / Delta OPTIMIZE ZORDER analogue): fold any deltas and
@@ -1708,6 +1753,22 @@ class LakeTable:
         trade being each is somewhat looser than linear's leading column.
         Requires >= 2 numeric cluster columns (one column IS linear).
 
+        ``bloom_cols`` additionally persists a per-FILE Bloom bitmap for
+        each named column into the manifest (parquet/Iceberg's file-level
+        bloom-filter index posture): min/max stats cannot prune an EQUALITY
+        lookup on a column uncorrelated with the sort order (every file
+        spans nearly the full value range), but a per-file membership
+        bitmap can. ``prune_plan(col, eq=..)`` / ``read_pruned(.., eq=..)``
+        consult them: a file is skipped when any of the probe's
+        ``bloom_hashes`` bit positions is unset. Soundness: Bloom filters
+        have no false NEGATIVES (a false positive only KEEPS a file), the
+        probe value is hashed under the column type RECORDED with each
+        entry (type widening after the rewrite cannot silently change the
+        hash), files without an entry are kept, and the same base-file /
+        whole-delta-bucket rules as stats pruning apply. Cost: one extra
+        Spark job over the just-written files (bit_or per 64-bit word,
+        partial-aggregated; output bounded by files x cols x bits/64).
+
         The bucket-by-key layout is PRESERVED (pb stays the partition
         column — merge correctness depends on a key living in exactly one
         bucket); the clustering happens within buckets: range-partitioning
@@ -1719,8 +1780,17 @@ class LakeTable:
             raise ValueError("cluster_by must name at least one column")
         if strategy not in ("linear", "zorder"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if bloom_bits <= 0 or bloom_bits % 64:
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 64: {bloom_bits}"
+            )
+        if bloom_hashes < 1:
+            raise ValueError(f"bloom_hashes must be >= 1, got {bloom_hashes}")
         m = self.manifest()
         live = self.read(spark, include_deleted=True)
+        for c in bloom_cols:
+            if c not in live.columns or c in ("pb", "_z"):
+                raise ValueError(f"bloom column not in the table: {c!r}")
         kept = live.where(
             (~F.col("deleted"))
             | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
@@ -1763,7 +1833,9 @@ class LakeTable:
                 if not f.endswith(".parquet"):
                     continue
                 per_col = {}
-                for c in cluster_by:
+                # bloom cols ride along: eq-lookup planning then needs no
+                # footer IO either (stats range check with lo = hi = eq)
+                for c in dict.fromkeys([*cluster_by, *bloom_cols]):
                     rng = _footer_col_range(os.path.join(bdir, f), c)
                     if rng is not None and all(
                         isinstance(v, (int, float, str, bool))
@@ -1772,6 +1844,17 @@ class LakeTable:
                         per_col[c] = [rng[0], rng[1]]
                 if per_col:
                     file_stats[f"{rel_bdir}/{f}"] = per_col
+        file_blooms: dict = {}
+        if bloom_cols:
+            file_blooms = self._build_file_blooms(
+                spark,
+                rel_dir,
+                buckets,
+                list(bloom_cols),
+                live.schema,
+                int(bloom_bits),
+                int(bloom_hashes),
+            )
         cur_sid = int(m.get("schema_id", 0))
         self._write_manifest(
             {
@@ -1781,6 +1864,7 @@ class LakeTable:
                 "bucket_schema_id": {b: cur_sid for b in buckets},
                 "bucket_deltas": {},  # folded into the new base
                 "file_stats": file_stats,
+                "file_blooms": file_blooms,
             }
         )
         stats = {
@@ -1788,9 +1872,132 @@ class LakeTable:
             "version": new_version,
             "cluster_by": list(cluster_by),
             "stat_files": len(file_stats),
+            "bloom_files": len(file_blooms),
         }
         self._append_lineage(f"rewrite_clustered:{new_version}", stats)
         return stats
+
+    def _build_file_blooms(
+        self,
+        spark: SparkSession,
+        rel_dir: str,
+        buckets: dict,
+        cols: list,
+        schema: T.StructType,
+        n_bits: int,
+        k: int,
+    ) -> dict:
+        """Per-file Bloom bitmaps for ``cols`` over the just-written
+        ``rel_dir`` files, as one Spark job: k positions per non-null value
+        from ``xxhash64(col, seed+i)`` (JVM-side, same mechanics as
+        operators/bloomjoin.py), exploded map-side, ``bit_or`` per 64-bit
+        word partial-aggregated, collected as a bounded
+        (file, col, word) -> bits list. Every written file is pre-seeded
+        with an all-zero bitmap so an all-null (or empty) file prunes for
+        any probe — sound, since no non-null value lives there. Each entry
+        records its own type/bits/k/seed: probes hash under the RECORDED
+        column type, so schema widening after the rewrite can never flip a
+        hash into a false negative."""
+        types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        blooms: dict = {}
+        for b, rel_bdir in buckets.items():
+            bdir = os.path.join(self.path, rel_bdir)
+            for fn in os.listdir(bdir):
+                if fn.endswith(".parquet"):
+                    blooms[f"{rel_bdir}/{fn}"] = {
+                        c: {
+                            "t": types[c],
+                            "b": n_bits,
+                            "k": k,
+                            "s": _BLOOM_SEED,
+                            "w": [0] * (n_bits // 64),
+                        }
+                        for c in cols
+                    }
+        if not blooms:
+            return {}
+        # anchored table-relative suffix (the delta-seq discipline: a table
+        # path containing a look-alike substring can never alias the key)
+        rel = F.regexp_extract(
+            F.col("_metadata.file_path"),
+            "(" + re.escape(rel_dir) + r"/pb=\d+/[^/]+)$",
+            1,
+        )
+        probes = []
+        for c in cols:
+            for i in range(k):
+                probes.append(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.struct(
+                            F.lit(c).alias("c"),
+                            F.pmod(
+                                F.xxhash64(F.col(c), F.lit(_BLOOM_SEED + i)),
+                                F.lit(n_bits),
+                            ).alias("p"),
+                        ),
+                    )
+                )
+        dirs = [os.path.join(self.path, d) for d in buckets.values()]
+        rows = (
+            spark.read.parquet(*dirs)
+            .select(rel.alias("_f"), F.explode(F.array(*probes)).alias("_e"))
+            .where(F.col("_e").isNotNull())
+            .groupBy(
+                "_f",
+                F.col("_e.c").alias("_c"),
+                F.expr("_e.p div 64").alias("_w"),
+            )
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(_e.p % 64 as int))")
+                ).alias("_b")
+            )
+            .collect()
+        )
+        for r in rows:
+            ent = blooms.get(r._f, {}).get(r._c)
+            if ent is None:
+                # a position that fails to land in its file's bitmap would
+                # surface later as a FALSE NEGATIVE (file wrongly skipped) —
+                # fail the rewrite loudly instead
+                raise RuntimeError(
+                    f"bloom build: unmatched file path {r._f!r}"
+                )
+            ent["w"][r._w] = r._b
+        return blooms
+
+    @staticmethod
+    def _bloom_probe_positions(spark: SparkSession, value, ent: dict):
+        """Bit positions of ``value`` under a manifest bloom entry's
+        recorded (type, bits, k, seed) — one single-row JVM job, memoized.
+        Returns None (= do not bloom-prune) when the value does not cast to
+        the recorded type: hashing a NULL would test the seed's positions
+        and could produce a false negative."""
+        key = (repr(value), ent["t"], ent["b"], ent["k"], ent["s"])
+        if key in _BLOOM_PROBE_CACHE:
+            return _BLOOM_PROBE_CACHE[key]
+        # try_cast: an uncastable probe yields NULL -> positions None (skip
+        # bloom pruning) instead of an ANSI runtime error at plan time
+        v = F.lit(value).try_cast(ent["t"])
+        row = (
+            spark.range(1)
+            .select(
+                v.isNull().alias("n"),
+                *[
+                    F.pmod(
+                        F.xxhash64(v, F.lit(ent["s"] + i)), F.lit(ent["b"])
+                    ).alias(f"p{i}")
+                    for i in range(ent["k"])
+                ],
+            )
+            .first()
+        )
+        pos = None if row.n else tuple(row[i + 1] for i in range(ent["k"]))
+        _BLOOM_PROBE_CACHE[key] = pos
+        return pos
 
     def maybe_compact(
         self,
