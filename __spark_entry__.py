@@ -1069,6 +1069,75 @@ FROM documents
 SQL_BPE_TOKENS = _sql_bpe_tokens()
 
 
+_BPE_TRAIN_MERGES = 8
+
+
+def q_bpe_train_docs(spark, sf_dir):
+    """BPE TRAINING over the corpus (operators/text.py train_bpe): LEARN
+    the merge table instead of applying a fixed one — classic byte-pair
+    training as ONE declarative plan: corpus collapses to a word histogram
+    (the only corpus-wide shuffle; every round then touches vocabulary
+    rows only, 10^6-10^8 at 100 TB not the corpus), each round
+    pair-counts adjacent symbols (zip_with against the 1-shifted array),
+    argmaxes with a (count DESC, lhs, rhs) tie-break, and applies the
+    winner as one separator-guarded replace. Deterministic — integer
+    counts, lexicographic ties — so the DuckDB oracle (the same 8 rounds
+    unrolled as CTEs) and any two cluster sizes learn the identical
+    table."""
+    from oplogtoredis_spark.operators.text import train_bpe
+
+    return train_bpe(
+        _docs(spark, sf_dir, par=True).select("text"),
+        n_merges=_BPE_TRAIN_MERGES,
+    )
+
+
+def _sql_bpe_train(n: int = _BPE_TRAIN_MERGES) -> str:
+    """The identical training rounds unrolled as DuckDB CTEs: same word
+    regex, same double-unit-separator encoding, same non-overlapping
+    left-to-right replace, same tie-break."""
+    parts = [
+        """WITH hist AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY word
+), enc1 AS (
+  SELECT chr(31) || chr(31) ||
+         regexp_replace(word, '(.)', '\\1' || chr(31) || chr(31), 'g') AS enc,
+         cnt
+  FROM hist
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(f""", pairs{i} AS (
+  SELECT syms[u.i] AS lhs, syms[u.i + 1] AS rhs, cnt
+  FROM (SELECT cnt, list_filter(str_split(enc, chr(31) || chr(31)),
+                                x -> x <> '') AS syms
+        FROM enc{i}) s,
+       unnest(generate_series(1, len(s.syms) - 1)) AS u(i)
+), best{i} AS (
+  SELECT {i} AS merge_rank, lhs, rhs, sum(cnt)::BIGINT AS pair_count
+  FROM pairs{i} GROUP BY lhs, rhs
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+)""")
+        if i < n:
+            parts.append(f""", enc{i + 1} AS (
+  SELECT replace(enc,
+                 chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+                 chr(31) || lhs || rhs || chr(31)) AS enc, cnt
+  FROM enc{i}, best{i}
+)""")
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM best{i}" for i in range(1, n + 1))
+    )
+    return "".join(parts)
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 SQL_TEXT_PROFILE = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS.format(x='text')} AS toks FROM documents),
  feat AS (
@@ -4304,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
         "bpe_tokens": q_bpe_tokens,
+        "bpe_train_docs": q_bpe_train_docs,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
@@ -4407,6 +4477,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
         "bpe_tokens": SQL_BPE_TOKENS,
+        # the same 8 training rounds unrolled as CTEs (word histogram,
+        # pair argmax, separator-guarded replace)
+        "bpe_train_docs": SQL_BPE_TRAIN,
         "hash_split": SQL_HASH_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,

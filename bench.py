@@ -69,6 +69,7 @@ HEADLINE = [
     "metrics_histogram",
     "text_profile",
     "bpe_tokens",
+    "bpe_train_docs",
     "quality_filter",
     "chunk_documents",
     "corpus_pipeline",
