@@ -1798,6 +1798,70 @@ WHERE doc_id IN ({", ".join(str(i) for i in _POINT_LOOKUP_IDS)})
 """
 
 
+def q_rebucket_lake(spark, sf_dir):
+    """Bucket-count EVOLUTION end-to-end (streaming/lake.py rebucket — the
+    Iceberg partition-spec-evolution posture): a lake born at 4 buckets
+    grows to 16 mid-stream, and the epochs AFTER the flip upsert keys
+    written BEFORE it — the exact pattern a mixed-modulus bug turns into
+    duplicate live keys, which the value-exact oracle would catch as a
+    row-count/hash mismatch. Epoch 1 writes the % 3 != 0 docs plus extras;
+    the table rebuckets 4 -> 16; epoch 2 (now hashing under the new
+    modulus) inserts the % 3 == 0 docs, REPLACES the % 5 == 0 docs, and
+    deletes the extras — final live set == documents exactly, each row
+    carrying the commit of its last writer."""
+    import tempfile
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    docs = _docs(spark, sf_dir, par=True).select("doc_id", "text", "lang")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("docs").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            F.col("doc_id").cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.col("lang").alias("lang"),
+            F.col("text").alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_rebucket_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=4,
+    )
+    extras = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    t.merge_batch(
+        env(docs.where(F.col("doc_id") % 3 != 0).unionByName(extras), 1), 0
+    )
+    st = t.rebucket(spark, 16)
+    if not (st["rebucketed"] and st["from_n_buckets"] == 4 and st["n_buckets"] == 16):
+        raise RuntimeError(f"rebucket did not flip the modulus: {st}")
+    upserts = docs.where(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0)
+    )
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    return t.read(spark).select(
+        "path",
+        "lang",
+        F.col("commit").alias("last_commit"),
+        F.length("content").alias("content_len"),
+    )
+
+
+SQL_REBUCKET_LAKE = """
+SELECT doc_id::VARCHAR AS path, lang,
+  CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0 THEN 'c2' ELSE 'c1' END
+    AS last_commit,
+  length(text) AS content_len
+FROM documents
+"""
+
+
 def q_schema_evolution_lake(spark, sf_dir):
     """Schema evolution through the lake (streaming/lake.py merge_schemas /
     conformed reads — the north rule's added-column case as an ORACLED
@@ -4386,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_view_lake": q_index_view_lake,
         "lake_read_clustered": q_lake_read_clustered,
         "lake_point_lookup": q_lake_point_lookup,
+        "rebucket_lake": q_rebucket_lake,
         "schema_evolution_lake": q_schema_evolution_lake,
         "lake_read_tagged": q_lake_read_tagged,
         "wap_publish_lake": q_wap_publish_lake,
@@ -4503,6 +4568,9 @@ def oracle_sql() -> dict[str, str]:
         "lake_read_clustered": SQL_LAKE_READ_CLUSTERED,
         # live set == documents; six bloom-indexed point lookups unioned
         "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
+        # live set == documents across a 4 -> 16 bucket-count flip;
+        # last_commit derives from which epoch last wrote the row
+        "rebucket_lake": SQL_REBUCKET_LAKE,
         # live set == documents; stars derives from which commit last wrote
         # the row (commit-1 rows conform to the evolved schema as NULL)
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,

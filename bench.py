@@ -79,6 +79,7 @@ HEADLINE = [
     "index_view_lake",
     "lake_read_clustered",
     "lake_point_lookup",
+    "rebucket_lake",
     "schema_evolution_lake",
     "lake_read_tagged",
     "wap_publish_lake",

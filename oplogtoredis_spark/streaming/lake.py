@@ -1445,6 +1445,32 @@ class LakeTable:
                 # (expire_snapshots reclaims the dirs once unreferenced)
                 bucket_deltas.pop(str(b), None)
 
+        # index bookkeeping: file_stats/file_blooms (written by
+        # rewrite_clustered) CARRY FORWARD across merges, minus the entries
+        # of buckets whose BASE this merge replaced (their files are gone;
+        # keeping the keys would be dead weight, though never unsound — a
+        # missing entry means "keep the file"). MoR merges leave bases in
+        # place, so every entry survives (delta-carrying buckets are read
+        # whole regardless — the stale-redelivery rule). Without this,
+        # point-lookup bloom pruning silently died at the first merge after
+        # a rewrite, for UNTOUCHED buckets too.
+        replaced_dirs = (
+            {
+                m["buckets"][str(b)]
+                for b in affected
+                if str(b) in m["buckets"]
+            }
+            if merge_mode != "mor"
+            else set()
+        )
+
+        def _live_entries(idx: dict) -> dict:
+            return {
+                k: v
+                for k, v in idx.items()
+                if k.rsplit("/", 1)[0] not in replaced_dirs
+            }
+
         # replay bookkeeping: recent epoch keys verbatim (bounded window) +
         # per-namespace high-watermark covering everything older — manifest
         # size and commit cost are O(1) over the stream's lifetime
@@ -1487,6 +1513,8 @@ class LakeTable:
             "applied_watermarks": watermarks,
             "affected_frac": affected_frac,
             "affected_frac_prev": affected_frac_prev,
+            "file_stats": _live_entries(m.get("file_stats", {})),
+            "file_blooms": _live_entries(m.get("file_blooms", {})),
         }
 
         # quarantine BEFORE the manifest commit: once the manifest marks the
@@ -1598,6 +1626,8 @@ class LakeTable:
             "buckets": buckets,
             "bucket_schema_id": {b: cur_sid for b in buckets},
             "bucket_deltas": {},  # deltas are folded into the new base
+            "file_stats": {},  # described the replaced files
+            "file_blooms": {},
         }
         self._write_manifest(new_manifest)
         stats = {"compacted": True, "version": new_version}
@@ -1641,6 +1671,7 @@ class LakeTable:
         bsid = dict(m.get("bucket_schema_id", {}))
         bdeltas = {b: list(ds) for b, ds in m.get("bucket_deltas", {}).items()}
         cur_sid = int(m.get("schema_id", 0))
+        replaced_dirs = {m["buckets"][str(b)] for b in sel if str(b) in m["buckets"]}
         for b in sel:
             bdir = os.path.join(out_dir, f"pb={b}")
             if os.path.exists(bdir):
@@ -1657,11 +1688,149 @@ class LakeTable:
                 "buckets": buckets_map,
                 "bucket_schema_id": bsid,
                 "bucket_deltas": bdeltas,
+                # untouched buckets keep their stats/bloom entries; the
+                # folded buckets' files are gone — drop their keys
+                "file_stats": {
+                    k: v
+                    for k, v in m.get("file_stats", {}).items()
+                    if k.rsplit("/", 1)[0] not in replaced_dirs
+                },
+                "file_blooms": {
+                    k: v
+                    for k, v in m.get("file_blooms", {}).items()
+                    if k.rsplit("/", 1)[0] not in replaced_dirs
+                },
             }
         )
         stats = {"compacted": True, "version": new_version, "buckets": sel}
         self._append_lineage(f"compact_buckets:{new_version}", stats)
         return stats
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_n_buckets: int,
+        drop_tombstones_older_than_ts: int = 0,
+    ) -> dict:
+        """Bucket-count EVOLUTION (Iceberg partition-spec evolution with a
+        bucket transform, executed eagerly): rewrite the whole table into
+        ``new_n_buckets`` hash buckets as one snapshot commit. The day-1
+        bucket count never survives 100 TB — a table sized at 32 buckets
+        for its first month eventually needs thousands so that a bucket's
+        live set still fits an executor during merges — and without this
+        operation the count is frozen at create() forever.
+
+        Correctness hinges on one invariant: within any single manifest
+        version, EVERY row is placed by THAT version's ``n_buckets`` (the
+        merge rewrites only the buckets a batch's keys hash to — a key
+        whose old row lived under a different modulus would silently
+        duplicate). So the rebucket rewrites ALL live rows (tombstones
+        within retention included) with a recomputed ``bucket`` column and
+        flips ``n_buckets`` in the same atomic manifest commit; there is no
+        mixed-modulus state a reader or merger can ever observe. MoR deltas
+        fold into the new base (same as compact). Old snapshots keep their
+        own ``n_buckets`` and dirs — time travel and tags read the old
+        layout unchanged until expiry. The per-table expression cache keys
+        on the bucket count, so a live stream picks up the new modulus on
+        its next epoch. ``file_stats``/``file_blooms`` are cleared (they
+        describe the replaced files; re-run rewrite_clustered to rebuild
+        them — pruning simply keeps everything in between).
+
+        Runs as its own snapshot commit; single-writer discipline applies
+        (call it between epochs, like compact). Shape: one full-table scan,
+        one shuffle on the new bucket id — the same cost as compact()."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        m = self.manifest()
+        if new_n_buckets == m["n_buckets"]:
+            return {
+                "rebucketed": False,
+                "n_buckets": new_n_buckets,
+                "version": m["version"],
+            }
+        live = self.read(spark, include_deleted=True)
+        kept = live.where(
+            (~F.col("deleted"))
+            | (F.col("last_ts") >= F.lit(drop_tombstones_older_than_ts))
+        )
+        new_version = m["version"] + 1
+        rel_dir = f"data/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            kept.withColumn(
+                "bucket",
+                bucket_for(F.col("repo"), F.col("path"), new_n_buckets),
+            )
+            .withColumn("pb", F.col("bucket"))
+            .repartition(new_n_buckets, F.col("pb"))
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets = {}
+        for b in range(new_n_buckets):
+            bdir = os.path.join(out_dir, f"pb={b}")
+            if os.path.exists(bdir):
+                buckets[str(b)] = os.path.join(rel_dir, f"pb={b}")
+        cur_sid = int(m.get("schema_id", 0))
+        self._write_manifest(
+            {
+                **m,
+                "version": new_version,
+                "n_buckets": new_n_buckets,
+                "buckets": buckets,
+                "bucket_schema_id": {b: cur_sid for b in buckets},
+                "bucket_deltas": {},  # folded into the new base
+                "file_stats": {},  # described the replaced files
+                "file_blooms": {},
+            }
+        )
+        stats = {
+            "rebucketed": True,
+            "version": new_version,
+            "n_buckets": new_n_buckets,
+            "from_n_buckets": m["n_buckets"],
+            "buckets_live": len(buckets),
+        }
+        self._append_lineage(f"rebucket:{new_version}", stats)
+        return stats
+
+    def maybe_rebucket(
+        self,
+        spark: SparkSession,
+        target_bucket_bytes: int,
+        max_n_buckets: int = 4096,
+    ) -> dict:
+        """Threshold rebucket policy (the growth half of bucket evolution,
+        mirroring maybe_compact's posture): when the mean live bytes per
+        bucket exceed ``target_bucket_bytes``, grow to the smallest
+        power-of-two bucket count that brings it back under (clamped to
+        ``max_n_buckets``). Sizing reads only file sizes from the manifest's
+        own dirs — a driver-side listdir, no Spark job — so calling it
+        every epoch costs nothing until it fires."""
+        if target_bucket_bytes < 1:
+            raise ValueError(
+                f"target_bucket_bytes must be >= 1, got {target_bucket_bytes}"
+            )
+        m = self.manifest()
+        dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        for entries in m.get("bucket_deltas", {}).values():
+            dirs += [os.path.join(self.path, e["dir"]) for e in entries]
+        total = 0
+        for d in dirs:
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(d, fn))
+        n = m["n_buckets"]
+        if n >= max_n_buckets or total <= target_bucket_bytes * n:
+            return {"rebucketed": False, "n_buckets": n, "live_bytes": total}
+        want = n
+        while want < max_n_buckets and total > target_bucket_bytes * want:
+            want *= 2
+        st = self.rebucket(spark, min(want, max_n_buckets))
+        st["live_bytes"] = total
+        return st
 
     @staticmethod
     def _with_zorder_key(

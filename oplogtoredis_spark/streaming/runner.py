@@ -44,6 +44,8 @@ def make_batch_applier(
     wap_checks: list | None = None,
     publish_tag: str = "published",
     wap_audit_scope: str = "changes",
+    rebucket_target_bytes: int | None = None,
+    rebucket_max_n_buckets: int = 4096,
 ):
     """The foreachBatch function. ``fail_before_batch`` is a fault-injection
     hook for restart tests (mirrors integration-tests/fault-injection/
@@ -69,7 +71,16 @@ def make_batch_applier(
     fixed, exactly like dq_policy="fail" but auditing the MERGED effect.
     Compaction commits (``compact_min_deltas``) land after the publish, so
     the tag may briefly point one version behind the compacted layout —
-    same rows, pre-fold files; the tag's pin keeps them readable."""
+    same rows, pre-fold files; the tag's pin keeps them readable.
+
+    ``rebucket_target_bytes`` wires bucket-count EVOLUTION into the stream
+    (LakeTable.maybe_rebucket): after each merge, if mean live bytes per
+    bucket exceed the target, the table grows to the next power-of-two
+    count (≤ ``rebucket_max_n_buckets``) as its own commit inside the
+    foreachBatch loop — single-writer discipline holds, the next epoch's
+    merge picks up the new modulus through the expression cache's
+    bucket-count key. The pre-check is a driver-side listdir (no Spark
+    job), so leaving it on costs nothing between fires."""
     seen = {"n": 0}
     # ONE sink instance for the stream's lifetime (not one per batch): the
     # sink may carry per-stream caches — LakeTable reuses its batch-invariant
@@ -86,9 +97,11 @@ def make_batch_applier(
         merge_mode != "cow"
         or compact_min_deltas is not None
         or wap_checks
+        or rebucket_target_bytes is not None
     ):
         raise ValueError(
-            f"merge_mode={merge_mode!r}/compact_min_deltas/wap_checks only "
+            f"merge_mode={merge_mode!r}/compact_min_deltas/wap_checks/"
+            "rebucket_target_bytes only "
             f"apply to LakeTable sinks; {type(sink).__name__} does not "
             "support them"
         )
@@ -118,6 +131,12 @@ def make_batch_applier(
             )
         if compact_min_deltas is not None and merge_mode == "mor" and is_lake:
             table.maybe_compact(batch_df.sparkSession, compact_min_deltas)
+        if rebucket_target_bytes is not None and is_lake:
+            table.maybe_rebucket(
+                batch_df.sparkSession,
+                rebucket_target_bytes,
+                max_n_buckets=rebucket_max_n_buckets,
+            )
 
     return apply
 
@@ -259,6 +278,8 @@ def start_stream(
     wap_checks: list | None = None,
     publish_tag: str = "published",
     wap_audit_scope: str = "changes",
+    rebucket_target_bytes: int | None = None,
+    rebucket_max_n_buckets: int = 4096,
 ) -> StreamingQuery:
     """Start (or resume, if the checkpoint exists) the CDC apply stream.
 
@@ -332,6 +353,8 @@ def start_stream(
         merge_prune=merge_prune,
         merge_mode=merge_mode,
         compact_min_deltas=compact_min_deltas,
+        rebucket_target_bytes=rebucket_target_bytes,
+        rebucket_max_n_buckets=rebucket_max_n_buckets,
         wap_checks=wap_checks,
         publish_tag=publish_tag,
         wap_audit_scope=wap_audit_scope,

@@ -122,6 +122,43 @@ def test_uncastable_probe_skips_bloom_not_files(spark, table):
     assert plan["files_skipped"] == 0  # neither stats nor bloom may skip
 
 
+def test_bloom_entries_survive_merges_for_untouched_buckets(spark, tmp_path):
+    """Index carry-forward: a CoW merge drops ONLY the replaced buckets'
+    entries — untouched buckets keep their blooms (and stats) and point
+    lookups there still skip files. Without the carry-forward, the first
+    merge after a rewrite silently killed bloom pruning table-wide."""
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=8)
+    t.merge_batch(
+        _batch(spark, range(N), ts=1), 0, extra_payload_cols=("x", "h")
+    )
+    t.rewrite_clustered(
+        spark, ["x"], files_per_bucket=8, bloom_cols=["h"], bloom_bits=8192
+    )
+    n_entries = len(t.manifest()["file_blooms"])
+    # merge ONE key: exactly one bucket's base is replaced
+    t.merge_batch(_batch(spark, [5], ts=9), 1, extra_payload_cols=("x", "h"))
+    m = t.manifest()
+    kept_entries = len(m["file_blooms"])
+    assert 0 < kept_entries < n_entries
+    # untouched buckets still prune; every lookup stays exact
+    skipped = 0
+    for i in (100, 321, 5):
+        plan = t.prune_plan("h", eq=_h(i), spark=spark)
+        skipped += plan["files_skipped"]
+        got = _rows(t.read_pruned(spark, "h", eq=_h(i)))
+        assert got == _rows(t.read(spark).where(F.col("h") == _h(i)))
+        assert len(got) == 1
+    assert skipped > 0
+    # a MoR delta merge replaces no base: every entry survives
+    t.merge_batch(
+        _batch(spark, [7], ts=10),
+        2,
+        merge_mode="mor",
+        extra_payload_cols=("x", "h"),
+    )
+    assert len(t.manifest()["file_blooms"]) == kept_entries
+
+
 def test_bloom_entries_never_stale_after_cow_merge(spark, table):
     """A later CoW merge rewrites touched buckets into NEW dirs; bloom
     entries are keyed by file path, so rewritten files simply have no entry
