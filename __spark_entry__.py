@@ -2129,6 +2129,7 @@ SELECT * FROM (VALUES
     ('fsck:missing_base_dir',   0::BIGINT),
     ('fsck:missing_delta_dir',  0::BIGINT),
     ('fsck:orphan_data_dirs',   0::BIGINT),
+    ('fsck:missing_index_sidecar', 0::BIGINT),
     ('fsck:bucket_assignment',  0::BIGINT),
     ('fsck:misplaced_file_row', 0::BIGINT),
     ('fsck:duplicate_live_key', 0::BIGINT)

@@ -70,6 +70,11 @@ _BLOOM_SEED = 0xB100F
 #: column type (bloom pruning is then skipped — never a false negative).
 _BLOOM_PROBE_CACHE: dict = {}
 
+#: Memoized bloom sidecar contents: (table path, sidecar name) -> dict.
+#: Sidecars are immutable once linked (uuid-named, written tmp+replace),
+#: so the cache can never serve stale bits.
+_BLOOM_SIDECAR_CACHE: dict = {}
+
 
 def _footer_col_range(path: str, col: str):
     """(min, max) for ``col`` across a parquet file's row groups, from the
@@ -619,7 +624,7 @@ class LakeTable:
         m = self.manifest(version)
         dsel = m.get("bucket_deltas", {})
         manifest_stats = m.get("file_stats", {})
-        blooms = m.get("file_blooms", {}) if eq is not None else {}
+        blooms = self._load_blooms(m) if eq is not None else {}
         kept: dict = {}
         total = n_kept = 0
         dropped = []
@@ -1471,6 +1476,11 @@ class LakeTable:
                 if k.rsplit("/", 1)[0] not in replaced_dirs
             }
 
+        # the bloom index travels by sidecar REFERENCE: an epoch that
+        # replaces no bloom-carrying bucket copies one string (no IO, no
+        # re-serialization); one that does writes a filtered sidecar once
+        blooms_ref = self._filtered_blooms_ref(m, replaced_dirs)
+
         # replay bookkeeping: recent epoch keys verbatim (bounded window) +
         # per-namespace high-watermark covering everything older — manifest
         # size and commit cost are O(1) over the stream's lifetime
@@ -1514,7 +1524,8 @@ class LakeTable:
             "affected_frac": affected_frac,
             "affected_frac_prev": affected_frac_prev,
             "file_stats": _live_entries(m.get("file_stats", {})),
-            "file_blooms": _live_entries(m.get("file_blooms", {})),
+            "file_blooms": {},
+            "file_blooms_ref": blooms_ref,
         }
 
         # quarantine BEFORE the manifest commit: once the manifest marks the
@@ -1628,6 +1639,7 @@ class LakeTable:
             "bucket_deltas": {},  # deltas are folded into the new base
             "file_stats": {},  # described the replaced files
             "file_blooms": {},
+            "file_blooms_ref": "",
         }
         self._write_manifest(new_manifest)
         stats = {"compacted": True, "version": new_version}
@@ -1695,11 +1707,8 @@ class LakeTable:
                     for k, v in m.get("file_stats", {}).items()
                     if k.rsplit("/", 1)[0] not in replaced_dirs
                 },
-                "file_blooms": {
-                    k: v
-                    for k, v in m.get("file_blooms", {}).items()
-                    if k.rsplit("/", 1)[0] not in replaced_dirs
-                },
+                "file_blooms": {},
+                "file_blooms_ref": self._filtered_blooms_ref(m, replaced_dirs),
             }
         )
         stats = {"compacted": True, "version": new_version, "buckets": sel}
@@ -1783,6 +1792,7 @@ class LakeTable:
                 "bucket_deltas": {},  # folded into the new base
                 "file_stats": {},  # described the replaced files
                 "file_blooms": {},
+                "file_blooms_ref": "",
             }
         )
         stats = {
@@ -2033,7 +2043,12 @@ class LakeTable:
                 "bucket_schema_id": {b: cur_sid for b in buckets},
                 "bucket_deltas": {},  # folded into the new base
                 "file_stats": file_stats,
-                "file_blooms": file_blooms,
+                "file_blooms": {},  # legacy inline slot — blooms live in
+                "file_blooms_ref": (  # the immutable sidecar
+                    self._write_bloom_sidecar(file_blooms)
+                    if file_blooms
+                    else ""
+                ),
             }
         )
         stats = {
@@ -2137,6 +2152,55 @@ class LakeTable:
                 )
             ent["w"][r._w] = r._b
         return blooms
+
+    def _write_bloom_sidecar(self, blooms: dict) -> str:
+        """Persist a bloom-index snapshot as an IMMUTABLE sidecar file under
+        ``_manifests/`` (Iceberg's puffin/index-file posture) and return its
+        name. The manifest carries only this name: bitmaps are files × cols
+        × bits/64 longs — MBs of JSON at thousands of files — and inlining
+        them would re-serialize the whole index into EVERY epoch commit and
+        re-parse it on every per-epoch manifest read. A sidecar is written
+        only when the index CHANGES (rewrite, or a merge replacing a
+        bloom-carrying bucket); unchanged epochs copy one string. Sidecars
+        are uuid-named and never mutated, so manifest versions share them
+        safely and reads memoize them process-wide."""
+        name = f"idx-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(self._manifest_dir, f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump(blooms, f)
+        os.replace(tmp, os.path.join(self._manifest_dir, name))
+        _BLOOM_SIDECAR_CACHE[(self.path, name)] = blooms
+        return name
+
+    def _load_blooms(self, m: dict) -> dict:
+        """The manifest's bloom index: the referenced sidecar (memoized —
+        immutable once linked), or the legacy inline ``file_blooms`` dict."""
+        ref = m.get("file_blooms_ref") or ""
+        if not ref:
+            return m.get("file_blooms") or {}
+        key = (self.path, ref)
+        if key not in _BLOOM_SIDECAR_CACHE:
+            with open(os.path.join(self._manifest_dir, ref)) as f:
+                _BLOOM_SIDECAR_CACHE[key] = json.load(f)
+        return _BLOOM_SIDECAR_CACHE[key]
+
+    def _filtered_blooms_ref(self, m: dict, replaced_dirs: set) -> str:
+        """Carry the bloom index forward across a commit that replaced the
+        base dirs in ``replaced_dirs``: unchanged index → the SAME sidecar
+        name (one string copy, no IO); entries dropped (or legacy inline
+        blooms migrating) → one new filtered sidecar; empty → ''."""
+        ref = m.get("file_blooms_ref") or ""
+        if not ref and not m.get("file_blooms"):
+            return ""
+        cur = self._load_blooms(m)
+        kept = {
+            k: v
+            for k, v in cur.items()
+            if k.rsplit("/", 1)[0] not in replaced_dirs
+        }
+        if len(kept) == len(cur) and ref:
+            return ref
+        return self._write_bloom_sidecar(kept) if kept else ""
 
     @staticmethod
     def _bloom_probe_positions(spark: SparkSession, value, ent: dict):
@@ -2433,11 +2497,23 @@ class LakeTable:
                         and os.path.join(root, snap, b) not in referenced
                     ):
                         orphans += 1
+        # index sidecars referenced by any retained manifest must exist (a
+        # missing one would silently disable point-lookup pruning — sound
+        # but a lost index is still corruption worth surfacing)
+        missing_sidecars = sum(
+            1
+            for name in os.listdir(self._manifest_dir)
+            if name.startswith("v") and name.endswith(".json")
+            for ref in [self.manifest(int(name[1:-5])).get("file_blooms_ref")]
+            if ref
+            and not os.path.isfile(os.path.join(self._manifest_dir, ref))
+        )
         meta = spark.createDataFrame(
             [
                 ("fsck:missing_base_dir", missing_base),
                 ("fsck:missing_delta_dir", missing_delta),
                 ("fsck:orphan_data_dirs", orphans),
+                ("fsck:missing_index_sidecar", missing_sidecars),
             ],
             "check string, n_violations long",
         )

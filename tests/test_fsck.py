@@ -58,11 +58,26 @@ def test_healthy_table_reports_all_zero(spark, table):
         "fsck:missing_base_dir",
         "fsck:missing_delta_dir",
         "fsck:orphan_data_dirs",
+        "fsck:missing_index_sidecar",
         "fsck:bucket_assignment",
         "fsck:misplaced_file_row",
         "fsck:duplicate_live_key",
     }
     assert all(v == 0 for v in rep.values()), rep
+
+
+def test_missing_index_sidecar_is_detected(spark, table):
+    """A bloom sidecar referenced by a retained manifest but deleted from
+    disk is surfaced (planning stays sound — files are just kept — but a
+    lost index is corruption worth seeing)."""
+    import os
+
+    table.rewrite_clustered(spark, ["path"], bloom_cols=["path"])
+    ref = table.manifest()["file_blooms_ref"]
+    assert ref
+    os.remove(os.path.join(table.path, "_manifests", ref))
+    rep = _report(table, spark)
+    assert rep["fsck:missing_index_sidecar"] == 1
 
 
 def test_duplicated_base_file_is_detected(spark, table):
@@ -142,4 +157,5 @@ def test_shallow_mode_skips_spark_jobs(spark, table):
         "fsck:missing_base_dir",
         "fsck:missing_delta_dir",
         "fsck:orphan_data_dirs",
+        "fsck:missing_index_sidecar",
     }

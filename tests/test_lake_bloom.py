@@ -134,11 +134,14 @@ def test_bloom_entries_survive_merges_for_untouched_buckets(spark, tmp_path):
     t.rewrite_clustered(
         spark, ["x"], files_per_bucket=8, bloom_cols=["h"], bloom_bits=8192
     )
-    n_entries = len(t.manifest()["file_blooms"])
-    # merge ONE key: exactly one bucket's base is replaced
+    ref0 = t.manifest()["file_blooms_ref"]
+    n_entries = len(t._load_blooms(t.manifest()))
+    # merge ONE key: exactly one bucket's base is replaced -> a NEW filtered
+    # sidecar (the old one stays immutable for time travel)
     t.merge_batch(_batch(spark, [5], ts=9), 1, extra_payload_cols=("x", "h"))
     m = t.manifest()
-    kept_entries = len(m["file_blooms"])
+    assert m["file_blooms_ref"] and m["file_blooms_ref"] != ref0
+    kept_entries = len(t._load_blooms(m))
     assert 0 < kept_entries < n_entries
     # untouched buckets still prune; every lookup stays exact
     skipped = 0
@@ -149,14 +152,23 @@ def test_bloom_entries_survive_merges_for_untouched_buckets(spark, tmp_path):
         assert got == _rows(t.read(spark).where(F.col("h") == _h(i)))
         assert len(got) == 1
     assert skipped > 0
-    # a MoR delta merge replaces no base: every entry survives
+    # a MoR delta merge replaces no base: the ref is copied VERBATIM — the
+    # no-IO carry-forward that keeps per-epoch commits O(1) in index size
+    ref1 = m["file_blooms_ref"]
     t.merge_batch(
         _batch(spark, [7], ts=10),
         2,
         merge_mode="mor",
         extra_payload_cols=("x", "h"),
     )
-    assert len(t.manifest()["file_blooms"]) == kept_entries
+    assert t.manifest()["file_blooms_ref"] == ref1
+    assert len(t._load_blooms(t.manifest())) == kept_entries
+    # time travel: the post-rewrite snapshot still plans with its own
+    # (immutable) sidecar and its pruned read matches that snapshot
+    old = t.prune_plan("h", eq=_h(100), version=2, spark=spark)
+    assert old["files_skipped"] > 0
+    got = _rows(t.read_pruned(spark, "h", eq=_h(100), version=2))
+    assert got == _rows(t.read(spark, version=2).where(F.col("h") == _h(100)))
 
 
 def test_bloom_entries_never_stale_after_cow_merge(spark, table):
@@ -243,7 +255,8 @@ def test_zero_io_eq_planning(spark, table, monkeypatch):
     must touch no data-file footer."""
     import oplogtoredis_spark.streaming.lake as lake_mod
 
-    assert table.manifest()["file_blooms"]
+    assert table.manifest()["file_blooms_ref"]
+    assert table._load_blooms(table.manifest())
     monkeypatch.setattr(
         lake_mod,
         "_footer_col_range",

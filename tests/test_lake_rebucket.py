@@ -122,10 +122,11 @@ def test_stats_and_blooms_cleared_pruning_stays_sound(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=2)
     t.merge_batch(_batch(spark, range(64), ts=1), 0)
     t.rewrite_clustered(spark, ["path"], files_per_bucket=4, bloom_cols=["path"])
-    assert t.manifest()["file_stats"] and t.manifest()["file_blooms"]
+    assert t.manifest()["file_stats"] and t._load_blooms(t.manifest())
     t.rebucket(spark, 8)
     m = t.manifest()
-    assert m["file_stats"] == {} and m["file_blooms"] == {}
+    assert m["file_stats"] == {} and t._load_blooms(m) == {}
+    assert m["file_blooms_ref"] == ""
     # stale entries are GONE (a stale bloom could falsely skip); planning
     # falls back to the new files' own footers — still sound — and the
     # pruned read stays exact
