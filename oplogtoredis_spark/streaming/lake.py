@@ -403,8 +403,23 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self._manifest_dir, f"v{v:08d}.json")) as f:
-            return json.load(f)
+        try:
+            with open(
+                os.path.join(self._manifest_dir, f"v{v:08d}.json")
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # commits are contiguous, so a missing manifest BELOW the
+            # current version can only mean expire_snapshots(
+            # expire_metadata=True) reclaimed it — name the cause, same
+            # posture as the expired-data-dir check in read()
+            if version is not None and 0 <= v < self.current_version():
+                raise SnapshotExpiredError(
+                    f"snapshot v{v} of {self.path}: manifest expired "
+                    "(reclaimed by expire_snapshots(expire_metadata=True));"
+                    " only retained snapshots are readable"
+                ) from None
+            raise
 
     @property
     def schema(self) -> T.StructType:
@@ -2255,10 +2270,23 @@ class LakeTable:
             return {"compacted": False, "buckets": []}
         return self.compact_buckets(spark, over, drop_tombstones_older_than_ts)
 
-    def expire_snapshots(self, keep_last: int = 3) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 3, expire_metadata: bool = False
+    ) -> int:
         """Delete data directories referenced only by manifests older than
         the last ``keep_last`` versions (Iceberg's expire_snapshots
-        analogue). Returns the number of directories removed."""
+        analogue). Returns the number of data directories removed.
+
+        ``expire_metadata=True`` additionally deletes the expired manifest
+        files themselves and any bloom sidecars no retained manifest
+        references (Iceberg's expired-metadata cleanup). Every epoch commits
+        one manifest, so a long-lived stream otherwise accumulates O(epochs)
+        ``v*.json`` files that every ``history()``/fsck/orphan-scan listdir
+        walks — replay correctness is unaffected (the applied-watermark
+        ledger lives in the CURRENT manifest), and time travel to an expired
+        version still fails eagerly with SnapshotExpiredError (``manifest``
+        names the metadata-expiry cause). Tag-pinned versions are always
+        retained, data and metadata both."""
         import shutil as _sh
 
         cur = self.current_version()
@@ -2271,7 +2299,7 @@ class LakeTable:
         for v in keep_versions:
             try:
                 mv = self.manifest(v)
-            except FileNotFoundError:
+            except (FileNotFoundError, SnapshotExpiredError):
                 continue
             referenced |= set(mv["buckets"].values())
             for entries in mv.get("bucket_deltas", {}).values():
@@ -2304,6 +2332,23 @@ class LakeTable:
                 if not live:
                     # nothing referenced remains: sweep the shell (markers)
                     _sh.rmtree(snap_dir, ignore_errors=True)
+        if expire_metadata:
+            kept_sidecars = set()
+            for v in keep_versions:
+                try:
+                    ref = self.manifest(v).get("file_blooms_ref")
+                except (FileNotFoundError, SnapshotExpiredError):
+                    continue
+                if ref:
+                    kept_sidecars.add(ref)
+            for name in os.listdir(self._manifest_dir):
+                p = os.path.join(self._manifest_dir, name)
+                if name.startswith("v") and name.endswith(".json"):
+                    if int(name[1:-5]) not in keep_versions:
+                        os.remove(p)
+                elif name.startswith("idx-") and name.endswith(".json"):
+                    if name not in kept_sidecars:
+                        os.remove(p)
         return removed
 
     # ---------------- named refs (tags) + rollback ----------------

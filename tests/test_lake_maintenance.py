@@ -5,7 +5,7 @@ import os
 import pytest
 
 from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
-from oplogtoredis_spark.streaming.lake import LakeTable
+from oplogtoredis_spark.streaming.lake import LakeTable, SnapshotExpiredError
 
 
 def _batch(spark, rows):
@@ -51,6 +51,75 @@ def test_expire_snapshots_removes_unreferenced_dirs(spark, table):
     assert list(got["content"]) == ["v4"]
     # older snapshot reads (time travel) beyond the horizon are gone — that's
     # the documented trade, same as Iceberg expire_snapshots
+
+
+def _manifests(table):
+    d = os.path.join(table.path, "_manifests")
+    return sorted(n for n in os.listdir(d) if n.startswith("v"))
+
+
+def _sidecars(table):
+    d = os.path.join(table.path, "_manifests")
+    return sorted(n for n in os.listdir(d) if n.startswith("idx-"))
+
+
+def test_expire_metadata_bounds_manifest_count(spark, table):
+    """expire_metadata=True deletes expired v*.json and unreferenced bloom
+    sidecars — a long stream otherwise accumulates O(epochs) manifests that
+    every history()/fsck listdir walks. Tag-pinned versions keep BOTH their
+    data and their metadata."""
+    # r/a, r/b, r/e land in buckets 3, 1, 0 of 4 — the later one-key epochs
+    # stay sparse (frac 1/3 < ADAPTIVE_DENSE_FRAC), so merges PRUNE and the
+    # bloom carry-forward takes the filtered-sidecar path, not the
+    # all-buckets-replaced empty-ref path
+    table.merge_batch(_batch(spark, [
+        ("r/a", "f", 1 << 32, 0, "i", "c0", "py", "a0"),
+        ("r/b", "g", 1 << 32, 0, "i", "c0", "py", "b0"),
+        ("r/e", "m", 1 << 32, 0, "i", "c0", "py", "e0"),
+    ]), 0)
+    for i in range(1, 4):
+        table.merge_batch(_batch(spark, [
+            ("r/a", "f", (i + 1) << 32, 0, "u", f"c{i}", "py", f"a{i}"),
+        ]), i)
+    table.rewrite_clustered(spark, ["path"], bloom_cols=["path"])
+    ref0 = table.manifest()["file_blooms_ref"]
+    # the next merge replaces only r/a's bucket, so the carry-forward
+    # writes a FILTERED sidecar (ref0 stays on disk, referenced only by
+    # the rewrite manifest)
+    table.merge_batch(_batch(spark, [
+        ("r/a", "f", 99 << 32, 0, "u", "c9", "py", "a9"),
+    ]), 4)
+    ref1 = table.manifest()["file_blooms_ref"]
+    assert ref1 and ref1 != ref0 and set(_sidecars(table)) == {ref0, ref1}
+    # a second merge on the same bucket: index unchanged -> SAME sidecar
+    table.merge_batch(_batch(spark, [
+        ("r/a", "f", 100 << 32, 0, "u", "ca", "py", "aa"),
+    ]), 5)
+    assert table.manifest()["file_blooms_ref"] == ref1
+    assert len(_sidecars(table)) == 2
+    cur = table.current_version()
+    pinned = 3  # pre-rewrite, no bloom ref
+    table.create_tag("keep", pinned)
+    table.expire_snapshots(keep_last=2, expire_metadata=True)
+    kept = _manifests(table)
+    assert kept == [f"v{v:08d}.json" for v in (pinned, cur - 1, cur)]
+    # ref0's only referent (the rewrite manifest) expired -> sidecar swept;
+    # ref1 is live on both kept head manifests
+    assert _sidecars(table) == [ref1]
+    # current state unaffected; tagged version still readable (data pinned)
+    got = table.read(spark).toPandas().sort_values("repo")
+    assert list(got["content"]) == ["aa", "b0", "e0"]
+    assert table.read(spark, tag="keep").count() == 3
+    # expired version: metadata is gone too -> eager SnapshotExpiredError
+    # naming the metadata-expiry cause (not an opaque FileNotFoundError)
+    with pytest.raises(SnapshotExpiredError, match="expire_metadata"):
+        table.manifest(1)
+    with pytest.raises(SnapshotExpiredError):
+        table.read(spark, version=1)
+    # default call never touches metadata (back-compat)
+    n_before = len(_manifests(table))
+    table.expire_snapshots(keep_last=1)
+    assert len(_manifests(table)) == n_before
 
 
 def test_time_travel_read(spark, tmp_path):
