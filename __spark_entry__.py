@@ -1041,6 +1041,67 @@ WHERE rk <= 2
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+#: target language mixture for the resampling query — 'es' deliberately
+#: unlisted (dropped: no target share); masses are characters (n_chars)
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.15}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Resample the corpus to TARGET language proportions (operators/
+    sampling.py mixture_resample) — the static-mixture reweighting step of
+    an LLM data pipeline: per-domain rate = w_d · total_mass / mass_d, each
+    doc emitted floor(rate)+Bernoulli(frac) times with the draw from the
+    portable key hash, so the expected output char mass hits the target
+    shares exactly and the sample is reproducible on any engine/cluster
+    size. Plan: one partial-agg'd stats shuffle (dimension-sized result)
+    broadcast back + a map-only explode — the corpus itself never
+    shuffles."""
+    from oplogtoredis_spark.operators.sampling import mixture_resample
+
+    return mixture_resample(
+        _docs(spark, sf_dir, par=True), "lang", _MIX_WEIGHTS,
+        key_col="doc_id", size_col="n_chars",
+    ).select("doc_id", "lang", "copy")
+
+
+def _sql_mixture_resample() -> str:
+    from oplogtoredis_spark.operators.sampling import resample_copies_sql
+
+    doms = ", ".join(f"'{d}'" for d in _MIX_WEIGHTS)
+    # the weight literals must be the SAME doubles Spark folds into its
+    # plan (F.lit(float(scale*w))): render via repr, cast once
+    case = (
+        "CASE _dom "
+        + " ".join(
+            f"WHEN '{d}' THEN CAST({1.0 * w!r} AS DOUBLE)"
+            for d, w in _MIX_WEIGHTS.items()
+        )
+        + " END"
+    )
+    copies = resample_copies_sql("r.rate", "d.doc_id", "")
+    # integer masses end-to-end (order-independent sums); doubles only in
+    # the single rate expression — mirrors mixture_resample exactly
+    return f"""
+WITH mass AS (
+  SELECT lang AS _dom, CAST(SUM(n_chars) AS BIGINT) AS _m
+  FROM documents WHERE lang IN ({doms}) GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(_m) AS BIGINT) AS _t FROM mass
+), rates AS (
+  SELECT _dom, ({case}) * CAST(_t AS DOUBLE) / CAST(_m AS DOUBLE) AS rate
+  FROM mass CROSS JOIN tot
+), c AS (
+  SELECT d.doc_id, d.lang, {copies} AS copies
+  FROM documents d JOIN rates r ON d.lang = r._dom
+)
+SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS copy
+FROM c WHERE copies >= 1
+"""
+
+
+SQL_MIXTURE_RESAMPLE = _sql_mixture_resample()
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Deterministic subword BPE token counts (operators/text.py
     bpe_token_counts): a real fixed-merge-table BPE — words tokenized to
@@ -4441,6 +4502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": q_bpe_train_docs,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_resample_docs": q_mixture_resample,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -4548,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_docs": SQL_BPE_TRAIN,
         "hash_split": SQL_HASH_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "mixture_resample_docs": SQL_MIXTURE_RESAMPLE,
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "corpus_pipeline": SQL_CORPUS_PIPELINE,

@@ -89,6 +89,7 @@ HEADLINE = [
     "fuzzy_dedup_pipeline",
     "hash_split",
     "stratified_sample",
+    "mixture_resample_docs",
     "weighted_sample_docs",
     "distinct_view_lake",
     "ngram_jaccard_pairs",

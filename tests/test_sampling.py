@@ -177,3 +177,183 @@ class TestWeightedSample:
 
         with pytest.raises(ValueError, match="k must be"):
             weighted_sample(self._df(spark), "id", "w", 0)
+
+
+def _py_draw(key, salt=""):
+    """Pure-Python mirror of _sample_hash (the portable hash mod 1e6)."""
+    import hashlib
+
+    return int(
+        hashlib.sha256(f"{key}{salt}".encode()).hexdigest()[:15], 16
+    ) % 1_000_000
+
+
+def _py_copies(key, rate, salt=""):
+    import math
+
+    base = math.floor(rate)
+    return int(base) + (1 if _py_draw(key, salt) < (rate - base) * 1e6 else 0)
+
+
+class TestResampleRate:
+    def test_matches_python_reference(self, spark):
+        """Exact multiplicity parity with the pure-Python floor+indicator
+        model across down-, unit-, and up-sampling rates; copy indices are
+        0..copies-1."""
+        from collections import Counter
+
+        from oplogtoredis_spark.operators.sampling import resample_rate
+
+        rates = {0: 0.0, 1: 0.4, 2: 1.0, 3: 2.3, 4: 3.0, 5: 0.999999}
+        df = spark.createDataFrame(
+            [(i, r) for i, r in rates.items()], "id long, rate double"
+        )
+        got = resample_rate(df, "id", "rate").collect()
+        mult = Counter(r.id for r in got)
+        want = {i: _py_copies(i, r) for i, r in rates.items()}
+        assert mult == {i: c for i, c in want.items() if c >= 1}
+        for i, c in want.items():
+            copies = sorted(r.copy for r in got if r.id == i)
+            assert copies == list(range(c))
+        # rate exactly 1.0 / 3.0: fractional part 0 -> never an extra copy
+        assert mult[2] == 1 and mult[4] == 3
+
+    def test_no_phantom_copies_at_rate_zero(self, spark):
+        """Pinned footgun: Spark's two-arg sequence() infers step -1 when
+        start > stop, so an unfiltered sequence(0, copies-1) at copies=0
+        would emit [0, -1] — two phantom rows. Rows at rate 0 (and NULL
+        or negative rates) must emit NOTHING."""
+        from oplogtoredis_spark.operators.sampling import resample_rate
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, None), (3, -2.5), (4, 1.0)], "id long, rate double"
+        )
+        got = [(r.id, r.copy) for r in resample_rate(df, "id", "rate").collect()]
+        assert got == [(4, 0)]
+
+    def test_rate_guard_fails_loud(self, spark):
+        from oplogtoredis_spark.operators.sampling import resample_rate
+
+        df = spark.createDataFrame([(1, 5000.0)], "id long, rate double")
+        with pytest.raises(Exception, match="max_rate"):
+            resample_rate(df, "id", "rate").collect()
+        # and the knob raises the ceiling
+        out = resample_rate(df, "id", "rate", max_rate=10000.0)
+        assert out.count() == 5000
+
+    def test_map_only_plan(self, spark):
+        """100 TB shape: filter + explode live in the scan stage — no
+        Exchange anywhere in the plan."""
+        from oplogtoredis_spark.operators.sampling import resample_rate
+
+        df = spark.range(100).select(
+            F.col("id"), (F.lit(1.5)).alias("rate")
+        )
+        plan = (
+            resample_rate(df, "id", "rate")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestMixtureResample:
+    def _corpus(self, spark):
+        # 3 domains with very different masses: web 300 docs x ~100 chars,
+        # books 30 x ~1000, code 60 x ~200  (plus an unlisted 'junk')
+        rows = []
+        for i in range(300):
+            rows.append((i, "web", 100 + i % 7))
+        for i in range(300, 330):
+            rows.append((i, "books", 1000 + i % 13))
+        for i in range(330, 390):
+            rows.append((i, "code", 200 + i % 11))
+        for i in range(390, 410):
+            rows.append((i, "junk", 50))
+        return spark.createDataFrame(rows, "id long, dom string, n long")
+
+    W = {"web": 0.5, "books": 0.3, "code": 0.2}
+
+    def test_matches_python_reference_and_proportions(self, spark):
+        """Exact multiplicity parity with a pure-Python model that derives
+        the rates the same way (integer masses, one double expression), and
+        the emitted mass shares land near the target weights."""
+        from collections import Counter
+
+        from oplogtoredis_spark.operators.sampling import mixture_resample
+
+        df = self._corpus(spark)
+        rows = [(r.id, r.dom, r.n) for r in df.collect()]
+        mass = Counter()
+        for _i, d, n in rows:
+            if d in self.W:
+                mass[d] += n
+        t = sum(mass.values())
+        rate = {d: (1.0 * w) * float(t) / float(mass[d]) for d, w in self.W.items()}
+        want = {
+            i: _py_copies(i, rate[d]) for i, d, _n in rows if d in self.W
+        }
+        got = mixture_resample(
+            df, "dom", self.W, key_col="id", size_col="n"
+        ).collect()
+        mult = Counter(r.id for r in got)
+        assert mult == {i: c for i, c in want.items() if c >= 1}
+        # no unlisted-domain rows survive
+        assert all(r.dom != "junk" for r in got)
+        # emitted mass shares ≈ targets (law of large numbers at 390 docs)
+        out_mass = Counter()
+        for r in got:
+            out_mass[r.dom] += r.n
+        out_t = sum(out_mass.values())
+        for d, w in self.W.items():
+            assert abs(out_mass[d] / out_t - w) < 0.05, (d, out_mass)
+
+    def test_count_mass_when_no_size_col(self, spark):
+        from collections import Counter
+
+        from oplogtoredis_spark.operators.sampling import mixture_resample
+
+        df = self._corpus(spark)
+        got = mixture_resample(df, "dom", self.W, key_col="id").collect()
+        cnt = Counter(r.dom for r in got)
+        total = sum(cnt.values())
+        for d, w in self.W.items():
+            assert abs(cnt[d] / total - w) < 0.06, (d, cnt)
+
+    def test_weight_validation(self, spark):
+        from oplogtoredis_spark.operators.sampling import mixture_resample
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="sum to 1"):
+            mixture_resample(df, "dom", {"web": 0.5}, key_col="id")
+        with pytest.raises(ValueError, match="positive"):
+            mixture_resample(
+                df, "dom", {"web": 1.5, "books": -0.5}, key_col="id"
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            mixture_resample(df, "dom", {}, key_col="id")
+
+    def test_internal_name_collisions_rejected(self, spark):
+        from oplogtoredis_spark.operators.sampling import (
+            mixture_resample,
+            resample_rate,
+        )
+
+        df = self._corpus(spark).withColumn("copy", F.lit(1))
+        with pytest.raises(ValueError, match="collides"):
+            mixture_resample(df, "dom", self.W, key_col="id")
+        df2 = spark.createDataFrame([(1, 1.0, 0)], "id long, rate double, _copies int")
+        with pytest.raises(ValueError, match="collides"):
+            resample_rate(df2, "id", "rate")
+
+    def test_rates_broadcast_not_shuffled(self, spark):
+        """The corpus must never shuffle for the rate join: the
+        dimension-sized rates frame broadcasts. The only Exchange in the
+        plan is the stats aggregation's."""
+        from oplogtoredis_spark.operators.sampling import mixture_resample
+
+        out = mixture_resample(
+            self._corpus(spark), "dom", self.W, key_col="id", size_col="n"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
