@@ -2286,8 +2286,27 @@ class LakeTable:
         ledger lives in the CURRENT manifest), and time travel to an expired
         version still fails eagerly with SnapshotExpiredError (``manifest``
         names the metadata-expiry cause). Tag-pinned versions are always
-        retained, data and metadata both."""
+        retained, data and metadata both.
+
+        Concurrency: safe beside a live writer (the supported HA posture).
+        Manifests ABOVE the current version legitimately exist mid-commit
+        (the claim-then-advance window in ``_write_manifest``) or as crash
+        orphans awaiting adoption — they are never expired, their data dirs
+        and sidecars stay referenced. Data/sidecar files referenced by NO
+        manifest at all are reclaimed only once older than
+        ``ORPHAN_STALENESS_SECS`` (an in-flight commit writes its data and
+        sidecar BEFORE linking its manifest; a fresh unreferenced file may
+        be exactly that); files referenced only by manifests being expired
+        are positively known reclaimable, whatever their age."""
         import shutil as _sh
+
+        now = time.time()
+
+        def _stale(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= self.ORPHAN_STALENESS_SECS
+            except OSError:
+                return False  # vanished concurrently: nothing to reclaim
 
         cur = self.current_version()
         keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
@@ -2295,15 +2314,33 @@ class LakeTable:
         # never reclaims a snapshot a tag points at) — drop the tag first to
         # release the bytes
         keep_versions |= set(self.tags().values())
-        referenced: set[str] = set()
-        for v in keep_versions:
-            try:
-                mv = self.manifest(v)
-            except (FileNotFoundError, SnapshotExpiredError):
-                continue
-            referenced |= set(mv["buckets"].values())
-            for entries in mv.get("bucket_deltas", {}).values():
-                referenced |= {e["dir"] for e in entries}
+        all_versions = {
+            int(n[1:-5])
+            for n in os.listdir(self._manifest_dir)
+            if n.startswith("v") and n.endswith(".json")
+        }
+        # versions above CURRENT: in-flight or orphaned claims — protected
+        protected = keep_versions | {v for v in all_versions if v > cur}
+        expired = sorted(all_versions - protected)
+
+        def _dirs_and_ref(versions) -> tuple[set[str], set[str]]:
+            dirs: set[str] = set()
+            refs: set[str] = set()
+            for v in versions:
+                try:
+                    mv = self.manifest(v)
+                except (FileNotFoundError, SnapshotExpiredError):
+                    continue
+                dirs |= set(mv["buckets"].values())
+                for entries in mv.get("bucket_deltas", {}).values():
+                    dirs |= {e["dir"] for e in entries}
+                if mv.get("file_blooms_ref"):
+                    refs.add(mv["file_blooms_ref"])
+            return dirs, refs
+
+        referenced, kept_sidecars = _dirs_and_ref(protected)
+        expired_dirs, expired_refs = _dirs_and_ref(expired)
+        reclaimable = expired_dirs - referenced
         removed = 0
         for root in ("data", "delta"):
             data_root = os.path.join(self.path, root)
@@ -2324,31 +2361,39 @@ class LakeTable:
                 live = False
                 for b in buckets:
                     rel = os.path.join(root, snap, b)
+                    full = os.path.join(self.path, rel)
                     if rel in referenced:
                         live = True
-                    else:
-                        _sh.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                    elif rel in reclaimable or _stale(full):
+                        _sh.rmtree(full, ignore_errors=True)
                         removed += 1
+                    else:
+                        # referenced by nothing but FRESH: possibly an
+                        # in-flight commit's write — leave it (and its
+                        # shell) for a later pass
+                        live = True
                 if not live:
                     # nothing referenced remains: sweep the shell (markers)
                     _sh.rmtree(snap_dir, ignore_errors=True)
         if expire_metadata:
-            kept_sidecars = set()
-            for v in keep_versions:
+            for v in expired:
+                p = os.path.join(self._manifest_dir, f"v{v:08d}.json")
                 try:
-                    ref = self.manifest(v).get("file_blooms_ref")
-                except (FileNotFoundError, SnapshotExpiredError):
-                    continue
-                if ref:
-                    kept_sidecars.add(ref)
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
             for name in os.listdir(self._manifest_dir):
+                if not (name.startswith("idx-") and name.endswith(".json")):
+                    continue
+                if name in kept_sidecars:
+                    continue
                 p = os.path.join(self._manifest_dir, name)
-                if name.startswith("v") and name.endswith(".json"):
-                    if int(name[1:-5]) not in keep_versions:
-                        os.remove(p)
-                elif name.startswith("idx-") and name.endswith(".json"):
-                    if name not in kept_sidecars:
-                        os.remove(p)
+                # expired manifests' sidecars are known reclaimable; a
+                # sidecar referenced by NOTHING may be an in-flight
+                # rewrite's (written before its manifest links) — only
+                # reclaim it once stale
+                if name in expired_refs or _stale(p):
+                    os.remove(p)
         return removed
 
     # ---------------- named refs (tags) + rollback ----------------

@@ -122,6 +122,72 @@ def test_expire_metadata_bounds_manifest_count(spark, table):
     assert len(_manifests(table)) == n_before
 
 
+def test_expire_protects_inflight_claims_and_fresh_orphans(spark, table):
+    """expire_snapshots beside a live writer (the HA posture): a manifest
+    ABOVE current (claim-then-advance window / orphan awaiting adoption) is
+    never expired and its data stays referenced; data dirs and sidecars
+    referenced by NO manifest are reclaimed only once stale (a fresh one may
+    be an in-flight commit's write — data and sidecars land BEFORE the
+    manifest links); dirs referenced only by manifests being expired remain
+    reclaimable whatever their age."""
+    import json
+    import time as _time
+
+    for i in range(4):
+        table.merge_batch(_batch(spark, [
+            ("r/a", "f", (i + 1) << 32, 0, "u", f"c{i}", "py", f"a{i}"),
+        ]), i)
+    cur = table.current_version()
+    mdir = os.path.join(table.path, "_manifests")
+
+    def _mkdata(snap, backdate=False):
+        d = os.path.join(table.path, "data", snap, "pb=0")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+        if backdate:
+            t = _time.time() - 2 * table.ORPHAN_STALENESS_SECS
+            os.utime(d, (t, t))
+        return d
+
+    # an in-flight claim at cur+1: manifest linked, CURRENT not yet advanced
+    claim_dir = _mkdata(f"v{cur + 1:08d}-claim")
+    m = json.load(open(os.path.join(mdir, f"v{cur:08d}.json")))
+    m["version"] = cur + 1
+    m["buckets"] = {"0": os.path.relpath(claim_dir, table.path)}
+    m["file_blooms_ref"] = "idx-claimref.json"
+    with open(os.path.join(mdir, f"v{cur + 1:08d}.json"), "w") as f:
+        json.dump(m, f)
+    for name, backdate in (
+        ("idx-claimref.json", True),   # referenced by the claim: protected
+        ("idx-freshorphan.json", False),  # unreferenced + fresh: in-flight?
+        ("idx-staleorphan.json", True),   # unreferenced + stale: reclaim
+    ):
+        p = os.path.join(mdir, name)
+        with open(p, "w") as f:
+            f.write("{}")
+        if backdate:
+            t = _time.time() - 2 * table.ORPHAN_STALENESS_SECS
+            os.utime(p, (t, t))
+    fresh_orphan = _mkdata("v99999991-fresh")
+    stale_orphan = _mkdata("v99999992-stale", backdate=True)
+
+    table.expire_snapshots(keep_last=1, expire_metadata=True)
+
+    # the claim survives in full: manifest, its data dir, its sidecar
+    assert f"v{cur + 1:08d}.json" in _manifests(table)
+    assert os.path.isdir(claim_dir)
+    side = _sidecars(table)
+    assert "idx-claimref.json" in side
+    # fresh unreferenced artifacts survive; stale ones are reclaimed
+    assert os.path.isdir(fresh_orphan) and not os.path.isdir(stale_orphan)
+    assert "idx-freshorphan.json" in side and "idx-staleorphan.json" not in side
+    # genuinely expired manifests ARE gone despite their data being fresh
+    assert f"v{max(0, cur - 2):08d}.json" not in _manifests(table)
+    # current state unaffected
+    assert list(table.read(spark).toPandas()["content"]) == ["a3"]
+
+
 def test_time_travel_read(spark, tmp_path):
     """VERSION AS OF analogue: an older snapshot reads back its exact state
     while its data dirs are retained."""
