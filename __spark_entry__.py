@@ -1041,6 +1041,57 @@ WHERE rk <= 2
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained character-trigram LM self-perplexity (operators/lm.py
+    — the CCNet/KenLM quality-filter posture): integer n-gram counts (ONE
+    partial-agg'd shuffle, alphabet-bounded result), add-1-smoothed
+    per-gram costs e4-fixed BEFORE the per-doc sum (order-independent,
+    engine-exact), the model side broadcast so documents never shuffle for
+    scoring. High avg_nll = out-of-distribution text (garbage, boilerplate,
+    wrong language)."""
+    from oplogtoredis_spark.operators.lm import lm_perplexity
+
+    return lm_perplexity(
+        _docs(spark, sf_dir, par=True).select("doc_id", "text"), n=3, k=1.0
+    )
+
+
+def _sql_lm_perplexity(n: int = 3, k: float = 1.0) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, substr(text, i, {n - 1}) AS ctx,
+         substr(text, i + {n - 1}, 1) AS nxt
+  FROM documents, unnest(range(1, length(text) - {n} + 2)) AS u(i)
+  WHERE length(text) >= {n}
+), cnt AS (
+  SELECT ctx, nxt, COUNT(*)::BIGINT AS c FROM g GROUP BY ctx, nxt
+), ctxt AS (
+  SELECT ctx, CAST(SUM(c) AS BIGINT) AS ctx_c FROM cnt GROUP BY ctx
+), voc AS (
+  SELECT COUNT(DISTINCT nxt)::BIGINT AS v FROM cnt
+), s AS (
+  SELECT g.doc_id,
+    CAST(floor(-ln((COALESCE(c.c, 0) + {float(k)!r})
+                   / (COALESCE(t.ctx_c, 0) + {float(k)!r} * voc.v))
+               * 10000.0 + 0.5) AS BIGINT) AS cost
+  FROM g
+  LEFT JOIN cnt c USING (ctx, nxt)
+  LEFT JOIN ctxt t USING (ctx)
+  CROSS JOIN voc
+)
+SELECT doc_id, n_grams, nll_e4,
+       ROUND(nll_e4 / (n_grams * 10000.0), 4) AS avg_nll
+FROM (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+         CAST(SUM(cost) AS BIGINT) AS nll_e4
+  FROM s GROUP BY doc_id
+)
+"""
+
+
+SQL_LM_PERPLEXITY = _sql_lm_perplexity()
+
+
 #: target language mixture for the resampling query — 'es' deliberately
 #: unlisted (dropped: no target share); masses are characters (n_chars)
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.15, "fr": 0.15}
@@ -4503,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "mixture_resample_docs": q_mixture_resample,
+        "lm_perplexity_docs": q_lm_perplexity,
         "quality_filter": q_quality_filter,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -4611,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": SQL_HASH_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "mixture_resample_docs": SQL_MIXTURE_RESAMPLE,
+        "lm_perplexity_docs": SQL_LM_PERPLEXITY,
         "quality_filter": SQL_QUALITY_FILTER,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "corpus_pipeline": SQL_CORPUS_PIPELINE,

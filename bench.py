@@ -90,6 +90,7 @@ HEADLINE = [
     "hash_split",
     "stratified_sample",
     "mixture_resample_docs",
+    "lm_perplexity_docs",
     "weighted_sample_docs",
     "distinct_view_lake",
     "ngram_jaccard_pairs",
