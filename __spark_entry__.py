@@ -4191,6 +4191,52 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """K-means-style clustering of the whole embedding corpus
+    (operators/similarity.py embedding_clusters — the SemDeDup /
+    corpus-organization primitive): deterministic sampled-Lloyd centroids
+    (bounded build, no RNG), every vector assigned to its nearest centroid
+    via a broadcast + map-side partial max_by; the corpus's only shuffle is
+    the per-vector aggregation. Oracle = the IVF oracle's build+assignment
+    prefix, so Spark and DuckDB produce identical cluster ids."""
+    from oplogtoredis_spark.operators.similarity import embedding_clusters
+
+    return embedding_clusters(
+        _emb(spark, sf_dir), n_centroids=8, sample_per_centroid=32
+    )
+
+
+#: the IVF oracle's centroid-build + full-assignment prefix, reused
+#: verbatim (same CTE names) with the assignment as the result
+SQL_EMBEDDING_CLUSTERS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ smp AS (SELECT * FROM vn ORDER BY vec_id LIMIT 256),
+ seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+                  nrm AS cenorm
+           FROM smp ORDER BY vec_id LIMIT 8),
+ a1 AS (SELECT vec_id, cid FROM (
+    SELECT smp.vec_id, s.cid,
+      row_number() OVER (PARTITION BY smp.vec_id
+        ORDER BY round(list_dot_product(smp.e, s.ce) / (smp.nrm * s.cenorm), 4)
+          DESC, s.cid ASC) rn
+    FROM smp, seeds s) WHERE rn = 1),
+ ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp)),
+ mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
+ cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
+ cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents)
+SELECT vec_id, cid FROM (
+    SELECT vn.vec_id, c.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, c.ce) / (vn.nrm * c.cenorm), 4)
+          DESC, c.cid ASC) rn
+    FROM vn, cn c) WHERE rn = 1
+"""
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the second classic scale path beside LSH:
     deterministic coarse quantizer (seeded k-means over the bounded
@@ -4617,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_clusters": q_embedding_clusters,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -4743,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
         "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,

@@ -102,6 +102,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_clusters",
     "ann_quantized_topk",
     "ann_ivf_quantized_topk",
     "simhash_dup_pairs",

@@ -424,6 +424,36 @@ def _assign_nearest(v: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def embedding_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    sample_per_centroid: int = 32,
+) -> DataFrame:
+    """(id, cid): k-means-style clustering of every embedding — the corpus
+    organization primitive modern pipelines build on (SemDeDup-style
+    cluster-then-prune, per-cluster curriculum stats, diversity caps).
+    Centroids come from the deterministic sampled Lloyd build
+    (``ivf_centroids`` — every build-stage row count bounded by the
+    sample, no RNG, so two cluster sizes and the DuckDB oracle build
+    identical centroids); every corpus vector is then assigned to its
+    nearest centroid by rounded cosine (ties to the smallest cid) via a
+    broadcast of the constant-size centroid table + a map-side partial
+    max_by — the corpus's only shuffle is the per-vector aggregation
+    itself."""
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, sample_per_centroid
+    )
+    v = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    return _assign_nearest(v, cents).select(
+        F.col("nid").alias(id_col), "cid"
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

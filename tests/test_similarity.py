@@ -231,3 +231,53 @@ def test_ivf_quantized_duplicate_rank1(spark):
     # exhaustive probing: the duplicate must rank first even through int8
     assert out.iloc[0]["neighbor_id"] == 2
     assert out.iloc[0]["cosine_q"] >= 0.99
+
+
+def test_embedding_clusters_total_deterministic_and_plan(spark, embeddings):
+    """Every vector gets exactly one cluster id in [0, n_centroids);
+    assignment is invariant to input partitioning (no RNG anywhere); the
+    corpus never joins or shuffles except its own per-vector aggregation
+    (centroids broadcast, no sort-merge/shuffled-hash join)."""
+    from oplogtoredis_spark.operators.similarity import embedding_clusters
+
+    out = embedding_clusters(embeddings, n_centroids=8)
+    got = {r.vec_id: r.cid for r in out.collect()}
+    assert len(got) == embeddings.count()  # total: one cid per vector
+    assert set(got.values()) <= set(range(8))
+    got2 = {
+        r.vec_id: r.cid
+        for r in embedding_clusters(
+            embeddings.repartition(16), n_centroids=8
+        ).collect()
+    }
+    assert got == got2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_clusters_groups_by_direction(spark):
+    """Sanity on planted data: three tight direction bundles land in three
+    distinct clusters with bundle-mates together."""
+    import itertools
+
+    from oplogtoredis_spark.operators.similarity import embedding_clusters
+
+    rows = []
+    base = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    for b, (i, eps) in itertools.product(
+        range(3), enumerate((0.0, 0.02, 0.04, 0.06))
+    ):
+        v = list(base[b])
+        v[(b + 1) % 3] += eps
+        rows.append((b * 4 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.cid
+        for r in embedding_clusters(
+            df, n_centroids=3, sample_per_centroid=4
+        ).collect()
+    }
+    bundles = [{out[b * 4 + i] for i in range(4)} for b in range(3)]
+    assert all(len(s) == 1 for s in bundles)  # mates stay together
+    assert len({next(iter(s)) for s in bundles}) == 3  # bundles separate
