@@ -4237,6 +4237,114 @@ SELECT vec_id, cid FROM (
 """
 
 
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/dedup.py semdedup_keep, after
+    Abbas et al. 2023): cluster the embedding corpus with the deterministic
+    sampled-Lloyd build, then prune — within each cluster only — every
+    vector with a smaller-id cluster-mate at rounded cosine >= 0.4; the
+    pairwise check is an equality self-join on cid (Σ|cluster|², never n²).
+    Oracle = the clusters SQL + the same within-cluster anti-join."""
+    from oplogtoredis_spark.operators.dedup import semdedup_keep
+
+    return semdedup_keep(
+        _emb(spark, sf_dir), threshold=0.4, n_centroids=8,
+        sample_per_centroid=32,
+    )
+
+
+#: the embedding_clusters oracle with the assignment as a CTE, plus the
+#: within-cluster smaller-id-wins prune (rounded cosine, same as Spark)
+SQL_SEMDEDUP_KEEP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ smp AS (SELECT * FROM vn ORDER BY vec_id LIMIT 256),
+ seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+                  nrm AS cenorm
+           FROM smp ORDER BY vec_id LIMIT 8),
+ a1 AS (SELECT vec_id, cid FROM (
+    SELECT smp.vec_id, s.cid,
+      row_number() OVER (PARTITION BY smp.vec_id
+        ORDER BY round(list_dot_product(smp.e, s.ce) / (smp.nrm * s.cenorm), 4)
+          DESC, s.cid ASC) rn
+    FROM smp, seeds s) WHERE rn = 1),
+ ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp)),
+ mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
+ cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
+ cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents),
+ asg AS (SELECT vec_id, cid FROM (
+    SELECT vn.vec_id, c.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, c.ce) / (vn.nrm * c.cenorm), 4)
+          DESC, c.cid ASC) rn
+    FROM vn, cn c) WHERE rn = 1),
+ dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b USING (cid)
+    JOIN vn x ON x.vec_id = a.vec_id JOIN vn y ON y.vec_id = b.vec_id
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.4)
+SELECT vec_id, cid FROM asg ANTI JOIN dups USING (vec_id)
+"""
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus selection — the curriculum/diversity-cap
+    composition SemDeDup-style pipelines end with: cluster the embedding
+    corpus (embedding_clusters, deterministic), join each document to its
+    semantic cluster, keep the top 16 per cluster by length (ties to the
+    smaller doc_id). topk_per_group compiles to WindowGroupLimit, so each
+    map task pre-prunes to k rows per cluster BEFORE the shuffle — a
+    skewed cluster ships O(k × map_tasks) rows, never its cardinality."""
+    from oplogtoredis_spark.operators.analytics import topk_per_group
+    from oplogtoredis_spark.operators.similarity import embedding_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    cl = embedding_clusters(
+        _emb(spark, sf_dir), n_centroids=8, sample_per_centroid=32
+    ).withColumnRenamed("vec_id", "doc_id")
+    return topk_per_group(
+        docs.join(cl, "doc_id"), ["cid"], "n_chars", 16, "doc_id"
+    ).select("doc_id", "cid", "n_chars", "rk")
+
+
+#: the embedding_clusters oracle as a CTE + documents join + per-cluster
+#: top-16 by (n_chars DESC, doc_id ASC)
+SQL_CLUSTER_BALANCED_SAMPLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+ vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM v),
+ smp AS (SELECT * FROM vn ORDER BY vec_id LIMIT 256),
+ seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce,
+                  nrm AS cenorm
+           FROM smp ORDER BY vec_id LIMIT 8),
+ a1 AS (SELECT vec_id, cid FROM (
+    SELECT smp.vec_id, s.cid,
+      row_number() OVER (PARTITION BY smp.vec_id
+        ORDER BY round(list_dot_product(smp.e, s.ce) / (smp.nrm * s.cenorm), 4)
+          DESC, s.cid ASC) rn
+    FROM smp, seeds s) WHERE rn = 1),
+ ex AS (SELECT vec_id, u.d AS d, u.x AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> struct_pack(d := i - 1, x := x))) u
+    FROM smp)),
+ mm AS (SELECT cid, d, avg(x) mx FROM ex JOIN a1 USING (vec_id) GROUP BY cid, d),
+ cents AS (SELECT cid, list(mx ORDER BY d) ce FROM mm GROUP BY cid),
+ cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) cenorm FROM cents),
+ asg AS (SELECT vec_id, cid FROM (
+    SELECT vn.vec_id, c.cid,
+      row_number() OVER (PARTITION BY vn.vec_id
+        ORDER BY round(list_dot_product(vn.e, c.ce) / (vn.nrm * c.cenorm), 4)
+          DESC, c.cid ASC) rn
+    FROM vn, cn c) WHERE rn = 1)
+SELECT doc_id, cid, n_chars, rk FROM (
+  SELECT d.doc_id, a.cid, d.n_chars,
+    row_number() OVER (PARTITION BY a.cid
+      ORDER BY d.n_chars DESC, d.doc_id ASC) rk
+  FROM documents d JOIN asg a ON a.vec_id = d.doc_id)
+WHERE rk <= 16
+"""
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the second classic scale path beside LSH:
     deterministic coarse quantizer (seeded k-means over the bounded
@@ -4664,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_clusters": q_embedding_clusters,
+        "semdedup_keep": q_semdedup_keep,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -4791,6 +4901,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
+        "semdedup_keep": SQL_SEMDEDUP_KEEP,
+        "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
         "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,
         "simhash_dup_pairs": SQL_SIMHASH_PAIRS,

@@ -103,6 +103,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_clusters",
+    "semdedup_keep",
+    "cluster_balanced_sample",
     "ann_quantized_topk",
     "ann_ivf_quantized_topk",
     "simhash_dup_pairs",

@@ -540,3 +540,80 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    sample_per_centroid: int = 32,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning — WITHIN each cluster only — every
+    vector that has a smaller-id cluster-mate with rounded cosine ≥
+    ``threshold``. One deterministic representative per semantic-duplicate
+    group survives (the paper keeps a random member; smallest-id makes the
+    result — and the DuckDB oracle — reproducible across cluster sizes).
+
+    Plan shape, in corpus passes: the deterministic sampled-Lloyd centroid
+    build (``ivf_centroids`` — every build row sample-bounded), assignment
+    via broadcast centroids + ONE per-vector max_by aggregation that
+    CARRIES the vector (no join back on the corpus id), then SemDeDup's
+    defining move — the pairwise check is an equality self-join on cid, so
+    the candidate set is Σ|cluster|² instead of n²; at 100 TB
+    ``n_centroids`` scales with the corpus (the paper uses ~100k clusters
+    on LAION) keeping every cluster bounded. A final left-anti join drops
+    the pruned ids. No all-pairs product anywhere.
+
+    Returns the KEPT rows as (id_col, cid).
+    """
+    from .similarity import _dot, _norm, _sim, ivf_centroids
+
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, sample_per_centroid)
+    v = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    j = v.crossJoin(F.broadcast(cents)).select(
+        "nid",
+        "cid",
+        _sim("cv", "ce", "cnorm", "cenorm").alias("sim"),
+        "cv",
+        "cnorm",
+    )
+    # carry the vector through the assignment agg (all 8 candidate rows
+    # hold the same cv/cnorm, so any_value is deterministic) — the corpus
+    # id is never a join key
+    asg = j.groupBy("nid").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("sim"), -F.col("cid"))).alias("cid"),
+        F.any_value("cv").alias("cv"),
+        F.any_value("cnorm").alias("cnorm"),
+    )
+    a = asg.select(
+        "cid",
+        F.col("nid").alias("nid_a"),
+        F.col("cv").alias("va"),
+        F.col("cnorm").alias("na"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("nid").alias("nid_b"),
+        F.col("cv").alias("vb"),
+        F.col("cnorm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .where(F.col("nid_a") < F.col("nid_b"))
+        .where(
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+            >= F.lit(threshold)
+        )
+        .select(F.col("nid_b").alias("nid"))
+        .distinct()
+    )
+    return (
+        asg.join(dups, "nid", "left_anti")
+        .select(F.col("nid").alias(id_col), "cid")
+    )

@@ -281,3 +281,73 @@ def test_embedding_clusters_groups_by_direction(spark):
     bundles = [{out[b * 4 + i] for i in range(4)} for b in range(3)]
     assert all(len(s) == 1 for s in bundles)  # mates stay together
     assert len({next(iter(s)) for s in bundles}) == 3  # bundles separate
+
+
+def test_semdedup_prunes_within_cluster_only(spark, embeddings):
+    """Kept set is exactly {v : no smaller-id SAME-CLUSTER mate at cosine
+    >= tau} — verified against a brute-force pandas recomputation over the
+    operator's own cluster assignment; partition-invariant; no
+    CartesianProduct in the plan (the pairwise stage is an equality join
+    on cid)."""
+    import numpy as np
+
+    from oplogtoredis_spark.operators.dedup import semdedup_keep
+    from oplogtoredis_spark.operators.similarity import embedding_clusters
+
+    tau = 0.4
+    kept = semdedup_keep(embeddings, threshold=tau, n_centroids=8)
+    got = {(r.vec_id, r.cid) for r in kept.collect()}
+
+    asg = {
+        r.vec_id: r.cid
+        for r in embedding_clusters(embeddings, n_centroids=8).collect()
+    }
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    nrm = {i: float(np.sqrt(v @ v)) for i, v in vecs.items()}
+    want = set()
+    for i, ci in asg.items():
+        dup = any(
+            j < i
+            and cj == ci
+            and round(float(vecs[i] @ vecs[j]) / (nrm[i] * nrm[j]), 4) >= tau
+            for j, cj in asg.items()
+        )
+        if not dup:
+            want.add((i, ci))
+    assert got == want
+    assert 0 < len(got) < len(asg)  # prunes something, keeps something
+
+    got2 = {
+        (r.vec_id, r.cid)
+        for r in semdedup_keep(
+            embeddings.repartition(16), threshold=tau, n_centroids=8
+        ).collect()
+    }
+    assert got2 == got
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_planted_duplicate_group_keeps_smallest(spark):
+    """A planted bundle of near-identical vectors collapses to its
+    smallest id; unrelated directions survive untouched."""
+    from oplogtoredis_spark.operators.dedup import semdedup_keep
+
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.999, 0.01, 0.0]),
+        (12, [0.998, 0.02, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+        (30, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r.vec_id
+        for r in semdedup_keep(
+            df, threshold=0.95, n_centroids=3, sample_per_centroid=4
+        ).collect()
+    }
+    assert kept == {10, 20, 30}
