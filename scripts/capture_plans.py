@@ -195,6 +195,15 @@ def main() -> None:
             ["Window", "Exchange"],
             ["Join", "CartesianProduct"],
         ),
+        (
+            "SEMDEDUP (cluster, then within-cluster prune) — no all-pairs product",
+            "semdedup_keep",
+            "centroids broadcast into the assignment max_by; the pairwise "
+            "stage joins on cid EQUALITY only (sum-of-cluster-squared "
+            "candidates, never n^2); kept rows via left-anti",
+            ["BroadcastExchange", "max_by"],
+            ["CartesianProduct"],
+        ),
     ]
 
     out = [
