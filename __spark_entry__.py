@@ -4345,6 +4345,51 @@ WHERE rk <= 16
 """
 
 
+def q_incremental_semdedup(spark, sf_dir):
+    """INCREMENTAL SemDeDup (operators/semantic_corpus.py SemanticCorpus):
+    the embeddings table replayed as three CDC epochs with real churn —
+    epoch 1 inserts ids <256 (the centroid sample) plus every id%3==0;
+    epoch 2 inserts id%3==1 and DELETES the %3==0,%7==3 subset (deletes
+    genuinely promote pruned cluster-mates mid-stream); epoch 3 inserts
+    id%3==2 and re-inserts the deleted ids. Keep seats are re-elected only
+    within each epoch's affected clusters under the frozen coarse
+    quantizer; final live state = the full table, so the oracle is the
+    batch semdedup SQL UNCHANGED — value-exact convergence through churn."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.semantic_corpus import SemanticCorpus
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    state = SemanticCorpus(
+        tempfile.mkdtemp(prefix="otr_semdedup_"),
+        threshold=0.4, n_centroids=8, sample_per_centroid=32,
+    )
+    vid = F.col("vec_id")
+    deleted = (vid >= 256) & (vid % 3 == 0) & (vid % 7 == 3)
+    epochs = [
+        emb.where((vid < 256) | (vid % 3 == 0)).select(
+            vid.alias("doc_id"), "embedding", F.lit("u").alias("op")
+        ),
+        emb.where((vid >= 256) & (vid % 3 == 1)).select(
+            vid.alias("doc_id"), "embedding", F.lit("u").alias("op")
+        ).unionByName(
+            emb.where(deleted).select(
+                vid.alias("doc_id"),
+                F.lit(None).cast("array<double>").alias("embedding"),
+                F.lit("d").alias("op"),
+            )
+        ),
+        emb.where(((vid >= 256) & (vid % 3 == 2)) | deleted).select(
+            vid.alias("doc_id"), "embedding", F.lit("u").alias("op")
+        ),
+    ]
+    for e, batch in enumerate(epochs, start=1):
+        state.apply_epoch(spark, batch, e)
+    return state.kept(spark).select(F.col("doc_id").alias("vec_id"), "cid")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the second classic scale path beside LSH:
     deterministic coarse quantizer (seeded k-means over the bounded
@@ -4773,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_clusters": q_embedding_clusters,
         "semdedup_keep": q_semdedup_keep,
+        "incremental_semdedup": q_incremental_semdedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
@@ -4902,6 +4948,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
         "semdedup_keep": SQL_SEMDEDUP_KEEP,
+        "incremental_semdedup": SQL_SEMDEDUP_KEEP,
         "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
         "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,

@@ -105,6 +105,7 @@ HEADLINE = [
     "embedding_clusters",
     "semdedup_keep",
     "cluster_balanced_sample",
+    "incremental_semdedup",
     "ann_quantized_topk",
     "ann_ivf_quantized_topk",
     "simhash_dup_pairs",

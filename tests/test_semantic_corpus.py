@@ -1,0 +1,196 @@
+"""SemanticCorpus: incremental SemDeDup equals the batch recompute.
+
+The invariant under test: after ANY sequence of epochs (inserts, deletes,
+re-embeds), ``kept(spark)`` equals ``semdedup_keep`` over the live
+embeddings — given a stable centroid sample (the frozen-quantizer contract;
+every scenario here keeps the batch operator's smallest-id sample fixed so
+the comparison is exact, not approximate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oplogtoredis_spark.operators.dedup import semdedup_keep
+from oplogtoredis_spark.operators.semantic_corpus import SemanticCorpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch(spark, rows):
+    """rows: [(doc_id, embedding|None, op)]"""
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, op string"
+    )
+
+
+def _kept_batch(spark, live_rows, **kw):
+    df = spark.createDataFrame(live_rows, "vec_id long, embedding array<double>")
+    return {
+        (r.vec_id, r.cid) for r in semdedup_keep(df, **kw).collect()
+    }
+
+
+def _kept_inc(spark, corpus):
+    return {(r.doc_id, r.cid) for r in corpus.kept(spark).collect()}
+
+
+@pytest.fixture()
+def emb_rows(spark):
+    return [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ]
+
+
+def test_multi_epoch_parity_with_batch(spark, tmp_path, emb_rows):
+    """Three epochs over the real sf0.001 embeddings — inserts, deletes,
+    re-inserts — and after EVERY epoch the incremental keep set equals the
+    batch semdedup_keep over the live rows. Epoch 1 carries ids 0..299, so
+    the frozen sample (smallest 256) equals the batch operator's sample at
+    every step (ids <256 are never touched again)."""
+    by_id = dict(emb_rows)
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.4)
+
+    e1 = [(i, by_id[i], "u") for i in range(300)]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    live = [(i, by_id[i]) for i in range(300)]
+    assert _kept_inc(spark, corpus) == _kept_batch(spark, live, threshold=0.4)
+
+    e2 = [(i, by_id[i], "u") for i in range(300, 400)] + [
+        (i, None, "d") for i in range(280, 300)
+    ]
+    corpus.apply_epoch(spark, _batch(spark, e2), 2)
+    live = [(i, by_id[i]) for i in list(range(280)) + list(range(300, 400))]
+    assert _kept_inc(spark, corpus) == _kept_batch(spark, live, threshold=0.4)
+
+    e3 = [(i, by_id[i], "u") for i in list(range(280, 300)) + list(range(400, 500))]
+    corpus.apply_epoch(spark, _batch(spark, e3), 3)
+    live = [(i, by_id[i]) for i in range(500)]
+    want = _kept_batch(spark, live, threshold=0.4)
+    assert _kept_inc(spark, corpus) == want
+    # final state must ALSO equal the plain full-table batch operator
+    full = semdedup_keep(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), threshold=0.4
+    )
+    assert {(r.vec_id, r.cid) for r in full.collect()} == want
+
+
+BUNDLES = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+
+
+def _planted(bundle, i, eps=0.0):
+    v = list(BUNDLES[bundle])
+    v[(bundle + 1) % 3] += eps
+    return v
+
+
+def test_delete_promotes_pruned_mate(spark, tmp_path):
+    """ids 0,1 are near-duplicates (same bundle): 1 is pruned. Deleting 0
+    must promote 1 back into the keep set — and the keep delta for that
+    epoch records exactly the flip."""
+    corpus = SemanticCorpus(
+        str(tmp_path / "sem"), threshold=0.95, n_centroids=3,
+        sample_per_centroid=4,
+    )
+    e1 = [
+        (0, _planted(0, 0), "u"),
+        (1, _planted(0, 1, 0.01), "u"),
+        (4, _planted(1, 0), "u"),
+        (8, _planted(2, 0), "u"),
+    ]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    k1 = {d for d, _ in _kept_inc(spark, corpus)}
+    assert 0 in k1 and 1 not in k1 and {4, 8} <= k1
+
+    stats = corpus.apply_epoch(spark, _batch(spark, [(0, None, "d")]), 2)
+    k2 = {d for d, _ in _kept_inc(spark, corpus)}
+    assert 1 in k2 and 0 not in k2 and {4, 8} <= k2
+    # the epoch emitted exactly one member 'd' and the two keep flips
+    assert stats["member_delta_rows"] == 1
+    assert stats["keep_delta_rows"] == 2  # d:0, a:1
+
+
+def test_untouched_clusters_emit_zero_delta_rows(spark, tmp_path):
+    """An epoch touching only bundle-0 ids writes keep deltas only for
+    bundle 0's cluster — untouched clusters contribute zero rows (the
+    incrementality invariant, pinned on actual delta contents)."""
+    corpus = SemanticCorpus(
+        str(tmp_path / "sem"), threshold=0.95, n_centroids=3,
+        sample_per_centroid=4,
+    )
+    e1 = [(b * 4 + i, _planted(b, i, 0.01 * i), "u")
+          for b in range(3) for i in range(4)]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    cid_of = {r.doc_id: r.cid for r in corpus.members(spark).collect()}
+    b0_cid = cid_of[0]
+
+    corpus.apply_epoch(spark, _batch(spark, [(1, None, "d")]), 2)
+    import os
+
+    kdir = os.path.join(str(tmp_path / "sem"), "keep", "e000002")
+    delta = spark.read.parquet(kdir).collect()
+    assert all(r.cid == b0_cid or r.cid is None for r in delta)
+    # parity after the churn
+    live = [(d, _planted(d // 4, d % 4, 0.01 * (d % 4)))
+            for d in sorted(cid_of) if d != 1]
+    assert _kept_inc(spark, corpus) == _kept_batch(
+        spark, live, threshold=0.95, n_centroids=3, sample_per_centroid=4
+    )
+
+
+def test_reembed_moves_cluster_and_reelects(spark, tmp_path):
+    """Re-upserting a NON-sample id with a vector pointing at another
+    bundle moves its membership to that cluster and re-elects both
+    clusters; parity with the batch recompute over the updated vectors
+    holds (the changed id is outside the smallest-id sample, so the
+    frozen model equals the batch build)."""
+    corpus = SemanticCorpus(
+        str(tmp_path / "sem"), threshold=0.95, n_centroids=3,
+        sample_per_centroid=4,
+    )
+    rows = [(b * 4 + i, _planted(b, i, 0.01 * i)) for b in range(3) for i in range(4)]
+    rows.append((13, _planted(0, 0, 0.02)))  # bundle-0 near-dup, pruned (id 13 > 0)
+    corpus.apply_epoch(
+        spark, _batch(spark, [(d, v, "u") for d, v in rows]), 1
+    )
+    assert 13 not in {d for d, _ in _kept_inc(spark, corpus)}
+
+    # re-embed 13 into an empty direction of bundle 1's cluster
+    moved = _planted(1, 0, 0.3)
+    corpus.apply_epoch(spark, _batch(spark, [(13, moved, "u")]), 2)
+    live = [(d, v) for d, v in rows if d != 13] + [(13, moved)]
+    assert _kept_inc(spark, corpus) == _kept_batch(
+        spark, live, threshold=0.95, n_centroids=3, sample_per_centroid=4
+    )
+
+
+def test_replay_idempotent(spark, tmp_path):
+    corpus = SemanticCorpus(
+        str(tmp_path / "sem"), threshold=0.95, n_centroids=3,
+        sample_per_centroid=4,
+    )
+    e1 = [(i, _planted(i % 3, i // 3), "u") for i in range(6)]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    before = _kept_inc(spark, corpus)
+    out = corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    assert out == {"skipped_replay": True}
+    assert _kept_inc(spark, corpus) == before
+
+
+def test_param_freeze_guard(spark, tmp_path):
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    corpus.apply_epoch(
+        spark, _batch(spark, [(0, _planted(0, 0), "u")]), 1
+    )
+    with pytest.raises(ValueError, match="frozen with the model"):
+        SemanticCorpus(str(tmp_path / "sem"), threshold=0.5,
+                       n_centroids=3, sample_per_centroid=4)
+
+
+def test_null_embedding_fails_loud(spark, tmp_path):
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    with pytest.raises(Exception, match="NULL embedding for doc_id 7"):
+        corpus.apply_epoch(
+            spark, _batch(spark, [(0, _planted(0, 0), "u"), (7, None, "u")]), 1
+        )
