@@ -4390,6 +4390,71 @@ def q_incremental_semdedup(spark, sf_dir):
     return state.kept(spark).select(F.col("doc_id").alias("vec_id"), "cid")
 
 
+def q_follow_lake_semdedup(spark, sf_dir):
+    """The full CDC-lake → SEMANTIC-dedup composition
+    (SemanticCorpus.follow_lake + LakeTable.changes): embeddings ride a
+    REAL lake as JSON change envelopes across two commits — commit 1
+    inserts the centroid sample (ids <256) plus every id%3==0, with a
+    SIGN-FLIPPED draft vector for the %7==3 subset (wrong-direction
+    embeddings that will be re-embedded) and extra ids that will be
+    deleted; commit 2 inserts the rest, overwrites the drafts with their
+    true vectors (cluster moves + keep-seat re-elections), and deletes the
+    extras. The keep set follows each snapshot via the net changelog under
+    the frozen coarse quantizer; final live state = the full embeddings
+    table, so the oracle is the batch semdedup SQL UNCHANGED."""
+    import tempfile
+
+    from oplogtoredis_spark.operators.semantic_corpus import SemanticCorpus
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vid = F.col("vec_id")
+
+    def env(df, ts, op="u"):
+        return df.select(
+            F.lit("emb").alias("repo"),
+            vid.cast("string").alias("path"),
+            F.lit(ts << 32).cast("long").alias("ts"),
+            vid.cast("int").alias("tx_idx"),
+            F.lit(op).alias("op"),
+            F.lit(f"c{ts}").alias("commit"),
+            F.lit("en").alias("lang"),
+            F.to_json(F.col("v")).alias("content"),
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="otr_flsem_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=8,
+    )
+    state = SemanticCorpus(
+        tempfile.mkdtemp(prefix="otr_flsem_c_"),
+        threshold=0.4, n_centroids=8, sample_per_centroid=32,
+    )
+    first = emb.where((vid < 256) | (vid % 3 == 0))
+    is_draft = (vid >= 256) & (vid % 7 == 3)
+    drafts = first.where(is_draft).withColumn(
+        "v", F.transform(F.col("v"), lambda x: -x)
+    )
+    extras = emb.where(vid % 11 == 0).select(
+        (vid + 1000000).alias("vec_id"), "v"
+    )
+    t.merge_batch(
+        env(first.where(~is_draft).unionByName(drafts)
+            .unionByName(extras), 1),
+        0,
+    )
+    state.follow_lake(spark, t, repo="emb")
+    upserts = emb.where(
+        ((vid >= 256) & (vid % 3 != 0)) | ((vid % 3 == 0) & is_draft)
+    )
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    state.follow_lake(spark, t, repo="emb")
+    return state.kept(spark).select(F.col("doc_id").alias("vec_id"), "cid")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) ANN — the second classic scale path beside LSH:
     deterministic coarse quantizer (seeded k-means over the bounded
@@ -4819,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "semdedup_keep": q_semdedup_keep,
         "incremental_semdedup": q_incremental_semdedup,
+        "follow_lake_semdedup": q_follow_lake_semdedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
@@ -4949,6 +5015,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
         "semdedup_keep": SQL_SEMDEDUP_KEEP,
         "incremental_semdedup": SQL_SEMDEDUP_KEEP,
+        "follow_lake_semdedup": SQL_SEMDEDUP_KEEP,
         "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
         "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,

@@ -106,6 +106,7 @@ HEADLINE = [
     "semdedup_keep",
     "cluster_balanced_sample",
     "incremental_semdedup",
+    "follow_lake_semdedup",
     "ann_quantized_topk",
     "ann_ivf_quantized_topk",
     "simhash_dup_pairs",

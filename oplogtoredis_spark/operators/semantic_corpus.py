@@ -362,12 +362,123 @@ class SemanticCorpus:
                 df.unpersist()
 
         epochs = self.applied_epochs() + [epoch]
+        meta = {"epochs": epochs}
+        if os.path.exists(self._marker):
+            with open(self._marker) as f:
+                meta = {**json.load(f), "epochs": epochs}
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epochs": epochs}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._marker)
         return {
             "epoch": epoch,
             "member_delta_rows": _footer_rows(mdir),
             "keep_delta_rows": _footer_rows(kdir),
         }
+
+    # ---------------- follow a CDC lake (changelog-driven epochs) -------
+    def followed_lake_version(self) -> int:
+        """Last lake snapshot this corpus has folded in (-1 = never)."""
+        if not os.path.exists(self._marker):
+            return -1
+        with open(self._marker) as f:
+            return json.load(f).get("lake_version", -1)
+
+    def follow_lake(
+        self,
+        spark: SparkSession,
+        table,
+        repo: str | None = None,
+        vec_format: str = "array<double>",
+    ) -> dict:
+        """Catch the keep set up to ``table``'s current snapshot via the NET
+        changelog (LakeTable.changes) — the CDC lake is the system of
+        record and the semantic-dedup state follows it without rescanning
+        either side (O(changed buckets) diff + O(batch) epoch fold); the
+        same composition discipline as IncrementalCorpus.follow_lake.
+
+        Embedding mapping: a vector rides the lake's generic change
+        envelope as ``path = str(doc_id), content = to_json(embedding)``
+        (the reference's publish payload IS a JSON document —
+        lib/redispub/publisher.go:41-62); ``from_json(content,
+        vec_format)`` decodes it here. An UNDECODABLE content decodes to
+        NULL and trips apply_epoch's loud NULL-embedding guard naming the
+        doc_id — a corrupt vector never silently drops. The corpus epoch
+        number IS the lake snapshot version (idempotent replay; mixed
+        manual numbering rejected)."""
+        from_v = self.followed_lake_version()
+        to_v = table.current_version()
+        if any(e > to_v for e in self.applied_epochs()):
+            raise ValueError(
+                "corpus holds epochs beyond the lake's current version — "
+                "don't mix follow_lake with manual apply_epoch numbering"
+            )
+        if from_v < 0:
+            base = table.read(spark)
+            if repo is not None:
+                base = base.where(F.col("repo") == repo)
+            batch = base.select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.from_json(F.col("content"), vec_format).alias("embedding"),
+                F.lit("u").alias("op"),
+            )
+        elif to_v <= from_v:
+            return {"lake_version": from_v, "up_to_date": True}
+        else:
+            ch = table.changes(spark, from_v, to_v)
+            if repo is not None:
+                ch = ch.where(F.col("repo") == repo)
+            batch = ch.where(F.col("_change_type") != "update_preimage").select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.from_json(F.col("content"), vec_format).alias("embedding"),
+                F.when(F.col("_change_type") == "delete", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+            )
+        stats = self.apply_epoch(spark, batch, epoch=to_v)
+        with open(self._marker) as f:
+            meta = json.load(f)
+        meta["lake_version"] = to_v
+        tmp = self._marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._marker)
+        stats["lake_version"] = to_v
+        return stats
+
+    # ---------------- maintenance ----------------
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all deltas into one base per log (bounds the per-read delta
+        scan exactly like LakeTable.compact / IncrementalCorpus.compact).
+        Winning epochs are preserved per row so later epochs keep LWW
+        semantics."""
+        import shutil
+
+        if not self.applied_epochs():
+            return
+        last = max(self.applied_epochs())
+        with self._epoch_shuffle_scale(spark):
+            for base, schema in (
+                (self._members_dir, MEMBER_SCHEMA),
+                (self._keep_dir, KEEP_SCHEMA),
+            ):
+                dirs = self._delta_dirs(base)
+                if not dirs:
+                    continue
+                folded = (
+                    spark.read.schema(schema)
+                    .parquet(*dirs)
+                    .withColumn(
+                        "_maxe",
+                        F.max("epoch").over(Window.partitionBy("doc_id")),
+                    )
+                    .where(
+                        (F.col("epoch") == F.col("_maxe")) & (F.col("op") == "a")
+                    )
+                    .drop("_maxe")
+                )
+                out = os.path.join(base, f"e{last:06d}_compact_staging")
+                folded.write.mode("overwrite").parquet(out)
+                for d in dirs:
+                    shutil.rmtree(d)
+                os.replace(out, os.path.join(base, f"e{last:06d}"))

@@ -194,3 +194,143 @@ def test_null_embedding_fails_loud(spark, tmp_path):
         corpus.apply_epoch(
             spark, _batch(spark, [(0, _planted(0, 0), "u"), (7, None, "u")]), 1
         )
+
+
+# ---------------- follow a CDC lake ----------------
+def _lake_vec_batch(spark, rows, ts):
+    """Embeddings as CDC envelopes: path=str(doc_id), content=json(vector)."""
+    import json as _json
+
+    cols = (
+        "repo string, path string, ts long, tx_idx int, op string,"
+        " commit string, lang string, content string"
+    )
+    return spark.createDataFrame(
+        [
+            ("emb", str(i), ts << 32, int(i), op,
+             f"c{ts}", "en", None if v is None else _json.dumps(v))
+            for (i, v, op) in rows
+        ],
+        cols,
+    )
+
+
+def test_follow_lake_converges_through_churn(spark, tmp_path):
+    """Lake commit 1 inserts the three prototypes (ids 0-2 — the entire
+    frozen centroid sample at sample_per_centroid=1, never touched again),
+    a near-dup pair (10, 11) off-axis, and a sign-flipped draft (12);
+    commit 2 fixes the draft (update → cluster move), deletes 10 (promoting
+    its pruned mate 11), and inserts 13. After each follow the keep set
+    equals the batch semdedup over the lake's live vectors; the second
+    follow is driven by the NET changelog only."""
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    kw = dict(threshold=0.95, n_centroids=3, sample_per_centroid=1)
+    c = SemanticCorpus(str(tmp_path / "sem"), **kw)
+
+    protos = {i: BUNDLES[i] for i in range(3)}
+    # near-dup pair: mutually >=0.95, but only ~0.92 to prototype 0 (same
+    # cluster as 0, below tau to it — 10 prunes 11, nothing prunes 10)
+    d45, d45b = [1.0, 0.42, 0.0], [1.0, 0.45, 0.0]
+    wrong = [-1.0, 0.0, -1.0]                          # sign-flipped draft
+    fixed, extra = [1.0, 0.0, 1.0], [0.0, 1.0, 1.0]
+    t.merge_batch(
+        _lake_vec_batch(
+            spark,
+            [(i, protos[i], "u") for i in range(3)]
+            + [(10, d45, "u"), (11, d45b, "u"), (12, wrong, "u")],
+            1,
+        ),
+        0,
+    )
+    s1 = c.follow_lake(spark, t, repo="emb")
+    assert s1["lake_version"] == t.current_version()
+    live = [(i, protos[i]) for i in range(3)] + [
+        (10, d45), (11, d45b), (12, wrong)
+    ]
+    k1 = _kept_inc(spark, c)
+    assert k1 == _kept_batch(spark, live, **kw)
+    assert 10 in {d for d, _ in k1} and 11 not in {d for d, _ in k1}
+
+    # commit 2: fix 12's vector (cluster move), delete 10 (promotes 11),
+    # insert 13 — the sample ids 0-2 are untouched
+    t.merge_batch(
+        _lake_vec_batch(
+            spark, [(12, fixed, "u"), (10, None, "d"), (13, extra, "u")], 2
+        ),
+        1,
+    )
+    s2 = c.follow_lake(spark, t, repo="emb")
+    assert s2["lake_version"] == t.current_version()
+    live = [(i, protos[i]) for i in range(3)] + [
+        (11, d45b), (12, fixed), (13, extra)
+    ]
+    kept = _kept_inc(spark, c)
+    assert kept == _kept_batch(spark, live, **kw)
+    ids = {d for d, _ in kept}
+    assert 11 in ids and 10 not in ids and 12 in ids and 13 in ids
+
+    # idempotent: nothing new to fold
+    assert c.follow_lake(spark, t, repo="emb")["up_to_date"] is True
+
+
+def test_follow_lake_rejects_mixed_numbering_and_bad_json(spark, tmp_path):
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(
+        _lake_vec_batch(spark, [(0, _planted(0, 0), "u")], 1), 0
+    )
+    c = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95, n_centroids=3,
+                       sample_per_centroid=4)
+    c.apply_epoch(
+        spark,
+        _batch(spark, [(0, _planted(0, 0), "u")]),
+        t.current_version() + 10,
+    )
+    with pytest.raises(ValueError, match="beyond the lake"):
+        c.follow_lake(spark, t, repo="emb")
+
+    # undecodable content trips the loud NULL guard, naming the doc_id
+    t2 = LakeTable.create(str(tmp_path / "tbl2"), TARGET_SCHEMA, n_buckets=4)
+    rows = [("emb", "5", 1 << 32, 5, "u", "c1", "en", "not-a-vector")]
+    t2.merge_batch(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, ts long, tx_idx int, op string,"
+            " commit string, lang string, content string",
+        ),
+        0,
+    )
+    c2 = SemanticCorpus(str(tmp_path / "sem2"), threshold=0.95,
+                        n_centroids=3, sample_per_centroid=4)
+    with pytest.raises(Exception, match="NULL embedding for doc_id 5"):
+        c2.follow_lake(spark, t2, repo="emb")
+
+
+def test_compact_preserves_state_and_bounds_dirs(spark, tmp_path):
+    import os
+
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    e1 = [(b * 4 + i, _planted(b, i, 0.01 * i), "u")
+          for b in range(3) for i in range(4)]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    corpus.apply_epoch(spark, _batch(spark, [(1, None, "d")]), 2)
+    corpus.apply_epoch(
+        spark, _batch(spark, [(1, _planted(0, 1, 0.01), "u")]), 3
+    )
+    before = _kept_inc(spark, corpus)
+    corpus.compact(spark)
+    assert _kept_inc(spark, corpus) == before
+    for log in ("members", "keep"):
+        dirs = [d for d in os.listdir(tmp_path / "sem" / log)
+                if d.startswith("e")]
+        assert dirs == ["e000003"]
+    # epochs still applied; a replay of e2 is still skipped
+    assert corpus.apply_epoch(
+        spark, _batch(spark, [(1, None, "d")]), 2
+    ) == {"skipped_replay": True}
