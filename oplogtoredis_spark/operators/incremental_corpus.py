@@ -47,6 +47,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -64,6 +65,54 @@ def _footer_rows(pdir: str) -> int:
         for f in os.listdir(pdir)
         if f.endswith(".parquet")
     )
+
+
+_EDIR_RE = re.compile(r"^e(\d{6})$")
+_STAGING_SUFFIX = "_compact_staging"
+
+
+def _recover_compact(base: str) -> None:
+    """Finish (or garbage-collect) a compact() that crashed mid-promotion.
+    A staging dir carrying Spark's ``_SUCCESS`` marker holds the COMPLETE
+    fold of every epoch ≤ its number, so the correct recovery is to finish
+    what compact started: remove the remaining original e-dirs ≤ that
+    epoch and promote the staging dir. A marker-less staging dir is an
+    incomplete fold — swept as garbage, never obeyed (the same discipline
+    as the lake's ``_live_dirs``). Driver-side listdir only."""
+    if not os.path.isdir(base):
+        return
+    for d in sorted(os.listdir(base)):
+        if not d.endswith(_STAGING_SUFFIX):
+            continue
+        stage = os.path.join(base, d)
+        if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+            shutil.rmtree(stage)
+            continue
+        se = int(d[1 : len(d) - len(_STAGING_SUFFIX)])
+        for other in os.listdir(base):
+            m = _EDIR_RE.match(other)
+            if m and int(m.group(1)) <= se:
+                shutil.rmtree(os.path.join(base, other))
+        os.replace(stage, os.path.join(base, f"e{se:06d}"))
+
+
+def _applied_delta_dirs(base: str, applied: set[int]) -> list[str]:
+    """The delta dirs a fold may read: exactly the epochs the marker says
+    are APPLIED. Gating on the marker makes epoch application atomic to
+    readers AND to replays — a crash between the delta write and the
+    marker update leaves an orphan e-dir that is invisible to the next
+    fold, so re-applying that epoch computes its flips against the true
+    previous state and overwrites the orphan wholesale (without the gate,
+    the half-applied rows would fold into "previous" state and the replay
+    would emit an EMPTY delta, silently losing the epoch). Name-anchored
+    (``e`` + 6 digits) so compact staging dirs never leak into a fold."""
+    _recover_compact(base)
+    out = []
+    for d in sorted(os.listdir(base)):
+        m = _EDIR_RE.match(d)
+        if m and int(m.group(1)) in applied:
+            out.append(os.path.join(base, d))
+    return out
 
 
 MEMBER_SCHEMA = (
@@ -113,11 +162,7 @@ class IncrementalCorpus:
             return json.load(f)["epochs"]
 
     def _delta_dirs(self, base: str) -> list[str]:
-        return [
-            os.path.join(base, d)
-            for d in sorted(os.listdir(base))
-            if d.startswith("e")
-        ]
+        return _applied_delta_dirs(base, set(self.applied_epochs()))
 
     def _fold(self, spark: SparkSession, base: str, schema: str) -> DataFrame:
         """LWW per doc_id by epoch over all delta dirs: the rows of each
@@ -420,6 +465,15 @@ class IncrementalCorpus:
             )
             out = os.path.join(base, f"e{last:06d}_compact_staging")
             folded.write.mode("overwrite").parquet(out)
+            # orphan e-dirs from a crashed, never-replayed epoch are
+            # garbage (invisible to folds since the applied gate) — sweep
+            applied = set(self.applied_epochs())
+            for d in os.listdir(base):
+                m = _EDIR_RE.match(d)
+                if m and int(m.group(1)) not in applied:
+                    shutil.rmtree(os.path.join(base, d))
+            # promotion is crash-safe: _recover_compact finishes it from
+            # the _SUCCESS-marked staging if we die anywhere below
             for d in dirs:
                 shutil.rmtree(d)
             os.replace(out, os.path.join(base, f"e{last:06d}"))

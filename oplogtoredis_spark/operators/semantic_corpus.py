@@ -55,7 +55,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from .incremental_corpus import _footer_rows
+from .incremental_corpus import _EDIR_RE, _applied_delta_dirs, _footer_rows
 
 MEMBER_SCHEMA = (
     "epoch long, op string, doc_id long, cid int, vec array<double>, nrm double"
@@ -104,11 +104,9 @@ class SemanticCorpus:
             return json.load(f)["epochs"]
 
     def _delta_dirs(self, base: str) -> list[str]:
-        return [
-            os.path.join(base, d)
-            for d in sorted(os.listdir(base))
-            if d.startswith("e")
-        ]
+        # applied-epochs gate + staging-recovery: see _applied_delta_dirs —
+        # makes epoch application atomic to readers and to replays
+        return _applied_delta_dirs(base, set(self.applied_epochs()))
 
     def _fold(self, spark: SparkSession, base: str, schema: str) -> DataFrame:
         """LWW per doc_id by epoch: the row of each doc's HIGHEST epoch
@@ -479,6 +477,15 @@ class SemanticCorpus:
                 )
                 out = os.path.join(base, f"e{last:06d}_compact_staging")
                 folded.write.mode("overwrite").parquet(out)
+                # sweep unapplied orphan e-dirs (crashed, never-replayed
+                # epochs — already invisible to folds via the applied gate)
+                applied = set(self.applied_epochs())
+                for d in os.listdir(base):
+                    m = _EDIR_RE.match(d)
+                    if m and int(m.group(1)) not in applied:
+                        shutil.rmtree(os.path.join(base, d))
+                # promotion is crash-safe: _recover_compact finishes it
+                # from the _SUCCESS-marked staging if we die below
                 for d in dirs:
                     shutil.rmtree(d)
                 os.replace(out, os.path.join(base, f"e{last:06d}"))

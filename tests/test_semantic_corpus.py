@@ -334,3 +334,114 @@ def test_compact_preserves_state_and_bounds_dirs(spark, tmp_path):
     assert corpus.apply_epoch(
         spark, _batch(spark, [(1, None, "d")]), 2
     ) == {"skipped_replay": True}
+
+
+# ---------------- crash recovery ----------------
+def test_replay_of_crashed_epoch_is_lossless(spark, tmp_path):
+    """A crash between the delta write and the marker update leaves orphan
+    e-dirs; the applied-epochs fold gate makes them invisible, so
+    re-applying the epoch recomputes its flips against the TRUE previous
+    state (without the gate the replay would see its own half-applied rows
+    as 'previous' and emit an empty delta — losing the epoch)."""
+    import json, os
+
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    e1 = [
+        (0, _planted(0, 0), "u"), (1, _planted(0, 1, 0.01), "u"),
+        (4, _planted(1, 0), "u"), (8, _planted(2, 0), "u"),
+    ]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    corpus.apply_epoch(spark, _batch(spark, [(0, None, "d")]), 2)
+    want = _kept_inc(spark, corpus)  # 1 promoted, 0 gone
+
+    # simulate the crash: epoch 2's dirs exist but the marker says only 1
+    marker = tmp_path / "sem" / "_applied.json"
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["epochs"] = [1]
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+
+    # readers must not see the unapplied epoch
+    assert 0 in {d for d, _ in _kept_inc(spark, corpus)}
+    # replaying the epoch restores the exact post-epoch state
+    corpus.apply_epoch(spark, _batch(spark, [(0, None, "d")]), 2)
+    assert _kept_inc(spark, corpus) == want
+
+
+def test_crashed_compact_recovers_from_success_staging(spark, tmp_path):
+    """A compact that crashed after writing its _SUCCESS staging but before
+    finishing the promotion is completed by the next read; a marker-less
+    staging dir is swept as garbage, never folded."""
+    import os, shutil
+
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    e1 = [(b * 4 + i, _planted(b, i, 0.01 * i), "u")
+          for b in range(3) for i in range(4)]
+    corpus.apply_epoch(spark, _batch(spark, e1), 1)
+    corpus.apply_epoch(spark, _batch(spark, [(1, None, "d")]), 2)
+    want = _kept_inc(spark, corpus)
+
+    # simulate: staging written (complete), originals partially removed
+    keep_base = str(tmp_path / "sem" / "keep")
+    from oplogtoredis_spark.operators.semantic_corpus import KEEP_SCHEMA
+    from pyspark.sql import Window
+
+    folded = (
+        spark.read.schema(KEEP_SCHEMA)
+        .parquet(*(os.path.join(keep_base, d)
+                   for d in sorted(os.listdir(keep_base))))
+        .withColumn("_maxe", F.max("epoch").over(Window.partitionBy("doc_id")))
+        .where((F.col("epoch") == F.col("_maxe")) & (F.col("op") == "a"))
+        .drop("_maxe")
+    )
+    stage = os.path.join(keep_base, "e000002_compact_staging")
+    folded.write.mode("overwrite").parquet(stage)
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    shutil.rmtree(os.path.join(keep_base, "e000001"))  # crash mid-promotion
+
+    assert _kept_inc(spark, corpus) == want  # recovery promoted the staging
+    assert sorted(os.listdir(keep_base)) == ["e000002"]
+
+    # a marker-less staging dir is garbage: swept, state unchanged
+    bogus = os.path.join(keep_base, "e000002_compact_staging")
+    os.makedirs(bogus)
+    assert _kept_inc(spark, corpus) == want
+    assert not os.path.exists(bogus)
+
+
+def test_incremental_corpus_crashed_epoch_replay_is_lossless(spark, tmp_path):
+    """The same applied-epochs gate protects IncrementalCorpus (the gate
+    lives in the shared helper): a crashed epoch's orphan dirs are
+    invisible and its replay restores the exact post-epoch state."""
+    import json
+
+    from oplogtoredis_spark.operators.incremental_corpus import IncrementalCorpus
+
+    from tests.test_incremental_corpus import GATE, LONG_A, LONG_B
+
+    long_a, long_b = LONG_A, LONG_B
+    c = IncrementalCorpus(str(tmp_path / "corpus"), chunk_tokens=5, overlap=1,
+                          **GATE)
+
+    def b(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, op string")
+
+    c.apply_epoch(spark, b([(3, long_a, "u"), (4, long_a, "u"), (6, long_b, "u")]), 1)
+    c.apply_epoch(spark, b([(3, long_a, "d")]), 2)  # survivor seat flips 3 -> 4
+    want = {(r.doc_id, r.split, r.chunk_idx)
+            for r in c.chunks(spark).collect()}
+    assert 4 in {d for d, _, _ in want} and 3 not in {d for d, _, _ in want}
+
+    marker = tmp_path / "corpus" / "_applied.json"
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["epochs"] = [1]
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    assert 3 in {r.doc_id for r in c.chunks(spark).collect()}  # gate holds
+    c.apply_epoch(spark, b([(3, long_a, "d")]), 2)
+    assert {(r.doc_id, r.split, r.chunk_idx)
+            for r in c.chunks(spark).collect()} == want
