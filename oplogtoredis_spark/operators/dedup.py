@@ -198,6 +198,14 @@ def minhash_lsh_pairs(
     O(candidates) — total work tracks the number of near-duplicates LSH
     surfaces, never the all-pairs corpus product.
     """
+    if bands < 1 or bands > N_MINHASH or N_MINHASH % bands != 0:
+        # bands > N_MINHASH would make every band hash a CONSTANT (empty
+        # slice) — an all-pairs candidate product; a non-divisor would
+        # silently ignore trailing minhashes. Same loud posture as
+        # simhash_dup_pairs' band validation.
+        raise ValueError(
+            f"bands must divide N_MINHASH={N_MINHASH} (got {bands})"
+        )
     rows_per_band = N_MINHASH // bands
     sig = minhash_signature(df, id_col, text_col, n)
     band_cols = []
@@ -348,6 +356,7 @@ def alternating_components(
     """
     cur = _small_star(edges).localCheckpoint(eager=True)
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
@@ -361,6 +370,16 @@ def alternating_components(
         cur = new
         if converged:
             break
+    if not converged:
+        # silently returning a half-converged star set would label docs
+        # with non-minimum cluster ids — duplicate groups split with no
+        # signal. O(log n) convergence means hitting this at the default
+        # 20 needs a component of astronomic diameter; a lowered max_iters
+        # fails loudly instead.
+        raise RuntimeError(
+            f"alternating_components did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
     return cur, rounds
 
 

@@ -235,19 +235,37 @@ class IncrementalCorpus:
             else:
                 spark.conf.set(floor_key, old_floor)
 
-    def apply_epoch(self, spark: SparkSession, batch: DataFrame, epoch: int) -> dict:
+    def apply_epoch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        epoch: int,
+        _extra_meta: dict | None = None,
+    ) -> dict:
         """Apply one change batch: (doc_id long, text string, op 'u'|'d'),
         at most one row per doc_id (collapse upstream — the CDC lake's LWW
         merge already guarantees this for lake-sourced deltas).
 
         Work is bounded by the batch and its affected hash groups; returns
-        counters for observability. Idempotent per epoch (marker replay)."""
-        if epoch in self.applied_epochs():
+        counters for observability. Idempotent per epoch (marker replay);
+        an epoch BELOW the latest applied one is rejected loudly — its
+        rows would be written but immediately lose the LWW fold, a silent
+        no-op the caller would misread as success."""
+        applied = self.applied_epochs()
+        if epoch in applied:
             return {"skipped_replay": True}
+        if applied and epoch < max(applied):
+            raise ValueError(
+                f"epoch {epoch} is below the latest applied epoch "
+                f"{max(applied)} — its rows would lose the LWW fold; "
+                "replay only the exact epochs already applied"
+            )
 
-        # the folded state and the batch's kept rows each feed THREE
-        # downstream branches (prev-hash lookup, next-state, survivor
-        # elections) — persist them so one epoch runs one fold, not three
+        # the batch feeds FOUR branches (gate, prev-hash lookup, next-state
+        # anti-join, removals) — persist it once so a lake-changelog batch
+        # doesn't re-run the bucket-diff scan per branch; the folded state
+        # and the batch's kept rows likewise each feed THREE branches
+        batch = batch.persist()
         members_prev = self.members(spark).persist()
 
         up = batch.where(F.col("op") != "d").select("doc_id", "text")
@@ -351,13 +369,21 @@ class IncrementalCorpus:
                     cdir
                 )
         finally:
-            for df in (members_prev, new_rows, affected, add_docs):
+            for df in (batch, members_prev, new_rows, affected, add_docs):
                 df.unpersist()
 
         epochs = self.applied_epochs() + [epoch]
+        meta = {"epochs": epochs}
+        if os.path.exists(self._marker):
+            with open(self._marker) as f:
+                meta = {**json.load(f), "epochs": epochs}
+        # extra keys (e.g. follow_lake's lake_version) land in the SAME
+        # os.replace as the epoch list — a crash can never record the
+        # epoch without its lake watermark (or vice versa)
+        meta.update(_extra_meta or {})
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epochs": epochs}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._marker)
         return {
             "epoch": epoch,
@@ -426,14 +452,9 @@ class IncrementalCorpus:
                 .otherwise(F.lit("u"))
                 .alias("op"),
             )
-        stats = self.apply_epoch(spark, batch, epoch=to_v)
-        with open(self._marker) as f:
-            meta = json.load(f)
-        meta["lake_version"] = to_v
-        tmp = self._marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._marker)
+        stats = self.apply_epoch(
+            spark, batch, epoch=to_v, _extra_meta={"lake_version": to_v}
+        )
         stats["lake_version"] = to_v
         return stats
 

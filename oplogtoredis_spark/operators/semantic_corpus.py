@@ -205,19 +205,39 @@ class SemanticCorpus:
             else:
                 spark.conf.set(floor_key, old_floor)
 
-    def apply_epoch(self, spark: SparkSession, batch: DataFrame, epoch: int) -> dict:
+    def apply_epoch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        epoch: int,
+        _extra_meta: dict | None = None,
+    ) -> dict:
         """Apply one change batch: (doc_id long, embedding array, op 'u'|'d'),
         at most one row per doc_id (collapse upstream — the CDC lake's LWW
         merge already guarantees this for lake-sourced deltas). A 'u' with a
         NULL embedding fails loudly JVM-side naming the doc_id.
 
         Work is bounded by the batch and its affected clusters; returns
-        counters for observability. Idempotent per epoch (marker replay)."""
+        counters for observability. Idempotent per epoch (marker replay);
+        an epoch BELOW the latest applied one is rejected loudly — its
+        rows would be written but immediately lose the LWW fold, a silent
+        no-op the caller would misread as success."""
         from .similarity import _dot, _norm, _sim
 
-        if epoch in self.applied_epochs():
+        applied = self.applied_epochs()
+        if epoch in applied:
             return {"skipped_replay": True}
+        if applied and epoch < max(applied):
+            raise ValueError(
+                f"epoch {epoch} is below the latest applied epoch "
+                f"{max(applied)} — its rows would lose the LWW fold; "
+                "replay only the exact epochs already applied"
+            )
 
+        # the batch feeds FOUR branches (upserts, prev-cid lookup, next-
+        # state anti-join, deletes) — persist it once so a lake-changelog
+        # batch doesn't re-run the bucket-diff scan per branch
+        batch = batch.persist()
         up = batch.where(F.col("op") != "d").select(
             "doc_id",
             F.when(
@@ -356,7 +376,7 @@ class SemanticCorpus:
                 member_delta.write.mode("overwrite").parquet(mdir)
                 keep_delta.write.mode("overwrite").parquet(kdir)
         finally:
-            for df in (new_rows, members_prev, affected, aff):
+            for df in (batch, new_rows, members_prev, affected, aff):
                 df.unpersist()
 
         epochs = self.applied_epochs() + [epoch]
@@ -364,6 +384,10 @@ class SemanticCorpus:
         if os.path.exists(self._marker):
             with open(self._marker) as f:
                 meta = {**json.load(f), "epochs": epochs}
+        # extra keys (e.g. follow_lake's lake_version) land in the SAME
+        # os.replace as the epoch list — a crash can never record the
+        # epoch without its lake watermark (or vice versa)
+        meta.update(_extra_meta or {})
         tmp = self._marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -402,8 +426,14 @@ class SemanticCorpus:
         vec_format)`` decodes it here. An UNDECODABLE content decodes to
         NULL and trips apply_epoch's loud NULL-embedding guard naming the
         doc_id — a corrupt vector never silently drops. The corpus epoch
-        number IS the lake snapshot version (idempotent replay; mixed
-        manual numbering rejected)."""
+        number IS the lake snapshot version, and the lake watermark is
+        written in the SAME atomic marker update as the epoch (a crash can
+        never record one without the other); idempotent replay; mixed
+        manual numbering rejected. With ``repo=None`` the caller asserts
+        paths are globally unique across repos — the lake key is (repo,
+        path) but doc_id here is path alone, so a cross-repo path
+        collision would violate apply_epoch's one-row-per-doc_id
+        contract."""
         from_v = self.followed_lake_version()
         to_v = table.current_version()
         if any(e > to_v for e in self.applied_epochs()):
@@ -433,14 +463,9 @@ class SemanticCorpus:
                 .otherwise(F.lit("u"))
                 .alias("op"),
             )
-        stats = self.apply_epoch(spark, batch, epoch=to_v)
-        with open(self._marker) as f:
-            meta = json.load(f)
-        meta["lake_version"] = to_v
-        tmp = self._marker + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._marker)
+        stats = self.apply_epoch(
+            spark, batch, epoch=to_v, _extra_meta={"lake_version": to_v}
+        )
         stats["lake_version"] = to_v
         return stats
 

@@ -42,9 +42,19 @@ def _plane_weight(p: int, d: Column) -> Column:
 
 
 def _norm(v: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
+    """L2 norm, LOUD on degenerate input: a NULL/empty/all-zeros vector has
+    no cosine direction, and under this repo's ANSI mode the later
+    ``dot/(na*nb)`` would die with a bare DIVIDE_BY_ZERO deep in a shuffle.
+    Failing here names the condition at the first map stage instead (the
+    same discipline as SemanticCorpus's NULL-embedding guard); downstream
+    divisions stay plain so the DuckDB oracles are expression-identical."""
+    sq = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    return F.when(
+        v.isNull() | (F.coalesce(sq, F.lit(0.0)) == 0.0),
+        F.raise_error(
+            F.lit("zero-norm or NULL embedding has no cosine direction")
+        ).cast("double"),
+    ).otherwise(F.sqrt(sq))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -118,9 +128,17 @@ def lsh_bucket_tables(
     sf0.1 — same finding as minhash_signature's docstring; no CSE across
     lambda boundaries). Bucket values are bit-identical to lsh_bucket()."""
     n_p = n_planes * n_tables
+    # the guard lives INSIDE the generator's input: a NULL/empty vector
+    # explodes to zero rows, so a check in a sibling column would never
+    # evaluate for exactly the rows it must catch — such a doc would
+    # silently vanish from every bucket (never a dedup candidate, never
+    # an ANN result). raise_error here runs per input row.
     ex = df.selectExpr(
         f"{id_col} AS _id",
-        f"posexplode(CAST({vec_col} AS ARRAY<DOUBLE>)) AS (d, x)",
+        f"posexplode(IF({vec_col} IS NOT NULL AND size({vec_col}) > 0,"
+        f" CAST({vec_col} AS ARRAY<DOUBLE>),"
+        f" raise_error(concat('NULL/empty embedding has no LSH bucket: ',"
+        f" CAST({id_col} AS STRING))))) AS (d, x)",
     )
     # expressions as SQL strings: ONE py4j call per aggregate instead of
     # ~15 per plane — Python-side plan construction was the measured
@@ -270,6 +288,33 @@ def quantize_embeddings(
     )
 
 
+def _dequantized_corpus(qz, stats):
+    """(nid, cv, cnorm): the int8-coded corpus read back as float vectors —
+    x̂_i = mn_i + q_i * (mx_i - mn_i) / 255, norms of the DEQUANTIZED
+    vector (the vector the store can reconstruct). One broadcast of the
+    single-row stats; shared by ann_quantized_topk and
+    ann_ivf_quantized_topk so the coding formula cannot diverge between
+    the flat and IVF paths (or from the DuckDB oracle)."""
+    return (
+        qz.crossJoin(F.broadcast(stats))
+        .select(
+            "nid",
+            F.zip_with(
+                F.zip_with(
+                    F.col("qv").cast("array<double>"),
+                    F.zip_with(
+                        F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn
+                    ),
+                    lambda q, r: q * r / 255.0,
+                ),
+                F.col("mins"),
+                lambda scaled, mn: mn + scaled,
+            ).alias("cv"),
+        )
+        .withColumn("cnorm", _norm(F.col("cv")))
+    )
+
+
 def ann_quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -288,25 +333,7 @@ def ann_quantized_topk(
 
     stats = quantization_stats(corpus, id_col, vec_col, sample_k)
     qz = quantize_embeddings(corpus, stats, id_col, vec_col)
-    # dequantize: x̂_i = mn_i + q_i * (mx_i - mn_i) / 255
-    dq = (
-        qz.crossJoin(F.broadcast(stats))
-        .select(
-            "nid",
-            F.zip_with(
-                F.zip_with(
-                    F.col("qv").cast("array<double>"),
-                    F.zip_with(
-                        F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn
-                    ),
-                    lambda q, r: q * r / 255.0,
-                ),
-                F.col("mins"),
-                lambda scaled, mn: mn + scaled,
-            ).alias("cv"),
-        )
-        .withColumn("cnorm", _norm(F.col("cv")))
-    )
+    dq = _dequantized_corpus(qz, stats)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -365,6 +392,14 @@ def ivf_centroids(
 
     Deterministic by construction — smallest-id sample, no RNG — so the
     DuckDB oracle and any two cluster sizes build identical centroids.
+
+    Known degradation (shared with the DuckDB oracle, so still exact):
+    when two seed ids carry IDENTICAL embeddings, every sample vector ties
+    between them and the smaller-cid tie-break starves the larger seed —
+    the Lloyd groupBy then emits FEWER than n_centroids centroids. The
+    quantizer still routes correctly (recall governed by n_probe; keep
+    sets stay exact), just at coarser granularity; dedup the seed region
+    or raise sample_per_centroid if cluster counts matter.
     """
     from pyspark.sql.window import Window as W
 
@@ -553,22 +588,7 @@ def ann_ivf_quantized_topk(
     # because that is the vector the store can reconstruct
     stats = quantization_stats(corpus, id_col, vec_col, sample_k)
     qz = quantize_embeddings(corpus, stats, id_col, vec_col)
-    dq = (
-        qz.crossJoin(F.broadcast(stats))
-        .select(
-            "nid",
-            F.zip_with(
-                F.zip_with(
-                    F.col("qv").cast("array<double>"),
-                    F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn),
-                    lambda q, r: q * r / 255.0,
-                ),
-                F.col("mins"),
-                lambda scaled, mn: mn + scaled,
-            ).alias("cv"),
-        )
-        .withColumn("cnorm", _norm(F.col("cv")))
-    )
+    dq = _dequantized_corpus(qz, stats)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -313,3 +313,35 @@ def test_simhash_dup_pairs_rejects_lossy_banding(spark):
 
     with _pytest.raises(ValueError, match="recall"):
         simhash_dup_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+
+
+def test_minhash_lsh_pairs_rejects_bad_bands(spark):
+    """bands > 16 would make every band hash a constant (all-pairs
+    candidate product); a non-divisor silently discards minhashes."""
+    import pytest
+
+    from oplogtoredis_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "id long, text string"
+    )
+    for bad in (0, 5, 17):
+        with pytest.raises(ValueError, match="bands must divide"):
+            minhash_lsh_pairs(df, "id", "text", bands=bad)
+
+
+def test_alternating_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iters without a stable star set must raise, not
+    return non-minimum labels silently."""
+    import pytest
+
+    from oplogtoredis_spark.operators.dedup import alternating_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "u long, v long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        alternating_components(chain, max_iters=1)
+    # and the same chain converges fine with the default budget
+    stars, rounds = alternating_components(chain)
+    assert {r.v for r in stars.collect()} == {0}

@@ -445,3 +445,37 @@ def test_incremental_corpus_crashed_epoch_replay_is_lossless(spark, tmp_path):
     c.apply_epoch(spark, b([(3, long_a, "d")]), 2)
     assert {(r.doc_id, r.split, r.chunk_idx)
             for r in c.chunks(spark).collect()} == want
+
+
+def test_apply_epoch_rejects_lower_epoch(spark, tmp_path):
+    """An epoch below the latest applied one would write rows that
+    immediately lose the LWW fold — a silent no-op; rejected loudly.
+    Replays of exact applied epochs still short-circuit."""
+    corpus = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                            n_centroids=3, sample_per_centroid=4)
+    corpus.apply_epoch(spark, _batch(spark, [(0, _planted(0, 0), "u")]), 5)
+    assert corpus.apply_epoch(
+        spark, _batch(spark, [(0, _planted(0, 0), "u")]), 5
+    ) == {"skipped_replay": True}
+    with pytest.raises(ValueError, match="below the latest applied"):
+        corpus.apply_epoch(spark, _batch(spark, [(1, _planted(1, 0), "u")]), 3)
+
+
+def test_follow_lake_marker_update_is_atomic(spark, tmp_path):
+    """The lake watermark lands in the SAME marker write as the epoch
+    list — after a follow, both are present together (a crash can never
+    record the epoch without its lake_version)."""
+    import json
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_lake_vec_batch(spark, [(0, _planted(0, 0), "u")], 1), 0)
+    c = SemanticCorpus(str(tmp_path / "sem"), threshold=0.95,
+                       n_centroids=3, sample_per_centroid=4)
+    c.follow_lake(spark, t, repo="emb")
+    with open(str(tmp_path / "sem" / "_applied.json")) as f:
+        meta = json.load(f)
+    assert meta["lake_version"] == t.current_version()
+    assert meta["epochs"] == [t.current_version()]

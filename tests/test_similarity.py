@@ -351,3 +351,34 @@ def test_semdedup_planted_duplicate_group_keeps_smallest(spark):
         ).collect()
     }
     assert kept == {10, 20, 30}
+
+
+def test_zero_norm_embedding_fails_loud(spark):
+    """ANSI mode turns an unguarded dot/(na*nb) into a bare DIVIDE_BY_ZERO
+    deep in a shuffle; _norm now names the condition at the map stage."""
+    from oplogtoredis_spark.operators.dedup import semdedup_keep
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm or NULL embedding"):
+        cosine_topk_bruteforce(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    with pytest.raises(Exception, match="zero-norm or NULL embedding"):
+        semdedup_keep(df, threshold=0.9, n_centroids=2,
+                      sample_per_centroid=1).collect()
+
+
+def test_lsh_bucket_tables_null_vector_fails_loud(spark):
+    """A NULL/empty vector explodes to zero rows — without the in-generator
+    guard it would silently vanish from every bucket (never a dedup
+    candidate, never an ANN result)."""
+    rows = [(0, [1.0, 0.5]), (1, None), (2, [0.5, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from oplogtoredis_spark.operators.similarity import lsh_bucket_tables
+
+    with pytest.raises(Exception, match="no LSH bucket: 1"):
+        lsh_bucket_tables(df, "vec_id", "embedding", 4, 2).collect()
+    with pytest.raises(Exception, match="no LSH bucket"):
+        df2 = spark.createDataFrame(
+            [(0, [1.0, 0.5]), (3, [])], "vec_id long, embedding array<double>"
+        )
+        lsh_bucket_tables(df2, "vec_id", "embedding", 4, 2).collect()
