@@ -116,9 +116,19 @@ def lm_score(
         .join(F.broadcast(ctx_tot), ["ctx"], "left")
         .crossJoin(F.broadcast(vocab))
     )
-    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(k))) / (
+    # an EMPTY model (trained on zero usable docs) makes v = 0 and the
+    # denominator 0 for unseen contexts — under ANSI mode that is a bare
+    # DIVIDE_BY_ZERO deep in the score job; name the condition instead
+    denom = F.when(
+        F.col("v") == 0,
+        F.raise_error(
+            F.lit("lm_score: empty language model (no usable training "
+                  "docs of length >= n)")
+        ).cast("double"),
+    ).otherwise(
         F.coalesce(F.col("ctx_c"), F.lit(0)) + F.lit(float(k)) * F.col("v")
     )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(k))) / denom
     cost = F.floor(-F.log(p) * F.lit(10000.0) + F.lit(0.5)).cast("long")
     return (
         j.select(id_col, cost.alias("_cost"))

@@ -129,3 +129,20 @@ def test_guards(spark):
         lm_score(df, lm_train(df), k=0.0)
     with pytest.raises(ValueError, match="collides"):
         lm_score(df.withColumn("ctx", F.lit("x")), lm_train(df))
+
+
+def test_empty_model_fails_loud(spark):
+    """Scoring against an EMPTY model (no usable training docs) makes the
+    smoothing denominator 0 for every gram — under ANSI mode that was a
+    bare DIVIDE_BY_ZERO deep in the job; now it names the condition."""
+    import pytest
+
+    from oplogtoredis_spark.operators.lm import lm_score, lm_train
+
+    short = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    )
+    empty_lm = lm_train(short, n=4)  # every doc shorter than n
+    with pytest.raises(Exception, match="empty language model"):
+        lm_score(docs, empty_lm, n=4).collect()
