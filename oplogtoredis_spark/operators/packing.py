@@ -21,9 +21,10 @@ derive placement from the portable content hash.
      invariant. Each window partition is ONE shard ≈ ``budget`` tokens:
      bounded, no global window, hot-key-free by construction.
 
-Plan: one agg job + one window shuffle keyed by shard_id. Null or negative
-token counts are caller errors (chunk_documents never emits them) and will
-surface as null offsets rather than being silently coerced.
+Plan: one agg job + one window shuffle keyed by shard_id. Null token
+counts are caller errors (chunk_documents never emits them) and FAIL
+LOUDLY naming the offending id — window SUM would otherwise skip them
+silently, producing well-formed but wrong offsets downstream.
 
 Reference scope note: the reference (tulip/oplogtoredis) has no corpus
 operators; this belongs to the training-data-pipeline surface the build
@@ -67,8 +68,20 @@ def pack_chunks(
         n_shards = max(1, -(-int(total) // budget))  # ceil
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
     h = portable_hash64(F.concat(key, F.lit(salt)))
-    with_shard = df.withColumn("_pack_h", h).withColumn(
-        "shard_id", F.pmod(F.col("_pack_h"), F.lit(n_shards)).cast("int")
+    # a NULL token count would be silently SKIPPED by the window sum —
+    # offsets would come out well-formed but wrong; fail naming the chunk
+    guarded_tokens = F.when(
+        F.col(tokens_col).isNull(),
+        F.raise_error(
+            F.concat(F.lit(f"pack_chunks: NULL {tokens_col} for "), key)
+        ).cast("long"),
+    ).otherwise(F.col(tokens_col))
+    # shard_id is LONG: ceil(9e12 tokens / 4096) > INT_MAX — an int cast
+    # would CAST_OVERFLOW under ANSI exactly at the scale this targets
+    with_shard = df.withColumn(tokens_col, guarded_tokens).withColumn(
+        "_pack_h", h
+    ).withColumn(
+        "shard_id", F.pmod(F.col("_pack_h"), F.lit(n_shards)).cast("long")
     )
     w = Window.partitionBy("shard_id").orderBy(
         F.col("_pack_h"), *[F.col(c) for c in id_cols]

@@ -89,6 +89,12 @@ def hash_split(
     total = sum(f for _n, f in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    bad = [(n, f) for n, f in splits if f <= 0]
+    if bad:
+        # a negative fraction can still sum to 1 — its cumulative
+        # threshold then runs BACKWARD, silently starving that split and
+        # inflating a neighbor
+        raise ValueError(f"split fractions must be > 0, got {bad}")
     h = _sample_hash(F.col(key_col), salt)
     expr: Column | None = None
     acc = 0.0
@@ -113,6 +119,12 @@ def stratified_sample(
     """At most ``k`` rows per stratum, chosen deterministically in hash
     order (ties broken by the key itself): the reproducible analogue of a
     per-group reservoir sample."""
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input; pass "
+            "another name (the sibling operators raise on exactly this "
+            "collision — silently overwriting would lose caller data)"
+        )
     w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
         _sample_hash(F.col(key_col), salt), F.col(key_col)
     )
@@ -286,9 +298,28 @@ def mixture_resample(
             if w_case is None
             else w_case.when(F.col("_dom") == d, sw)
         )
-    rates = masses.crossJoin(F.broadcast(tot)).select(
+    # a weighted domain with ZERO corpus mass cannot receive its share —
+    # the remaining domains would silently renormalize (requested .5/.3/.2
+    # ships as .625/.375/0) and total output mass falls short; anchor the
+    # rates frame on the EXPECTED domain list and fail loudly on a hole
+    # (no extra job, no persist — the check rides the same tiny frame)
+    expected = df.sparkSession.createDataFrame(
+        [(d,) for d in weights], "_dom string"
+    )
+    rates = expected.join(F.broadcast(masses), "_dom", "left").crossJoin(
+        F.broadcast(tot)
+    ).select(
         "_dom",
-        (
+        F.when(
+            F.col("_m").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_resample: weighted domain has no corpus "
+                          "mass: "),
+                    F.col("_dom"),
+                )
+            ).cast("double"),
+        ).otherwise(
             w_case * F.col("_t").cast("double") / F.col("_m").cast("double")
         ).alias(rate_col),
     )
@@ -324,6 +355,11 @@ def weighted_sample(
     (identical score) break by the key."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input; pass "
+            "another name"
+        )
     eligible = df.where(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     )

@@ -59,12 +59,32 @@ def span_dedup(
     is the smallest ``(id, span_idx)`` — deterministic, partition-order
     independent. Other input columns are not carried (reassembly is a
     regroup; re-join metadata on ``id_col`` afterwards if needed).
+
+    Precondition: ``id_col`` is unique (one row per document) — duplicate
+    ids would tie the winner election's order key (nondeterministic
+    winner) and the regroup would interleave the two texts' spans; dedup
+    upstream (the same collapse-upstream contract as the incremental
+    corpus classes).
     """
     if span_words < 1:
         raise ValueError("span_words must be >= 1")
     clash = [c for c in df.columns if c in _INTERNAL]
     if clash:
         raise ValueError(f"input columns collide with internals: {clash}")
+
+    # blank/NULL documents have NO spans to dedup — route them around the
+    # machinery verbatim. Without this, tokens('') = [''] gives every
+    # blank doc the same empty-string span: one arbitrary winner survives
+    # (with text '') and every other blank doc is silently DELETED as "a
+    # repeat" — neither keep-all nor drop-all, and not the C4 semantics.
+    blank_pred = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    passthrough = df.where(blank_pred).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_spans_dropped"),
+    )
+    df = df.where(~blank_pred)
 
     # tokenize ONCE per row in a child projection; the slice lambda below
     # must not close over the raw split() (per-element re-evaluation)
@@ -122,4 +142,4 @@ def span_dedup(
             "n_spans_dropped",
         )
     )
-    return out
+    return out.unionByName(passthrough)

@@ -96,6 +96,15 @@ def wap_merge(
     names = [c["name"] for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
+    bad_kinds = [c["name"] for c in checks if c.get("kind") not in
+                 ("row", "unique", "fk")]
+    if bad_kinds:
+        # run_expectations silently IGNORES unknown kinds — a typo'd suite
+        # would audit vacuously and publish unaudited data
+        raise ValueError(
+            f"unknown expectation kind in checks {bad_kinds}: "
+            "use the constructors in operators/expectations.py"
+        )
     if not table._REF_NAME.match(publish_tag or ""):
         raise ValueError(f"invalid publish_tag name: {publish_tag!r}")
     v_pre = table.current_version()
@@ -103,18 +112,29 @@ def wap_merge(
     v_post = table.current_version()
     if stats.get("skipped_replay") or v_post == v_pre:
         return stats
-    if audit_scope == "changes":
-        ch = table.changes(spark, v_pre, v_post)
-        target = ch.where(ch["_change_type"].isin(*_POST_TYPES)).drop(
-            "_change_type", "_commit_version"
-        )
-    else:
-        target = table.read(spark)
-    report = run_expectations(target, checks)
-    violations = {
-        r["check"]: r["n_violations"]
-        for r in report.where(report["n_violations"] > 0).collect()
-    }
+    try:
+        if audit_scope == "changes":
+            ch = table.changes(spark, v_pre, v_post)
+            target = ch.where(ch["_change_type"].isin(*_POST_TYPES)).drop(
+                "_change_type", "_commit_version"
+            )
+        else:
+            target = table.read(spark)
+        report = run_expectations(target, checks)
+        violations = {
+            r["check"]: r["n_violations"]
+            for r in report.where(report["n_violations"] > 0).collect()
+        }
+    except Exception:
+        # the audit itself failed (e.g. a check referencing a column the
+        # post-image frame lacks): WITHOUT a rollback the unaudited
+        # snapshot stays committed, the replay ledger marks the epoch
+        # applied (a retry would skip the audit entirely), and the next
+        # clean publish would move the tag past it — breaking the "tag
+        # readers never observe an unaudited snapshot" invariant. Roll
+        # back state AND ledger together, then surface the real error.
+        table.rollback(v_pre)
+        raise
     if violations:
         table.rollback(v_pre)
         raise WriteAuditError(batch_id, v_post, violations)

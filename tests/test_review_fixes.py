@@ -263,3 +263,131 @@ def test_stale_orphan_adopted_never_replaced(spark, tmp_path):
     with open(opath) as f:
         assert json.load(f)["mark"] == "ORPHAN"  # bytes untouched
     assert t.current_version() == v + 1  # ...and now visible (adopted)
+
+
+# ---------------- session-9 review round (packing/spandedup/wap/sampling) --
+def test_wap_audit_exception_rolls_back(spark, tmp_path):
+    """An exception raised by the AUDIT itself (not a violation — e.g. a
+    check referencing a column the post-image frame lacks) must roll back
+    the unaudited snapshot AND the replay ledger; otherwise the retry is
+    skipped as a replay and the next clean publish moves the tag past a
+    never-audited snapshot."""
+    import pytest
+
+    from oplogtoredis_spark.operators.expectations import not_null
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+    from oplogtoredis_spark.streaming.wap import wap_merge
+
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+
+    def env(rows, ts):
+        return spark.createDataFrame(
+            [("r", str(i), ts << 32, int(i), "u", f"c{ts}", "en", txt)
+             for i, txt in rows],
+            "repo string, path string, ts long, tx_idx int, op string,"
+            " commit string, lang string, content string",
+        )
+
+    with pytest.raises(Exception, match="no_such_column"):
+        wap_merge(t, spark, env([(1, "a")], 1), 0,
+                  checks=[not_null("no_such_column")])
+    # rollback is a NEW commit restoring the pre-merge state: the
+    # unaudited rows are gone
+    assert t.read(spark).count() == 0
+    # the retry with a FIXED suite must re-apply (ledger rolled back too,
+    # so batch 0 is NOT skipped as a replay)
+    out = wap_merge(t, spark, env([(1, "a")], 1), 0,
+                    checks=[not_null("content")])
+    assert out.get("published") == t.current_version()
+    assert t.read(spark).count() == 1
+
+
+def test_wap_rejects_unknown_check_kind(spark, tmp_path):
+    import pytest
+
+    from oplogtoredis_spark.sources.schemas import TARGET_SCHEMA
+    from oplogtoredis_spark.streaming.lake import LakeTable
+    from oplogtoredis_spark.streaming.wap import wap_merge
+
+    t = LakeTable.create(str(tmp_path / "tbl"), TARGET_SCHEMA, n_buckets=4)
+    bad = {"kind": "foreign_key", "name": "fk:x", "pred": None}
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        wap_merge(t, spark, None, 0, checks=[bad])
+    assert t.current_version() == 0  # validated BEFORE any merge
+
+
+def test_pack_chunks_null_tokens_fails_loud_and_long_shards(spark):
+    import pytest
+
+    from oplogtoredis_spark.operators.packing import pack_chunks
+
+    ok = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 12), (2, 0, 7)],
+        "doc_id long, chunk_idx int, n_tokens int",
+    )
+    out = pack_chunks(ok, budget=16)
+    assert dict(out.dtypes)["shard_id"] == "bigint"  # no ANSI overflow at scale
+    bad = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, None)], "doc_id long, chunk_idx int, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL n_tokens for 1\\|1"):
+        pack_chunks(bad, budget=16).collect()
+
+
+def test_span_dedup_blank_docs_pass_through(spark):
+    """tokens('') = [''] used to give every blank doc the same empty span:
+    one arbitrary 'winner' survived with text '' and the rest were deleted
+    as repeats. Blank docs now pass through verbatim with zero spans."""
+    from oplogtoredis_spark.operators.spandedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None),
+         (4, "real words here forming one span")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_words=3).collect()}
+    assert set(out) == {1, 2, 3, 4}          # nothing silently deleted
+    assert out[1].text == "" and out[2].text == "   " and out[3].text is None
+    assert out[1].n_spans == 0 and out[1].n_spans_dropped == 0
+    assert out[4].n_spans == 2
+
+
+def test_mixture_resample_missing_domain_fails_loud(spark):
+    import pytest
+
+    from oplogtoredis_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(6)] + [(10, "books")],
+        "doc_id long, source string",
+    )
+    with pytest.raises(Exception, match="no corpus mass: code"):
+        mixture_resample(
+            df, "source", {"web": 0.5, "books": 0.3, "code": 0.2}, "doc_id"
+        ).collect()
+
+
+def test_hash_split_rejects_negative_fraction(spark):
+    import pytest
+
+    from oplogtoredis_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="must be > 0"):
+        hash_split(df, "k", (("train", 0.5), ("eval", -0.2), ("test", 0.7)))
+
+
+def test_sample_rank_col_collision_rejected(spark):
+    import pytest
+
+    from oplogtoredis_spark.operators.sampling import (
+        stratified_sample,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", 2.0, 9)], "k long, s string, w double, rk int")
+    with pytest.raises(ValueError, match="rank_col 'rk' already exists"):
+        stratified_sample(df, ("s",), 1, "k")
+    with pytest.raises(ValueError, match="rank_col 'rk' already exists"):
+        weighted_sample(df, "k", "w", 1)
