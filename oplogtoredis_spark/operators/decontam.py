@@ -48,6 +48,11 @@ def grams_from_tokens(toks: Column, n: int) -> Column:
     explicitly because Spark's ``sequence(1, stop)`` with stop < 1 would
     generate a DESCENDING sequence, not an empty one.
     """
+    if n < 1:
+        # n=0 would make every document's gram set the single empty
+        # string on BOTH sides of the decontam join — every doc flagged
+        # contaminated, silently; n<0 dies in slice() mid-job
+        raise ValueError(f"n must be >= 1, got {n}")
     last = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), last),

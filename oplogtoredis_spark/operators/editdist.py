@@ -33,8 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_INTERNAL = ("_ed_var",)
-
 
 def deletion_variants(key: F.Column, k: int = 1) -> F.Column:
     """Array of all strings obtained from ``key`` by deleting up to ``k``
@@ -87,11 +85,8 @@ def edit_distance_pairs(
     Plan: map-side variant explode → equality self-join on the variant →
     one dedup shuffle on the pair → threshold-bounded levenshtein verify.
     """
-    clash = set(_INTERNAL) & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input columns collide with editdist internals: {sorted(clash)}"
-        )
+    # no collision guard needed: the select below drops every input
+    # column except id/key, so caller columns can never shadow internals
     base = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
     var = base.withColumn(
         "_ed_var", F.explode(deletion_variants(F.col("key"), k))
@@ -117,9 +112,20 @@ def edit_distance_pairs(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("dist", F.levenshtein("key_a", "key_b", k))
-        .where(F.col("dist") >= 0)  # threshold form returns -1 past k
-    )
+    # verify BEFORE the dedup, dedup via min_by: deduping on ids alone
+    # before the verify kept an ARBITRARY key pair when id_col is not
+    # unique — output flickered between distances across runs. levenshtein
+    # here is map-side (each pair appears once per shared variant, <= k+1
+    # rows) and the ONE pair-keyed aggregation both dedups and elects the
+    # closest key pair deterministically (keys as tiebreak) — same shuffle
+    # count as the old dropDuplicates.
+    verified = cand.withColumn(
+        "dist", F.levenshtein("key_a", "key_b", k)
+    ).where(F.col("dist") >= 0)  # threshold form returns -1 past k
+    return verified.groupBy("id_a", "id_b").agg(
+        F.min_by(
+            F.struct("key_a", "key_b", "dist"),
+            F.struct("dist", "key_a", "key_b"),
+        ).alias("_best")
+    ).select("id_a", "id_b", "_best.key_a", "_best.key_b", "_best.dist")

@@ -81,9 +81,18 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank_e9", F.lit(0).cast("long"))
     init = 10**9 // n_nodes
+    if init == 0:
+        # past ~1e9 nodes the e9 grid has no resolution left: init (and
+        # the teleport base) floor to 0 and every rank is silently 0.
+        # Fail naming the ceiling — a larger graph needs a wider grid
+        # (e12/e15 variant), not garbage output.
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes exceed the e9 fixed-point "
+            "resolution (init floors to 0); use a wider-grid variant"
+        )
     base = (100 - damping_pct) * 10**9 // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e9"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -102,4 +111,11 @@ def pagerank(
             .cast("long")
             .alias("rank_e9"),
         )
+        # lineage control for convergence-grade iteration counts: each
+        # round nests a join over the previous plan, and past a few dozen
+        # levels Catalyst analysis cost grows super-linearly (train_bpe's
+        # persist_every discipline). Values are unchanged — localCheckpoint
+        # just cuts the logical plan.
+        if (it + 1) % 16 == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

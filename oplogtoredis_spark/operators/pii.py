@@ -36,15 +36,20 @@ def redact_pii(
     """(id, redacted, n_email, n_ipv4, n_phone, n_pii) per document.
 
     ``redacted`` is the text with every match replaced by its placeholder;
-    the counters are the number of matches each rule consumed.
+    the counters are the number of matches each rule consumed. A NULL
+    text keeps ``redacted`` NULL but counts ZERO matches — without the
+    coalesce the counters were NULL too, and such a row fell out of BOTH
+    ``n_pii = 0`` and ``n_pii > 0`` filters (neither clean nor flagged),
+    while corpus-level counter sums silently undercounted.
     """
     cur: Column = F.col(text_col)
     counters = []
     for name, pat, rep in PII_RULES:
         counters.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
-                f"n_{name}"
-            )
+            F.coalesce(
+                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, rep)
     out = df.select(F.col(id_col), cur.alias("redacted"), *counters)

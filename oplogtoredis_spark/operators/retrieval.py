@@ -92,6 +92,11 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5) / (df + 0.5))   (non-negative variant)
     term = idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + (b*dl) / avgdl)))
 
+    A query none of whose terms occur in the corpus (or whose text is
+    empty/whitespace) produces ZERO output rows — absence of matches, not
+    a zero-score row; left-join against the query table downstream to
+    distinguish "no matches" from "query not submitted".
+
     Query terms are DISTINCT per query (repeated query words score once).
     N and avgdl cover documents with >= 1 token. Constants ``k1+1`` and
     ``1-b`` are pre-computed in Python and injected as literals so the

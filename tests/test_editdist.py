@@ -91,7 +91,10 @@ class TestEditDistancePairs:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_internal_collision_guard(self, spark):
+    def test_internal_name_in_input_is_tolerated(self, spark):
+        # the operator's first select drops every input column except
+        # id/key, so a caller column named like an internal can never
+        # collide — no spurious guard (review r5s9 simplification)
         df = self._df(spark).withColumn("_ed_var", F.lit(1))
-        with pytest.raises(ValueError, match="editdist internals"):
-            edit_distance_pairs(df, "id", "key")
+        out = edit_distance_pairs(df, "id", "key")
+        assert out.count() >= 0

@@ -391,3 +391,73 @@ def test_sample_rank_col_collision_rejected(spark):
         stratified_sample(df, ("s",), 1, "k")
     with pytest.raises(ValueError, match="rank_col 'rk' already exists"):
         weighted_sample(df, "k", "w", 1)
+
+
+# ---------------- session-9 review round 3 (editdist/decontam/graph/pii) --
+def test_editdist_duplicate_ids_deterministic_min_dist(spark):
+    """With a non-unique id_col the old ids-only dropDuplicates BEFORE the
+    verify kept an arbitrary key pair (output flickered across runs); the
+    pair now deterministically carries the CLOSEST key pair."""
+    from oplogtoredis_spark.operators.editdist import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (1, "sittin"), (2, "kitten")], "id long, key string"
+    )
+    for attempt in range(3):
+        out = {
+            (r.id_a, r.id_b): (r.key_a, r.key_b, r.dist)
+            for r in edit_distance_pairs(
+                df.repartition(attempt + 2), "id", "key", k=1
+            ).collect()
+        }
+        assert out == {(1, 2): ("kitten", "kitten", 0)}
+
+
+def test_decontaminate_rejects_bad_n(spark):
+    import pytest
+
+    from oplogtoredis_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            decontaminate(docs, docs, n=bad)
+
+
+def test_pagerank_resolution_ceiling_and_deep_iters(spark):
+    """Past ~1e9 nodes the e9 grid floors init to 0 (all ranks silently
+    zero) — now loud. And a convergence-grade iteration count completes
+    (lineage cut every 16 rounds) with ranks matching a shallower
+    already-converged run."""
+    import pytest
+
+    from oplogtoredis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    deep = {r.node: r.rank_e9 for r in pagerank(edges, iters=40).collect()}
+    again = {r.node: r.rank_e9 for r in pagerank(edges, iters=40).collect()}
+    # 40 iterations crosses two lineage cuts (every 16): the run completes
+    # (no plan blow-up) and the cuts change no values
+    assert deep == again
+    assert set(deep) == {1, 2, 3, 4} and all(v > 0 for v in deep.values())
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        pagerank(edges, iters=0)
+
+
+def test_pii_null_text_counts_zero(spark):
+    """NULL text: redacted stays NULL but every counter is 0 — the row no
+    longer falls out of BOTH n_pii=0 and n_pii>0 filters."""
+    from oplogtoredis_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me: a@b.co"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[2].redacted is None
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone, out[2].n_pii) == (
+        0, 0, 0, 0,
+    )
+    assert out[1].n_email == 1 and out[1].n_pii == 1
