@@ -128,7 +128,12 @@ class IncrementalAggView:
         if to_v <= from_v:
             return {"lake_version": from_v, "up_to_date": True}
         if from_v < 0:
-            contrib = self._signed(table.read(spark), F.lit(1))
+            # PIN the first read to the snapshotted version: a concurrent
+            # HA-twin commit between current_version() and the read action
+            # would otherwise fold v+1's rows into state stamped as v —
+            # the next follow then re-applies changes(v, v+1) and
+            # double-counts forever (the enrich.py pinning discipline)
+            contrib = self._signed(table.read(spark, version=to_v), F.lit(1))
         else:
             ch = table.changes(spark, from_v, to_v)
             sign = F.when(
@@ -140,6 +145,21 @@ class IncrementalAggView:
         new = (
             contrib.groupBy(*self.group_cols)
             .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_e4").alias("sum_e4"))
+            # a NEGATIVE folded count is a broken changelog (a retraction
+            # for a row never added) — fail like the sibling views instead
+            # of silently committing corrupted state; == 0 is the normal
+            # retire-the-group case
+            .withColumn(
+                "n_rows",
+                F.when(
+                    F.assert_true(
+                        F.col("n_rows") >= 0,
+                        "IncrementalAggView: negative folded count — "
+                        "changelog retracted a row never added",
+                    ).isNull(),
+                    F.col("n_rows"),
+                ),
+            )
             .where(F.col("n_rows") > 0)
         )
         out = self._state_dir(to_v)
@@ -240,6 +260,10 @@ class IncrementalDistinctView:
                 F.expr(self.distinct_expr).cast("string").alias("_val"),
                 sign_col.alias("_sign"),
             )
+            # SQL COUNT(DISTINCT expr) ignores NULLs — a NULL value must
+            # not hold a refcount group (it would count as a distinct
+            # value, diverging from the documented semantics)
+            .where(F.col("_val").isNotNull())
             .groupBy(*self.group_cols, "_val")
             .agg(F.sum("_sign").alias("_refs"))
         )
@@ -250,7 +274,8 @@ class IncrementalDistinctView:
         if to_v <= from_v:
             return {"lake_version": from_v, "up_to_date": True}
         if from_v < 0:
-            contrib = self._signed(table.read(spark), F.lit(1))
+            # pinned first read — see IncrementalAggView.follow_lake
+            contrib = self._signed(table.read(spark, version=to_v), F.lit(1))
         else:
             ch = table.changes(spark, from_v, to_v)
             sign = F.when(

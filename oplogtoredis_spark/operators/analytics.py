@@ -332,9 +332,14 @@ def resample_gapfill(
     ms = (F.unix_millis(F.col(ts_col))
           if dict(df.dtypes)[ts_col].startswith("timestamp")
           else F.col(ts_col).cast("long"))
-    # pure integer bucketing (ms − ms % step): no float division anywhere,
-    # so the oracle mirrors exactly at any timestamp magnitude
-    bucket = (ms - (ms % F.lit(step_ms))).cast("long")
+    # pure integer FLOOR bucketing (ms − pmod(ms, step)): plain `%` takes
+    # the dividend's sign, so pre-epoch timestamps in (−step, 0) would
+    # share bucket 0 with [0, step) — a double-width bucket at zero and
+    # ceil-bucketing for every negative range. pmod keeps the remainder
+    # in [0, step); identical to `%` for the non-negative timestamps the
+    # oracle data carries (DuckDB mirror for negative inputs:
+    # ms − ((ms % step + step) % step)).
+    bucket = (ms - F.pmod(ms, F.lit(step_ms))).cast("long")
     v4 = F.floor(F.col(value_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
     sparse = (
         df.select(*keys, bucket.alias("bucket_ms"), v4.alias("_v"))
@@ -459,10 +464,11 @@ def zscore_anomalies(
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-            F.sum("_v").cast("decimal(38,0)").alias("_s"),
-            # the product is cast to decimal BEFORE summation: Σv² exceeds
-            # int64 long before Σv does (ANSI mode would fail loudly, but
-            # the 100 TB posture is to not overflow at all)
+            # the cast is on the sum OPERAND: Σv itself exceeds int64 at
+            # ~1e12 rows of e4-fixed values — a post-agg cast would ANSI-
+            # overflow inside the long partial sum before ever applying
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+            # the product likewise: Σv² exceeds int64 long before Σv does
             F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v"))
             .cast("decimal(38,0)")
             .alias("_ss"),
@@ -524,10 +530,13 @@ def linear_trend(
     y4 = F.floor(y * F.lit(10000.0) + F.lit(0.5)).cast("long")
     g = df.select(*keys, x.alias("_x"), y4.alias("_y")).groupBy(*keys).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
-        F.sum("_y").cast("decimal(38,0)").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("_sxx"),
-        F.sum(F.col("_x") * F.col("_y")).cast("decimal(38,0)").alias("_sxy"),
+        # casts on the sum OPERANDS, not the finished sum: the int64
+        # partial sum itself overflows (ANSI ArithmeticException) at 100 TB
+        # row counts before a post-agg cast could ever apply
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x").cast("decimal(38,0)") * F.col("_y")).alias("_sxy"),
     )
     num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
         "double"
@@ -704,8 +713,10 @@ def ab_test(
         av = F.when(cond, F.col("_v"))
         return [
             F.count(av).cast("decimal(38,0)").alias(f"_n{suffix}"),
-            dec(F.sum(av)).alias(f"_s{suffix}"),
-            dec(F.sum(dec(av) * av)).alias(f"_ss{suffix}"),
+            # operand-cast sums: a post-agg dec() would overflow inside
+            # the long partial sum first (same fix as zscore/linear_trend)
+            F.sum(dec(av)).alias(f"_s{suffix}"),
+            F.sum(dec(av) * av).alias(f"_ss{suffix}"),
         ]
 
     stats = rows.groupBy(*keys).agg(*arm(in_a, "a"), *arm(~in_a, "b"))

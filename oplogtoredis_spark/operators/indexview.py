@@ -117,7 +117,11 @@ class IncrementalIndexView:
         if to_v <= from_v:
             return {"lake_version": from_v, "up_to_date": True}
         if from_v < 0:
-            contrib = self._signed(table.read(spark), F.lit(1))
+            # pinned first read: an HA-twin commit between
+            # current_version() and the read action would otherwise fold
+            # rows stamped under the WRONG version and double-count on the
+            # next changelog fold (see IncrementalAggView.follow_lake)
+            contrib = self._signed(table.read(spark, version=to_v), F.lit(1))
         else:
             ch = table.changes(spark, from_v, to_v)
             sign = F.when(

@@ -92,7 +92,22 @@ def make_enrich_applier(
         # CURRENT mid-epoch is invisible to this batch.
         v = lake.current_version()
         state = lake.read(spark, version=v)
-        payload = [c for c in state.columns if c not in keys]
+        # exclude the lake's own bookkeeping from the payload: 'deleted'
+        # is constant-false after the read filter (dead broadcast bytes
+        # per epoch, and it shadows a legitimate batch column of the same
+        # prefixed name in the clash check)
+        payload = [
+            c for c in state.columns if c not in keys and c != "deleted"
+        ]
+        if "version" in payload:
+            # the stamp column would silently OVERWRITE the prefixed lake
+            # payload of the same name (out_cols is a set — the collision
+            # dedups away instead of tripping the clash guard below)
+            raise ValueError(
+                f"enrich: the lake carries a 'version' payload column — "
+                f"it collides with the {prefix}version snapshot stamp; "
+                "rename the lake column or the prefix"
+            )
         out_cols = {prefix + c for c in payload} | {f"{prefix}version"}
         clash = out_cols & set(batch_df.columns)
         if clash:

@@ -218,3 +218,98 @@ class TestDistinctView:
             v.read(spark)
         with pytest.raises(ValueError, match="at least one column"):
             IncrementalDistinctView(str(tmp_path / "x"), (), "length(content)")
+
+
+class _StaleVersionTable(LakeTable):
+    """A table whose current_version() reports a version BELOW the real
+    CURRENT — the race window where an HA twin commits between a view's
+    version snapshot and its first read action."""
+
+    def __init__(self, path, stale_v):
+        super().__init__(path)
+        self._stale_v = stale_v
+
+    def current_version(self):
+        return self._stale_v
+
+
+def test_first_follow_pins_the_snapshotted_version(spark, tmp_path):
+    """A commit landing between current_version() and the first-read
+    action must NOT fold into state stamped with the older version — the
+    next changelog fold would double-count it. Pinned read + follow-up
+    fold must equal the batch recompute exactly."""
+    path = str(tmp_path / "tbl")
+    t = LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_batch(spark, [(1, "en", "aaaa", "u"), (2, "de", "bb", "u")], 1), 0)
+    t.merge_batch(_batch(spark, [(3, "en", "cccccc", "u")], 2), 1)  # the racer
+
+    v = _mk(tmp_path)
+    stale = _StaleVersionTable(path, 1)  # sees v1 while CURRENT is v2
+    v.follow_lake(spark, stale)
+    assert v.followed_lake_version() == 1
+    # catch up to the real CURRENT: the racer's rows fold ONCE
+    v.follow_lake(spark, t)
+    assert _state(spark, v) == _recompute(spark, t, v)
+
+
+def test_negative_folded_count_fails_loud(spark, tmp_path):
+    """A changelog retracting a row never added must raise, not silently
+    drop the group and commit corrupted state (the sibling views' guard,
+    now shared). Simulated by replaying the same delete-only diff twice
+    via a stale-version wrapper."""
+    path = str(tmp_path / "tbl")
+    t = LakeTable.create(path, TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(_batch(spark, [(1, "en", "aaaa", "u"), (2, "en", "bb", "u")], 1), 0)
+    t.merge_batch(_batch(spark, [(1, "en", "", "d"), (2, "en", "", "d")], 2), 1)
+
+    v = _mk(tmp_path)
+    v.follow_lake(spark, _StaleVersionTable(path, 1))  # state at v1
+    # hand-roll the corrupt replay: rewind the marker to v0 WITHOUT
+    # rewinding state, so the next follow re-applies the v0->v1 diff...
+    # wait: v1 state already folded; instead rewind marker so the same
+    # delete diff (v1->v2... not present). Simpler: marker says 1, follow
+    # to 2 applies the two deletes; groups hit zero (legal). Then rewind
+    # the marker back to 1 and follow again: the SAME deletes re-apply
+    # against empty state -> negative counts -> loud.
+    v.follow_lake(spark, t)  # folds the deletes; groups retire to zero
+    import json
+    import os
+    import shutil
+
+    vdir = str(tmp_path / "view")
+    # hand-corrupt the marker back to v1 while keeping the POST-delete
+    # state (copy v2's empty state dir to v1's name): the next follow
+    # replays the delete diff against already-deleted state — exactly the
+    # retract-a-row-never-added contract violation
+    shutil.copytree(os.path.join(vdir, "v00000002"), os.path.join(vdir, "v00000001"))
+    with open(os.path.join(vdir, "_VIEW.json")) as f:
+        meta = json.load(f)
+    meta["lake_version"] = 1
+    with open(os.path.join(vdir, "_VIEW.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(Exception, match="negative folded count"):
+        v.follow_lake(spark, t)
+
+
+def test_distinct_view_ignores_null_values(spark, tmp_path):
+    """SQL COUNT(DISTINCT expr) ignores NULLs; a NULL value must not hold
+    a refcount group."""
+    from oplogtoredis_spark.operators.aggview import IncrementalDistinctView
+
+    t = LakeTable.create(str(tmp_path / "tbln"), TARGET_SCHEMA, n_buckets=4)
+    # nullif(content,'x') is NULL for the 'x' doc
+    t.merge_batch(
+        _batch(
+            spark,
+            [(1, "en", "a", "u"), (2, "en", "b", "u"), (3, "en", "x", "u")],
+            1,
+        ),
+        0,
+    )
+    v = IncrementalDistinctView(
+        str(tmp_path / "dv"), group_cols=("lang",),
+        distinct_expr="nullif(content, 'x')",
+    )
+    v.follow_lake(spark, t)
+    got = {r.lang: r.n_distinct for r in v.read(spark).collect()}
+    assert got == {"en": 2}  # NULL not counted as a third distinct value

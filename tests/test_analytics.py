@@ -690,3 +690,20 @@ class TestAbTest:
         df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
         with pytest.raises(ValueError, match="ab_test internals"):
             ab_test(df.withColumn("t_stat", F.lit(1)), "user_id", "value")
+
+
+def test_resample_gapfill_floor_buckets_negative_ts(spark):
+    """Plain % takes the dividend's sign: pre-epoch timestamps in
+    (-step, 0) shared bucket 0 with [0, step). pmod floor-buckets them
+    into their own bucket at -step."""
+    from oplogtoredis_spark.operators.analytics import resample_gapfill
+
+    df = spark.createDataFrame(
+        [("k", -100, 1.0), ("k", 100, 2.0)], "key string, ts long, v double"
+    )
+    out = resample_gapfill(
+        df, keys=("key",), ts_col="ts", value_col="v", step_ms=1000,
+        fill="zero",
+    )
+    buckets = {r.bucket_ms: r.n_events for r in out.collect()}
+    assert buckets == {-1000: 1, 0: 1}  # two buckets, not one double-width

@@ -168,3 +168,39 @@ def test_snapshot_bytes_tolerates_vanishing_files(lake):
 
     with mock.patch("os.path.getsize", side_effect=flaky):
         assert snapshot_bytes(lake, v) == 0  # shrinks, never raises
+
+
+def test_lake_version_payload_column_rejected(spark, tmp_path):
+    """A lake payload column literally named 'version' collides with the
+    snapshot stamp — the set-based clash guard dedup'd it away and the
+    stamp silently OVERWROTE the enriched payload; now rejected loudly.
+    And the lake's internal 'deleted' flag no longer ships as payload."""
+    t = LakeTable.create(str(tmp_path / "lv"), TARGET_SCHEMA, n_buckets=4)
+    t.merge_batch(
+        spark.createDataFrame(
+            [("r/a", "f", 1 << 32, 0, "i", "c1", "py", "v1", 7)],
+            "repo string, path string, ts long, tx_idx int, op string,"
+            " commit string, lang string, content string, version int",
+        ),
+        0,
+        extra_payload_cols=("version",),
+    )
+    captured = {}
+
+    def write(df, _bid):
+        captured["cols"] = df.columns
+        df.collect()
+
+    applier = make_enrich_applier(t.path, write, on=KEYS)
+    batch = spark.createDataFrame([("r/a", "f", 1)], "repo string, path string, eid long")
+    with pytest.raises(ValueError, match="'version' payload column"):
+        applier(batch, 0)
+
+    # a plain lake: payload excludes 'deleted', stamp present
+    t2 = LakeTable.create(str(tmp_path / "lv2"), TARGET_SCHEMA, n_buckets=4)
+    t2.merge_batch(
+        _state_batch(spark, [("r/a", "f", 1 << 32, 0, "i", "c1", "py", "v1")]), 0
+    )
+    make_enrich_applier(t2.path, write, on=KEYS)(batch, 0)
+    assert "s_deleted" not in captured["cols"]
+    assert "s_version" in captured["cols"] and "s_content" in captured["cols"]
