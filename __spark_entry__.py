@@ -83,8 +83,77 @@ def _docs(spark: SparkSession, sf_dir: str, par: bool = False) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # always _par (guide §2.5/§6): embeddings.parquet is ONE row group at
+    # bench scale, so without the repartition EVERY embedding family's
+    # per-row vector math (bucket aggregates, centroid assignment, norms)
+    # runs inside a single scan task — minPartitionNum cannot split inside
+    # a row group. All consumers are CPU-heavy per row; the few-MB shuffle
+    # is noise next to the serial pass it removes.
     _ensure_shipped(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _par(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _dump_split_stream_dir(
+    df: DataFrame,
+    base: str,
+    sub: str,
+    order_col: str,
+    extra_second: DataFrame | None = None,
+) -> str:
+    """Streaming-fixture dump, SPARK-NATIVE (guide §5; VERDICT r5 #3): two
+    time-ordered parquet files under ``base/sub`` — earlier half of
+    ``order_col`` in 00.parquet, the rest (plus ``extra_second``, e.g.
+    redelivered duplicates) in 01.parquet, mtimes stamped so
+    maxFilesPerTrigger=1 replays oldest-first. The split point is a
+    quantile of ``order_col``; every consumer of these fixtures is
+    split-point-invariant (watermarks exceed the data span; stateful folds
+    sort per key per batch), so only the CROSS-batch time ordering matters,
+    which the threshold split guarantees. Replaces the r5 driver-side
+    ``toPandas`` dump that materialized every row on the driver (a 100×
+    driver OOM; also ~seconds of serialize at sf1.0)."""
+    import glob
+    import shutil
+    import time as _t
+
+    m = df.approxQuantile(order_col, [0.5], 0.01)[0]
+    d = f"{base}/{sub}"
+    os.makedirs(d)
+    halves = [df.where(F.col(order_col) <= m), df.where(F.col(order_col) > m)]
+    if extra_second is not None:
+        halves[1] = halves[1].unionByName(extra_second)
+    for i, h in enumerate(halves):
+        tmp = f"{base}/_tmp_{sub}_{i}"
+        h.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        p = f"{d}/{i:02d}.parquet"
+        os.replace(part, p)
+        shutil.rmtree(tmp, ignore_errors=True)
+        t0 = _t.time() - 100 + i
+        os.utime(p, (t0, t0))
+    return d
+
+
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def _stream_state_parallelism(spark: SparkSession):
+    """Scope shuffle partitions to the core count for an availableNow
+    stateful replay (set/restore — same discipline as SemanticCorpus's
+    _epoch_shuffle_scale). A fresh stream checkpoint pins its state-store
+    partition count from this conf: the session's batch-analytics reduce
+    width (128) would schedule 128 state tasks per micro-batch per
+    stateful operator, ~4× task-launch overhead for identical results
+    (state operators are keyed per row; partition count never affects
+    emitted rows). Parameterized by the session's core count — never a
+    constant — so cluster runs scale it with the executor fleet."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +349,11 @@ def q_envelope_decode(spark, sf_dir):
         F.lit('","ns":"app.'), F.col("event_type"),
         F.lit('","o":{"_id":'), eid.cast("string"), F.lit("}}"),
     )
-    raw = _ev(spark, sf_dir).select(
+    # par=True (guide §2.5/§6): events.parquet is ONE row group at bench
+    # scale, so the 1M-row JSON construct+from_json parse otherwise runs as
+    # a single scan task (measured 13.5 s at sf1.0; minPartitionNum cannot
+    # split inside a row group)
+    raw = _ev(spark, sf_dir, par=True).select(
         eid.alias("event_id"),
         F.when(eid % 13 == 0, F.lit("not json")).otherwise(line).alias("raw"),
     )
@@ -2640,35 +2713,24 @@ def q_stream_interval_join_events(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="otr_ssj_")
 
-    def dump(df, sub):
-        import os
-        import time as _t
-
-        pdf = df.toPandas().sort_values("ts_ms")
-        mid = len(pdf) // 2
-        d = f"{base}/{sub}"
-        os.makedirs(d)
-        for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
-            p = f"{d}/{i:02d}.parquet"
-            half.to_parquet(p, index=False)
-            t = _t.time() - 100 + i
-            os.utime(p, (t, t))
-        return d
-
-    clicks = dump(
+    clicks = _dump_split_stream_dir(
         ev.where(F.col("event_type") == "click").select(
             "user_id", "event_id", _ts_ms().alias("ts_ms")
         ),
+        base,
         "clicks",
+        "ts_ms",
     )
-    purchases = dump(
+    purchases = _dump_split_stream_dir(
         ev.where(F.col("event_type") == "purchase").select(
             "user_id",
             "event_id",
             _ts_ms().alias("ts_ms"),
             F.round("value", 4).alias("value"),
         ),
+        base,
         "purchases",
+        "ts_ms",
     )
     ls = (
         spark.readStream.schema("user_id long, event_id long, ts_ms long")
@@ -2692,15 +2754,16 @@ def q_stream_interval_join_events(spark, sf_dir):
         watermark_delay="90 days", prefix="p_",
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     t = spark.table(name)
     return t.select(
         "user_id",
@@ -3513,30 +3576,19 @@ def q_funnel_stream_events(spark, sf_dir):
     B2 per-key ordered-delivery contract, which the fold builds on); the
     latest emission per user + the stage-0 users IS the batch funnel, so
     the oracle is SQL_FUNNEL — unchanged by design."""
-    import os
     import tempfile
-    import time as _t
     import uuid
 
     from oplogtoredis_spark.streaming.stateful import funnel_stream
 
     ev = _ev(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="otr_fst_")
-    pdf = (
-        ev.select(
-            "user_id", _ts_ms().alias("ts_ms"), "event_type"
-        )
-        .toPandas()
-        .sort_values("ts_ms")
+    src = _dump_split_stream_dir(
+        ev.select("user_id", _ts_ms().alias("ts_ms"), "event_type"),
+        base,
+        "events",
+        "ts_ms",
     )
-    mid = len(pdf) // 2
-    src = f"{base}/events"
-    os.makedirs(src)
-    for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
-        p = f"{src}/{i:02d}.parquet"
-        half.to_parquet(p, index=False)
-        t0 = _t.time() - 100 + i
-        os.utime(p, (t0, t0))
     stages = ("signup", "click", "purchase")
     stream = (
         spark.readStream.schema(
@@ -3546,16 +3598,17 @@ def q_funnel_stream_events(spark, sf_dir):
         .parquet(src)
     )
     name = f"fst_{uuid.uuid4().hex[:8]}"
-    q = (
-        funnel_stream(stream, stages)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            funnel_stream(stream, stages)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     ts_cols = [f"t_{s}_ms" for s in stages]
     latest = (
         spark.table(name)
@@ -3581,44 +3634,39 @@ def q_heavy_hitters_stream_events(spark, sf_dir):
     batch GROUP BY to the row (the oracle). The stream is a REAL
     availableNow run over two time-split files (cross-batch count
     accumulation exercised, not single-batch)."""
-    import os
     import tempfile
-    import time as _t
     import uuid
 
     from oplogtoredis_spark.streaming.stateful import heavy_hitters_stream
 
     base = tempfile.mkdtemp(prefix="otr_hh_")
-    pdf = (
-        _ev(spark, sf_dir)
-        .select("event_id", "event_type")
-        .toPandas()
-        .sort_values("event_id")
+    # split on event_id (the r5 fixture's order); files carry the extra
+    # event_id column, which the readStream schema projection drops
+    src = _dump_split_stream_dir(
+        _ev(spark, sf_dir).select("event_id", "event_type"),
+        base,
+        "events",
+        "event_id",
     )
-    mid = len(pdf) // 2
-    src = f"{base}/events"
-    os.makedirs(src)
-    for i, half in enumerate((pdf.iloc[:mid], pdf.iloc[mid:])):
-        p = f"{src}/{i:02d}.parquet"
-        half[["event_type"]].to_parquet(p, index=False)
-        t0 = _t.time() - 100 + i
-        os.utime(p, (t0, t0))
     stream = (
         spark.readStream.schema("event_type string")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     name = f"hh_{uuid.uuid4().hex[:8]}"
-    q = (
-        heavy_hitters_stream(stream, "event_type", capacity=8, n_partitions=4)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parallelism(spark):
+        q = (
+            heavy_hitters_stream(
+                stream, "event_type", capacity=8, n_partitions=4
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     summaries = spark.table(name)
     return (
         summaries.groupBy("pid", "item")
@@ -3642,35 +3690,24 @@ def q_stream_dedup_events(spark, sf_dir):
     once no duplicate can still arrive — the streaming analogue of the
     lake MERGE's replay-window idempotency, which absorbs redeliveries
     relationally instead). The oracle is plain DISTINCT."""
-    import os
     import tempfile
-    import time as _t
     import uuid
-
-    import pandas as pd
 
     ev = _ev(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="otr_sdd_")
-    pdf = (
-        ev.select(
-            "event_id", "user_id", "event_type", _ts_ms().alias("ts_ms")
-        )
-        .toPandas()
-        .sort_values("ts_ms")
+    feed = ev.select(
+        "event_id", "user_id", "event_type", _ts_ms().alias("ts_ms")
     )
-    dups = pdf[pdf["event_id"] % 3 == 0]
-    mid = len(pdf) // 2
-    src = f"{base}/events"
-    os.makedirs(src)
     # batch 2 carries a SECOND copy of every dup-subset row: first-half
     # originals are redelivered CROSS-batch (checkpointed state absorbs
     # them), second-half ones intra-batch — both postures exercised
-    halves = (pdf.iloc[:mid], pd.concat([pdf.iloc[mid:], dups]))
-    for i, half in enumerate(halves):
-        p = f"{src}/{i:02d}.parquet"
-        half.to_parquet(p, index=False)
-        t0 = _t.time() - 100 + i
-        os.utime(p, (t0, t0))
+    src = _dump_split_stream_dir(
+        feed,
+        base,
+        "events",
+        "ts_ms",
+        extra_second=feed.where(F.col("event_id") % 3 == 0),
+    )
     stream = (
         spark.readStream.schema(
             "event_id long, user_id long, event_type string, ts_ms long"
@@ -3680,18 +3717,22 @@ def q_stream_dedup_events(spark, sf_dir):
         .withColumn("ts", F.timestamp_millis("ts_ms"))
         .withWatermark("ts", "90 days")
     )
-    name = f"sdd_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.dropDuplicatesWithinWatermark(["event_id"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    # parquet file sink (guide §5): the r5 memory sink collected the ~1M
+    # surviving rows to the driver per run; a file sink on the scratch dir
+    # keeps the output distributed and the read-back is a plain scan
+    out_dir = f"{base}/out"
+    with _stream_state_parallelism(spark):
+        q = (
+            stream.dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "event_type", "ts_ms"
     )
 

@@ -418,31 +418,67 @@ def embedding_dup_pairs_lsh(
     hyperplanes (similarity.py:21-24) make the candidate set — and thus the
     result — bit-reproducible in the DuckDB oracle and across cluster sizes.
 
-    Plan shape: explode(n_tables) → self equality join on small keys →
-    distinct pair ids → two hash joins back to vectors → scalar cosine.
-    No BroadcastNestedLoopJoin / CartesianProduct (pinned by pytest).
+    Plan shape (r6): explode(n_tables) → BROADCAST self equality join on
+    (tbl, bkt) with FIRST-COLLISION dedup — a pair is emitted only in the
+    first table whose buckets agree, so the join output is distinct by
+    construction and the post-join ``distinct`` shuffle over the full
+    candidate set (Σ|bucket|² rows — 148 M at sf1.0) is gone (guide §2.4);
+    the streamed side keeps the even per-id partitioning of the bucket
+    aggregate, so candidate generation parallelizes over id partitions
+    instead of skewing with hot buckets (guide §2.5). Survivors take two
+    broadcast hash joins back to the (small) vector table for the exact
+    cosine verify. No BroadcastNestedLoopJoin / CartesianProduct (pinned
+    by pytest) and no exchange after the bucket aggregates.
     """
     from .similarity import _dot, _norm, lsh_bucket_tables
 
-    buckets = lsh_bucket_tables(df, id_col, vec_col, n_planes, n_tables).select(
-        F.col("_id").alias("id"), "tbl", "bkt"
+    bk = lsh_bucket_tables(
+        df, id_col, vec_col, n_planes, n_tables, carry_all=True
     )
+    earlier = [F.col(f"_b{t}") for t in range(n_tables - 1)]
+    a = bk.select(
+        F.col("_id").alias("id_a"),
+        "tbl",
+        "bkt",
+        *[c.alias(f"_ea{t}") for t, c in enumerate(earlier)],
+    )
+    b = bk.select(
+        F.col("_id").alias("id_b"),
+        "tbl",
+        "bkt",
+        *[c.alias(f"_eb{t}") for t, c in enumerate(earlier)],
+    )
+    # first-collision filter: drop the pair here if any EARLIER table
+    # already bucketed it together (scalar int compares, no array alloc)
+    earlier_match = None
+    for t in range(n_tables - 1):
+        term = (F.col("tbl") > t) & (F.col(f"_ea{t}") == F.col(f"_eb{t}"))
+        earlier_match = term if earlier_match is None else earlier_match | term
+    # explicit repartition of the streamed side: its ~few-MB aggregate
+    # output coalesces to a handful of tasks under AQE (Spark 4.1 ignores
+    # the minPartitionNum floor — session.py), but every streamed row fans
+    # out into THOUSANDS of candidate pairs in the broadcast join, so
+    # partition count here IS the parallelism of the whole pair-generation
+    # + cosine-verify stage. 4× cores for tail balance; the repartition
+    # itself moves a few MB.
+    n_part = 4 * df.sparkSession.sparkContext.defaultParallelism
     cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), on=["tbl", "bkt"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        a.repartition(n_part)
+        .join(F.broadcast(b), on=["tbl", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
     )
+    if earlier_match is not None:
+        cand = cand.where(~earlier_match)
+    cand = cand.select("id_a", "id_b")
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("norm", _norm(F.col("v")))
-    a = vecs.withColumnsRenamed({"id": "id_a", "v": "va", "norm": "na"})
-    b = vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "norm": "nb"})
+    va = F.broadcast(vecs.withColumnsRenamed({"id": "id_a", "v": "va", "norm": "na"}))
+    vb = F.broadcast(vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "norm": "nb"}))
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -622,8 +658,27 @@ def semdedup_keep(
         F.col("cv").alias("vb"),
         F.col("cnorm").alias("nb"),
     )
+    # Join-strategy choice (guide §3.1): with a SMALL cluster count a hash
+    # join on cid bounds parallelism by the CLUSTER COUNT (8 reduce tasks
+    # for a Σ|cluster|² ≈ 25 M-pair product at sf1.0) and buffers each
+    # cluster in the sort-merge — so broadcast the b side and stream a,
+    # spreading the pair product evenly over a's per-nid aggregate
+    # partitions. At 100 TB ``n_centroids`` scales with the corpus (the
+    # paper uses ~100k clusters) and the corpus no longer broadcasts —
+    # there the cid key itself has enough cardinality to parallelize a
+    # shuffle join, so past a cid-cardinality threshold we keep the plain
+    # equality join. Decision is on key CARDINALITY, not a local core
+    # count — scale-adaptive by construction.
+    if n_centroids <= 4096:
+        # repartition the streamed side explicitly: each a-row fans out to
+        # |cluster| pairs, and AQE coalesces the ~10 MB assignment shuffle
+        # to a handful of tasks otherwise (session.py minPartitionSize note)
+        a = a.repartition(4 * df.sparkSession.sparkContext.defaultParallelism)
+        b_side = F.broadcast(b)
+    else:
+        b_side = b
     dups = (
-        a.join(b, "cid")
+        a.join(b_side, "cid")
         .where(F.col("nid_a") < F.col("nid_b"))
         .where(
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)

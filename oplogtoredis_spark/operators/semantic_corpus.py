@@ -301,6 +301,18 @@ class SemanticCorpus:
         # keep-seat re-election WITHIN affected clusters only: the batch
         # operator's rule (no smaller-id cluster-mate at rounded cos >= tau)
         aff = members_next.join(F.broadcast(affected), "cid").persist()
+        # Re-election join strategy (guide §3.1, §2.5): the pair product is
+        # Σ|affected cluster|² rows keyed on cid, whose cardinality is the
+        # (small) affected-cluster count — a shuffle join would run it on
+        # |affected cids| reduce tasks, further clamped by
+        # _epoch_shuffle_scale's linear-row sizing (4 tasks for a ~25 M-pair
+        # product at sf1.0). Stream the a side at explicit full parallelism
+        # (repartition is exempt from the epoch clamp; the quadratic
+        # re-election is the one epoch job whose work is NOT linear in state
+        # rows) and broadcast the b side (bounded: affected members only) so
+        # each a-partition pairs locally. Past a cid-cardinality threshold
+        # the plain equality join parallelizes by itself — same
+        # scale-adaptive decision as semdedup_keep's.
         a = aff.select(
             "cid",
             F.col("doc_id").alias("id_a"),
@@ -313,6 +325,9 @@ class SemanticCorpus:
             F.col("vec").alias("vb"),
             F.col("nrm").alias("nb"),
         )
+        if self.n_centroids <= 4096:
+            a = a.repartition(4 * spark.sparkContext.defaultParallelism)
+            b = F.broadcast(b)
         dups = (
             a.join(b, "cid")
             .where(F.col("id_a") < F.col("id_b"))

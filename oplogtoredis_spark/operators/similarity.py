@@ -58,6 +58,12 @@ def _norm(v: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # NOTE (r6 negative result, kept for the next optimizer): a statically
+    # unrolled `a[0]*b[0] + ... + a[63]*b[63]` scalar tree measured 13×
+    # SLOWER than this fold on a 10M-pair microbench (26.4 s vs 2.0 s at
+    # local[32]) — the 64-term expression blows the JIT method budget and
+    # the whole stage drops to interpreted bytecode. The zip_with/aggregate
+    # fold is the fast formulation on Spark 4.1.
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
@@ -119,6 +125,7 @@ def lsh_bucket_tables(
     vec_col: str,
     n_planes: int,
     n_tables: int,
+    carry_all: bool = False,
 ) -> DataFrame:
     """(_id, _norm, tbl, bkt) for every (vector, table) — the RELATIONAL
     bucket formulation: posexplode the vector to (id, dim, x) rows, then ONE
@@ -126,7 +133,14 @@ def lsh_bucket_tables(
     norm) as scalar conditional sums. Replaces n_tables×n_planes interpreted
     higher-order-lambda passes over the array (measured ~10× slower at
     sf0.1 — same finding as minhash_signature's docstring; no CSE across
-    lambda boundaries). Bucket values are bit-identical to lsh_bucket()."""
+    lambda boundaries). Bucket values are bit-identical to lsh_bucket().
+
+    ``carry_all=True`` additionally carries every EARLIER table's bucket as
+    scalar columns ``_b0.._b{n_tables-2}`` on each (tbl, bkt) row, so a
+    pair-generation consumer can emit a colliding pair only in the FIRST
+    table where the buckets agree (first-collision dedup) — replacing a
+    post-join ``distinct`` over the full candidate set with a cheap scalar
+    filter (guide §2.4: remove the shuffle outright)."""
     n_p = n_planes * n_tables
     # the guard lives INSIDE the generator's input: a NULL/empty vector
     # explodes to zero rows, so a check in a sibling column would never
@@ -152,17 +166,32 @@ def lsh_bucket_tables(
     aggs = [F.expr(f"sum(x * {w(p)})").alias(f"_pr{p}") for p in range(n_p)]
     aggs.append(F.expr("sqrt(sum(x * x))").alias("_norm"))
     g = ex.groupBy("_id").agg(*aggs)
-    structs = ", ".join(
-        "named_struct('tbl', {t}, 'bkt', {b})".format(
-            t=t,
-            b=" + ".join(
-                f"IF(_pr{t * n_planes + p} > 0, {1 << p}, 0)"
-                for p in range(n_planes)
-            ),
+
+    def bucket_of(t: int) -> str:
+        return " + ".join(
+            f"IF(_pr{t * n_planes + p} > 0, {1 << p}, 0)" for p in range(n_planes)
         )
-        for t in range(n_tables)
+
+    if not carry_all:
+        structs = ", ".join(
+            f"named_struct('tbl', {t}, 'bkt', {bucket_of(t)})"
+            for t in range(n_tables)
+        )
+        return g.selectExpr("_id", "_norm", f"inline(array({structs}))")
+    # materialize each table's bucket ONCE in a child projection (referenced
+    # both by its _b{t} column and inside the inline struct — the multi-ref
+    # keeps CollapseProject from re-inlining the sum chain per use)
+    bcols = [f"({bucket_of(t)}) AS _b{t}" for t in range(n_tables)]
+    g2 = g.selectExpr("_id", "_norm", *bcols)
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'bkt', _b{t})" for t in range(n_tables)
     )
-    return g.selectExpr("_id", "_norm", f"inline(array({structs}))")
+    return g2.selectExpr(
+        "_id",
+        "_norm",
+        *[f"_b{t}" for t in range(n_tables - 1)],
+        f"inline(array({structs}))",
+    )
 
 
 def ann_lsh_bucketed(

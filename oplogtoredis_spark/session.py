@@ -81,5 +81,19 @@ def get_spark(
         )
     except Exception:
         pass  # conf removed in a future Spark: coalescing stays default
+    # Spark 4.1 no longer honors the deprecated minPartitionNum floor
+    # (measured r6: an 8 MB post-shuffle stage coalesced to 4 tasks with the
+    # floor set — the pair-verify stage of embedding_dup_pairs ran 77.7 M
+    # interpreted cosines on 4 of 32 cores). With parallelismFirst=true the
+    # coalesce target is max(totalBytes/defaultParallelism, minPartitionSize),
+    # so the 1 MB minPartitionSize default is what serializes small-bytes/
+    # CPU-heavy stages. 256k keeps those stages at ~defaultParallelism tasks
+    # while large shuffles still target totalBytes/parallelism — i.e. this
+    # only changes stages whose total post-shuffle bytes are < parallelism
+    # × 1 MB, exactly the ones the dead floor was protecting. Scale-adaptive:
+    # both terms derive from data size and core count, not constants.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+    )
     _ship_package(spark)
     return spark
