@@ -4848,24 +4848,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_max": q_interval_max,
         "asof_join_events": q_asof_join_events,
         "sessionize_events": q_sessionize_events,
-        "range_join_events": q_range_join_events,
         "scd2_user_history": q_scd2_user_history,
         "scd2_stream_history": q_scd2_stream_history,
         "enrich_stream_events": q_enrich_stream_events,
+        "stream_interval_join_events": q_stream_interval_join_events,
+        "funnel_stream_events": q_funnel_stream_events,
+        "heavy_hitters_stream_events": q_heavy_hitters_stream_events,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_profile": q_text_profile,
-        "bpe_tokens": q_bpe_tokens,
         "bpe_train_docs": q_bpe_train_docs,
+        "quality_filter": q_quality_filter,
+        "chunk_documents": q_chunk_documents,
+        "corpus_pipeline": q_corpus_pipeline,
+        "follow_lake_corpus": q_follow_lake_corpus,
+        "agg_view_lake": q_agg_view_lake,
+        "wap_publish_lake": q_wap_publish_lake,
+        "span_dedup_docs": q_span_dedup_docs,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "pii_redact": q_pii_redact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semdedup_keep": q_semdedup_keep,
+        "incremental_semdedup": q_incremental_semdedup,
+        "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
+        "bm25_topk_docs": q_bm25_topk_docs,
+        "pagerank_user_graph": q_pagerank_user_graph,
+        "dq_expectations": q_dq_expectations,
+        "range_join_events": q_range_join_events,
+        "bpe_tokens": q_bpe_tokens,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "mixture_resample_docs": q_mixture_resample,
         "lm_perplexity_docs": q_lm_perplexity,
-        "quality_filter": q_quality_filter,
-        "chunk_documents": q_chunk_documents,
-        "corpus_pipeline": q_corpus_pipeline,
         "incremental_corpus_pipeline": q_incremental_corpus_pipeline,
-        "follow_lake_corpus": q_follow_lake_corpus,
-        "agg_view_lake": q_agg_view_lake,
         "distinct_view_lake": q_distinct_view_lake,
         "index_view_lake": q_index_view_lake,
         "lake_read_clustered": q_lake_read_clustered,
@@ -4873,15 +4889,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebucket_lake": q_rebucket_lake,
         "schema_evolution_lake": q_schema_evolution_lake,
         "lake_read_tagged": q_lake_read_tagged,
-        "wap_publish_lake": q_wap_publish_lake,
         "lake_fsck": q_lake_fsck,
         "lake_changes": q_lake_changes,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
-        "span_dedup_docs": q_span_dedup_docs,
         "pack_chunks_docs": q_pack_chunks_docs,
-        "decontaminate_ngram": q_decontaminate_ngram,
         "doc_repetition": q_doc_repetition,
-        "pii_redact": q_pii_redact,
         "funnel_stages": q_funnel_stages,
         "event_value_percentiles": q_event_value_percentiles,
         "hopping_window_counts": q_hopping_window_counts,
@@ -4900,36 +4912,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomalies_events": q_mad_anomalies_events,
         "event_transitions": q_event_transitions,
         "ab_test_value": q_ab_test_value,
-        "dq_expectations": q_dq_expectations,
         "star_revenue_by_nation": q_star_revenue_by_nation,
-        "pagerank_user_graph": q_pagerank_user_graph,
         "salted_join_events": q_salted_join_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "inverted_index_stats": q_inverted_index_stats,
-        "bm25_topk_docs": q_bm25_topk_docs,
-        "stream_interval_join_events": q_stream_interval_join_events,
         "event_type_pivot": q_event_type_pivot,
         "rollup_value_by_type_day": q_rollup_value_by_type_day,
-        "funnel_stream_events": q_funnel_stream_events,
         "stream_dedup_events": q_stream_dedup_events,
-        "heavy_hitters_stream_events": q_heavy_hitters_stream_events,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_clusters": q_embedding_clusters,
-        "semdedup_keep": q_semdedup_keep,
-        "incremental_semdedup": q_incremental_semdedup,
         "follow_lake_semdedup": q_follow_lake_semdedup,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_ivf_quantized_topk": q_ann_ivf_quantized_topk,
-        "simhash_dup_pairs": q_simhash_dup_pairs,
         "multimodal_stats": q_multimodal_stats,
         "multimodal_features": q_multimodal_features,
     }
@@ -4960,57 +4960,52 @@ def oracle_sql() -> dict[str, str]:
         "interval_max": SQL_INTERVAL_MAX,
         "asof_join_events": SQL_ASOF_JOIN,
         "sessionize_events": SQL_SESSIONS,
-        "range_join_events": SQL_RANGE_JOIN,
         "scd2_user_history": SQL_SCD2,
         "scd2_stream_history": SQL_SCD2_STREAM,
         "enrich_stream_events": SQL_ENRICH_STREAM,
+        "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
+        "funnel_stream_events": SQL_FUNNEL,
+        "heavy_hitters_stream_events": SQL_HEAVY_HITTERS,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_profile": SQL_TEXT_PROFILE,
-        "bpe_tokens": SQL_BPE_TOKENS,
-        # the same 8 training rounds unrolled as CTEs (word histogram,
-        # pair argmax, separator-guarded replace)
         "bpe_train_docs": SQL_BPE_TRAIN,
+        "quality_filter": SQL_QUALITY_FILTER,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "corpus_pipeline": SQL_CORPUS_PIPELINE,
+        "follow_lake_corpus": SQL_CORPUS_PIPELINE,
+        "agg_view_lake": SQL_AGG_VIEW,
+        "wap_publish_lake": SQL_WAP_PUBLISH,
+        "span_dedup_docs": SQL_SPAN_DEDUP,
+        "decontaminate_ngram": SQL_DECONTAMINATE,
+        "pii_redact": SQL_PII_REDACT,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
+        "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        "semdedup_keep": SQL_SEMDEDUP_KEEP,
+        "incremental_semdedup": SQL_SEMDEDUP_KEEP,
+        "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,
+        "bm25_topk_docs": SQL_BM25_TOPK,
+        "pagerank_user_graph": _sql_pagerank(),
+        "dq_expectations": SQL_DQ,
+        "range_join_events": SQL_RANGE_JOIN,
+        "bpe_tokens": SQL_BPE_TOKENS,
         "hash_split": SQL_HASH_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "mixture_resample_docs": SQL_MIXTURE_RESAMPLE,
         "lm_perplexity_docs": SQL_LM_PERPLEXITY,
-        "quality_filter": SQL_QUALITY_FILTER,
-        "chunk_documents": SQL_CHUNK_DOCUMENTS,
-        "corpus_pipeline": SQL_CORPUS_PIPELINE,
-        # the incremental build must equal the batch recompute — the oracle
-        # is corpus_pipeline's full-recompute SQL, UNCHANGED by design
         "incremental_corpus_pipeline": SQL_CORPUS_PIPELINE,
-        # same invariant for the lake-following build: after both commits
-        # the live set IS the documents table, so the batch recompute SQL
-        # is the oracle for the changelog-driven state too
-        "follow_lake_corpus": SQL_CORPUS_PIPELINE,
-        "agg_view_lake": SQL_AGG_VIEW,
         "distinct_view_lake": SQL_DISTINCT_VIEW,
-        # the maintained index's final state must equal the batch inverted
-        # index over the final live set (== documents) — the oracle is
-        # SQL_INVERTED_INDEX, unchanged by design
         "index_view_lake": SQL_INVERTED_INDEX,
-        # live set == documents by the recipe; the pruned read must equal
-        # the plain filtered batch
         "lake_read_clustered": SQL_LAKE_READ_CLUSTERED,
-        # live set == documents; six bloom-indexed point lookups unioned
         "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
-        # live set == documents across a 4 -> 16 bucket-count flip;
-        # last_commit derives from which epoch last wrote the row
         "rebucket_lake": SQL_REBUCKET_LAKE,
-        # live set == documents; stars derives from which commit last wrote
-        # the row (commit-1 rows conform to the evolved schema as NULL)
         "schema_evolution_lake": SQL_SCHEMA_EVOLUTION,
         "lake_read_tagged": SQL_LAKE_READ_TAGGED,
-        "wap_publish_lake": SQL_WAP_PUBLISH,
         "lake_fsck": SQL_LAKE_FSCK,
         "lake_changes": SQL_LAKE_CHANGES,
         "fuzzy_dedup_pipeline": SQL_FUZZY_DEDUP_PIPELINE,
-        "span_dedup_docs": SQL_SPAN_DEDUP,
         "pack_chunks_docs": SQL_PACK_CHUNKS,
-        "decontaminate_ngram": SQL_DECONTAMINATE,
         "doc_repetition": SQL_DOC_REPETITION,
-        "pii_redact": SQL_PII_REDACT,
         "funnel_stages": SQL_FUNNEL,
         "event_value_percentiles": SQL_EVENT_PERCENTILES,
         "hopping_window_counts": SQL_HOPPING_WINDOWS,
@@ -5029,38 +5024,24 @@ def oracle_sql() -> dict[str, str]:
         "mad_anomalies_events": SQL_MAD,
         "event_transitions": SQL_TRANSITIONS,
         "ab_test_value": SQL_AB_TEST,
-        "dq_expectations": SQL_DQ,
         "star_revenue_by_nation": SQL_STAR_REVENUE,
-        "pagerank_user_graph": _sql_pagerank(),
         "salted_join_events": SQL_SALTED_JOIN,
         "weighted_sample_docs": _sql_weighted_sample(),
         "inverted_index_stats": SQL_INVERTED_INDEX,
-        "bm25_topk_docs": SQL_BM25_TOPK,
-        "stream_interval_join_events": SQL_STREAM_INTERVAL_JOIN,
         "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
         "rollup_value_by_type_day": SQL_ROLLUP_VALUE,
-        # the streaming funnel's converged state must equal the batch
-        # funnel — the oracle is SQL_FUNNEL, unchanged by design
-        "funnel_stream_events": SQL_FUNNEL,
         "stream_dedup_events": SQL_STREAM_DEDUP,
-        "heavy_hitters_stream_events": SQL_HEAVY_HITTERS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
-        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
-        "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_clusters": SQL_EMBEDDING_CLUSTERS,
-        "semdedup_keep": SQL_SEMDEDUP_KEEP,
-        "incremental_semdedup": SQL_SEMDEDUP_KEEP,
         "follow_lake_semdedup": SQL_SEMDEDUP_KEEP,
         "cluster_balanced_sample": SQL_CLUSTER_BALANCED_SAMPLE,
         "ann_quantized_topk": SQL_ANN_QUANTIZED,
-        "ann_ivf_quantized_topk": SQL_ANN_IVF_QUANTIZED,
-        "simhash_dup_pairs": SQL_SIMHASH_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -110,8 +110,12 @@ def observed_row(obs) -> dict:
     try:
         return obs.get
     except Exception as e:  # Py4JJavaError from PythonSQLUtils.toPyRow
-        msg = str(e)
-        if "toPyRow" not in msg and "assertion failed" not in msg:
+        # match the SPECIFIC signature (the toPyRow frame is always in the
+        # Py4JJavaError's carried stack trace): a generic 'assertion
+        # failed' from an unrelated JVM assertion must re-raise, not read
+        # as "metrics node vanished" — that dict gates dead-letter
+        # quarantine in merge_batch (ADVICE r5)
+        if "toPyRow" not in str(e):
             raise
         return {}
 

@@ -403,6 +403,95 @@ def dedup_clusters(
     )
 
 
+def _unit_rows(spark, total_rows: int) -> int:
+    """Row-block size for vectorized pair-verify work units: enough units
+    to fill 4× the core count (tail balance), blocks never so small that
+    kernel dispatch dominates. Derived from data size and core count, not
+    a constant (scale-adaptive by construction)."""
+    par = spark.sparkContext.defaultParallelism
+    return max(256, min(8192, total_rows // (4 * par) + 1))
+
+
+def _int_id(df: DataFrame, col: str) -> bool:
+    """True when ``col`` is a bigint — the only id type the vectorized
+    kernels handle (they index ids as int64 AND emit the id column as
+    long, so a narrower type would silently widen the output schema)."""
+    from pyspark.sql.types import LongType
+
+    return isinstance(df.schema[col].dataType, LongType)
+
+
+def semdedup_elect_vectorized(
+    members: DataFrame, tau: float, id_out: str
+) -> DataFrame:
+    """SemDeDup election over bounded clusters, vectorized (guide §4.2):
+    ``members`` is (id long, cid int, vec array<double>, nrm double); the
+    result is the KEPT rows (id_out, cid) — members with no smaller-id
+    cluster-mate at rounded cosine >= tau.
+
+    One pass of the member set to the driver (bounded by the caller's
+    ``n_centroids`` gate — the exact memory posture of the broadcast hash
+    join this replaces, which also materialized the build side on the
+    driver), broadcast once, then blocked BLAS election in mapInPandas:
+    each vector crosses the Python boundary once, each cosine block is one
+    matmul, and parallelism comes from row-block work units instead of the
+    cid key (8 reduce tasks for a 25 M-pair product otherwise)."""
+    import numpy as np
+
+    spark = members.sparkSession
+    schema = f"{id_out} long, cid int"
+    rows = members.collect()
+    if not rows:
+        return spark.createDataFrame([], schema)
+    by: dict[int, list] = {}
+    for r in rows:
+        by.setdefault(r[1], []).append((r[0], r[2], r[3]))
+    packed = {}
+    units = []
+    unit = _unit_rows(spark, len(rows))
+    for cid, lst in by.items():
+        lst.sort(key=lambda t: t[0])
+        packed[cid] = (
+            np.array([t[0] for t in lst], dtype=np.int64),
+            np.array([t[1] for t in lst], dtype=np.float64),
+            np.array([t[2] for t in lst], dtype=np.float64),
+        )
+        for s in range(0, len(lst), unit):
+            units.append((cid, s, min(s + unit, len(lst))))
+    bc = spark.sparkContext.broadcast(packed)
+
+    def elect(it):
+        import numpy as np
+        import pandas as pd
+
+        from oplogtoredis_spark.operators.veccore import dup_rows_vs_members
+
+        for pdf in it:
+            ids_out: list = []
+            cid_out: list = []
+            for cid, s, e in pdf.itertuples(index=False):
+                ids, V, nrm = bc.value[cid]
+                dup = dup_rows_vs_members(
+                    ids[s:e], V[s:e], nrm[s:e], ids, V, nrm, tau
+                )
+                keep = ids[s:e][~dup]
+                ids_out.append(keep)
+                cid_out.append(np.full(len(keep), cid, dtype=np.int32))
+            if not ids_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_out: np.concatenate(ids_out),
+                    "cid": np.concatenate(cid_out),
+                }
+            )
+
+    udf = spark.createDataFrame(units, "cid int, s int, e int").repartition(
+        min(len(units), 4 * spark.sparkContext.defaultParallelism)
+    )
+    return udf.mapInPandas(elect, schema)
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -418,18 +507,128 @@ def embedding_dup_pairs_lsh(
     hyperplanes (similarity.py:21-24) make the candidate set — and thus the
     result — bit-reproducible in the DuckDB oracle and across cluster sizes.
 
-    Plan shape (r6): explode(n_tables) → BROADCAST self equality join on
-    (tbl, bkt) with FIRST-COLLISION dedup — a pair is emitted only in the
-    first table whose buckets agree, so the join output is distinct by
-    construction and the post-join ``distinct`` shuffle over the full
-    candidate set (Σ|bucket|² rows — 148 M at sf1.0) is gone (guide §2.4);
-    the streamed side keeps the even per-id partitioning of the bucket
-    aggregate, so candidate generation parallelizes over id partitions
-    instead of skewing with hot buckets (guide §2.5). Survivors take two
-    broadcast hash joins back to the (small) vector table for the exact
-    cosine verify. No BroadcastNestedLoopJoin / CartesianProduct (pinned
-    by pytest) and no exchange after the bucket aggregates.
+    Plan shape (r6.2, guide §4.2): the candidate product and the cosine
+    verify run as ONE blocked-BLAS kernel in mapInPandas. The bucket table
+    (flat form: one row per id with all table buckets) and the vector
+    table cross to the driver once — bounded: the SAME relations the
+    previous plan broadcast to every executor as hash-join build sides —
+    and are broadcast to the kernel; per-bucket row-block work units drive
+    the pair generation, with FIRST-COLLISION dedup (a pair is emitted
+    only in the first table whose buckets agree, so the output is distinct
+    by construction — no post-join ``distinct`` shuffle, guide §2.4) as a
+    sparse index filter on the threshold survivors. Parallelism comes from
+    row blocks, never the (hot) bucket key (guide §2.5); each vector
+    crosses the Python boundary once, not once per pair. No join, no
+    BroadcastNestedLoopJoin / CartesianProduct (pinned by pytest).
+
+    Falls back to the r6.0 relational broadcast-join plan for non-integer
+    id columns (the kernel indexes ids as int64).
     """
+    from .similarity import _norm, lsh_bucket_tables
+
+    if not _int_id(df, id_col):
+        return _embedding_dup_pairs_lsh_relational(
+            df, id_col, vec_col, threshold, n_planes, n_tables
+        )
+    import numpy as np
+
+    spark = df.sparkSession
+    bk = lsh_bucket_tables(
+        df, id_col, vec_col, n_planes, n_tables, flat=True
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", _norm(F.col("v")))
+    # bucket side first: it carries the loud NULL/empty-vector guard
+    brows = bk.select("_id", *[f"_b{t}" for t in range(n_tables)]).collect()
+    schema = "id_a long, id_b long, cosine double"
+    if not brows:
+        return spark.createDataFrame([], schema)
+    vrows = vecs.collect()
+    order = sorted(range(len(vrows)), key=lambda i: vrows[i][0])
+    ids = np.array([vrows[i][0] for i in order], dtype=np.int64)
+    V = np.array([vrows[i][1] for i in order], dtype=np.float64)
+    nrm = np.array([vrows[i][2] for i in order], dtype=np.float64)
+    B = np.zeros((len(ids), n_tables), dtype=np.int64)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    groups: dict[tuple[int, int], list[int]] = {}
+    for r in brows:
+        k = pos[r[0]]
+        for t in range(n_tables):
+            B[k, t] = r[1 + t]
+    for t in range(n_tables):
+        col = B[:, t]
+        for k in np.argsort(col, kind="stable"):
+            groups.setdefault((t, int(col[k])), []).append(int(k))
+    # member index lists must be ascending by id: re-sort each group's
+    # row indices (row order IS id order — ids sorted above)
+    packed = {
+        key: np.array(sorted(idx), dtype=np.int64)
+        for key, idx in groups.items()
+        if len(idx) >= 2
+    }
+    unit = _unit_rows(spark, sum(len(v) for v in packed.values()))
+    units = [
+        (t, bkt, lo, min(lo + unit, len(idx)))
+        for (t, bkt), idx in packed.items()
+        for lo in range(0, len(idx) - 1, unit)
+    ]
+    if not units:
+        return spark.createDataFrame([], schema)
+    bc = spark.sparkContext.broadcast((ids, V, nrm, B, packed))
+
+    def pairs(it):
+        import numpy as np
+        import pandas as pd
+
+        from oplogtoredis_spark.operators.veccore import bucket_pairs_range
+
+        ids, V, nrm, B, packed = bc.value
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for t, bkt, lo, hi in pdf.itertuples(index=False):
+                idx = packed[(t, bkt)]
+                a, b, c = bucket_pairs_range(
+                    ids[idx],
+                    V[idx],
+                    nrm[idx],
+                    B[idx, :t] if t else None,
+                    threshold,
+                    lo,
+                    hi,
+                )
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(c)
+            if not out_a:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    udf = spark.createDataFrame(
+        units, "t int, bkt long, lo int, hi int"
+    ).repartition(min(len(units), 4 * spark.sparkContext.defaultParallelism))
+    return udf.mapInPandas(pairs, schema)
+
+
+def _embedding_dup_pairs_lsh_relational(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """The r6.0 relational plan (broadcast self equality join on (tbl, bkt)
+    with first-collision dedup, then broadcast joins back to the vectors
+    for the codegen cosine verify) — kept as the fallback for non-integer
+    id columns; see embedding_dup_pairs_lsh for the vectorized default."""
     from .similarity import _dot, _norm, lsh_bucket_tables
 
     bk = lsh_bucket_tables(
@@ -454,13 +653,6 @@ def embedding_dup_pairs_lsh(
     for t in range(n_tables - 1):
         term = (F.col("tbl") > t) & (F.col(f"_ea{t}") == F.col(f"_eb{t}"))
         earlier_match = term if earlier_match is None else earlier_match | term
-    # explicit repartition of the streamed side: its ~few-MB aggregate
-    # output coalesces to a handful of tasks under AQE (Spark 4.1 ignores
-    # the minPartitionNum floor — session.py), but every streamed row fans
-    # out into THOUSANDS of candidate pairs in the broadcast join, so
-    # partition count here IS the parallelism of the whole pair-generation
-    # + cosine-verify stage. 4× cores for tail balance; the repartition
-    # itself moves a few MB.
     n_part = 4 * df.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.repartition(n_part)
@@ -646,6 +838,24 @@ def semdedup_keep(
         F.any_value("cv").alias("cv"),
         F.any_value("cnorm").alias("cnorm"),
     )
+    # Election-strategy choice (guide §3.1, §4.2): with a SMALL cluster
+    # count the within-cluster pair product is bounded (the clusters fit
+    # the broadcast-gate memory posture), so the election runs as the
+    # vectorized blocked-BLAS kernel — each vector crosses the Python
+    # boundary once, the Σ|cluster|² ≈ 25 M-pair product at sf1.0 is a
+    # handful of matmuls, and parallelism comes from row-block work units
+    # instead of the 8-ary cid key. At 100 TB ``n_centroids`` scales with
+    # the corpus (the paper uses ~100k clusters) and the corpus no longer
+    # fits one broadcast — there the cid key has enough cardinality to
+    # parallelize a plain shuffle join, so past a cid-cardinality
+    # threshold we keep the relational equality join. Decision is on key
+    # CARDINALITY, not a local core count — scale-adaptive by
+    # construction. (Non-integer ids take the relational path too: the
+    # kernel indexes ids as int64.)
+    if n_centroids <= 4096 and _int_id(df, id_col):
+        return semdedup_elect_vectorized(
+            asg.select("nid", "cid", "cv", "cnorm"), threshold, id_out=id_col
+        )
     a = asg.select(
         "cid",
         F.col("nid").alias("nid_a"),
@@ -658,27 +868,8 @@ def semdedup_keep(
         F.col("cv").alias("vb"),
         F.col("cnorm").alias("nb"),
     )
-    # Join-strategy choice (guide §3.1): with a SMALL cluster count a hash
-    # join on cid bounds parallelism by the CLUSTER COUNT (8 reduce tasks
-    # for a Σ|cluster|² ≈ 25 M-pair product at sf1.0) and buffers each
-    # cluster in the sort-merge — so broadcast the b side and stream a,
-    # spreading the pair product evenly over a's per-nid aggregate
-    # partitions. At 100 TB ``n_centroids`` scales with the corpus (the
-    # paper uses ~100k clusters) and the corpus no longer broadcasts —
-    # there the cid key itself has enough cardinality to parallelize a
-    # shuffle join, so past a cid-cardinality threshold we keep the plain
-    # equality join. Decision is on key CARDINALITY, not a local core
-    # count — scale-adaptive by construction.
-    if n_centroids <= 4096:
-        # repartition the streamed side explicitly: each a-row fans out to
-        # |cluster| pairs, and AQE coalesces the ~10 MB assignment shuffle
-        # to a handful of tasks otherwise (session.py minPartitionSize note)
-        a = a.repartition(4 * df.sparkSession.sparkContext.defaultParallelism)
-        b_side = F.broadcast(b)
-    else:
-        b_side = b
     dups = (
-        a.join(b_side, "cid")
+        a.join(b, "cid")
         .where(F.col("nid_a") < F.col("nid_b"))
         .where(
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)

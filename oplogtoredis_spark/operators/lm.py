@@ -105,6 +105,14 @@ def lm_score(
                 f"lm_score: input column {c!r} collides with an internal "
                 "name; rename it"
             )
+    # the model-side join outputs are internal names too: an id_col named
+    # like one of them would come out ambiguous/duplicated after the
+    # broadcast joins (ADVICE r5)
+    if id_col in ("c", "ctx_c", "v", "_cost"):
+        raise ValueError(
+            f"lm_score: id_col {id_col!r} collides with a model-side join "
+            "output; rename it"
+        )
     ctx_tot = lm.groupBy("ctx").agg(F.sum("c").cast("long").alias("ctx_c"))
     vocab = lm.agg(F.count_distinct("nxt").cast("long").alias("v"))
     grams = char_grams(docs, id_col, text_col, n)

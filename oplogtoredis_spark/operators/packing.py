@@ -68,12 +68,15 @@ def pack_chunks(
         n_shards = max(1, -(-int(total) // budget))  # ceil
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
     h = portable_hash64(F.concat(key, F.lit(salt)))
-    # a NULL token count would be silently SKIPPED by the window sum —
-    # offsets would come out well-formed but wrong; fail naming the chunk
+    # a NULL token count would be silently SKIPPED by the window sum, and a
+    # NEGATIVE one silently folds into it — offsets would come out
+    # well-formed but wrong either way; fail naming the chunk (ADVICE r5)
     guarded_tokens = F.when(
-        F.col(tokens_col).isNull(),
+        F.col(tokens_col).isNull() | (F.col(tokens_col) < 0),
         F.raise_error(
-            F.concat(F.lit(f"pack_chunks: NULL {tokens_col} for "), key)
+            F.concat(
+                F.lit(f"pack_chunks: NULL/negative {tokens_col} for "), key
+            )
         ).cast("long"),
     ).otherwise(F.col(tokens_col))
     # shard_id is LONG: ceil(9e12 tokens / 4096) > INT_MAX — an int cast

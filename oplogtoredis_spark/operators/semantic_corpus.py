@@ -301,52 +301,68 @@ class SemanticCorpus:
         # keep-seat re-election WITHIN affected clusters only: the batch
         # operator's rule (no smaller-id cluster-mate at rounded cos >= tau)
         aff = members_next.join(F.broadcast(affected), "cid").persist()
-        # Re-election join strategy (guide §3.1, §2.5): the pair product is
+        # Re-election strategy (guide §3.1, §4.2): the pair product is
         # Σ|affected cluster|² rows keyed on cid, whose cardinality is the
-        # (small) affected-cluster count — a shuffle join would run it on
-        # |affected cids| reduce tasks, further clamped by
-        # _epoch_shuffle_scale's linear-row sizing (4 tasks for a ~25 M-pair
-        # product at sf1.0). Stream the a side at explicit full parallelism
-        # (repartition is exempt from the epoch clamp; the quadratic
-        # re-election is the one epoch job whose work is NOT linear in state
-        # rows) and broadcast the b side (bounded: affected members only) so
-        # each a-partition pairs locally. Past a cid-cardinality threshold
-        # the plain equality join parallelizes by itself — same
-        # scale-adaptive decision as semdedup_keep's.
-        a = aff.select(
-            "cid",
-            F.col("doc_id").alias("id_a"),
-            F.col("vec").alias("va"),
-            F.col("nrm").alias("na"),
-        )
-        b = aff.select(
-            "cid",
-            F.col("doc_id").alias("id_b"),
-            F.col("vec").alias("vb"),
-            F.col("nrm").alias("nb"),
-        )
+        # (small) affected-cluster count. Under the n_centroids gate the
+        # affected member set is bounded (the exact memory posture of the
+        # broadcast join this replaces), so the election runs as the
+        # vectorized blocked-BLAS kernel (dedup.semdedup_elect_vectorized):
+        # each vector crosses the Python boundary once, the ~25 M-pair
+        # product at sf1.0 is a handful of matmuls, and parallelism comes
+        # from row-block work units (exempt from _epoch_shuffle_scale's
+        # linear-row clamp — the quadratic re-election is the one epoch
+        # job whose work is NOT linear in state rows). Past a
+        # cid-cardinality threshold the plain equality join parallelizes
+        # by itself — same scale-adaptive decision as semdedup_keep's.
         if self.n_centroids <= 4096:
-            a = a.repartition(4 * spark.sparkContext.defaultParallelism)
-            b = F.broadcast(b)
-        dups = (
-            a.join(b, "cid")
-            .where(F.col("id_a") < F.col("id_b"))
-            .where(
-                F.round(
-                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                    4,
-                )
-                >= F.lit(self.threshold)
-            )
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        keep_next = aff.select("doc_id", "cid").join(dups, "doc_id", "left_anti")
+            from .dedup import semdedup_elect_vectorized
 
+            keep_next = semdedup_elect_vectorized(
+                aff.select("doc_id", "cid", "vec", "nrm"),
+                self.threshold,
+                id_out="doc_id",
+            )
+        else:
+            a = aff.select(
+                "cid",
+                F.col("doc_id").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("nrm").alias("na"),
+            )
+            b = aff.select(
+                "cid",
+                F.col("doc_id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("nrm").alias("nb"),
+            )
+            dups = (
+                a.join(b, "cid")
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(
+                    F.round(
+                        _dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")),
+                        4,
+                    )
+                    >= F.lit(self.threshold)
+                )
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            keep_next = aff.select("doc_id", "cid").join(
+                dups, "doc_id", "left_anti"
+            )
+
+        # keep_next and keep_prev_aff each feed BOTH flip branches below —
+        # persist them so the election kernel and the keep-log fold run
+        # once per epoch, not once per branch (measured r6: ~1 s/epoch of
+        # re-evaluated mapInPandas + fold at sf1.0)
+        keep_next = keep_next.persist()
         keep_prev_aff = (
             self._fold(spark, self._keep_dir, KEEP_SCHEMA)
             .select("doc_id", "cid")
             .join(F.broadcast(affected), "cid")
+            .persist()
         )
         # flips only: an 'a' when the (doc_id, cid) seat is new or moved,
         # a 'd' when a previously-kept doc lost its seat everywhere
@@ -391,7 +407,10 @@ class SemanticCorpus:
                 member_delta.write.mode("overwrite").parquet(mdir)
                 keep_delta.write.mode("overwrite").parquet(kdir)
         finally:
-            for df in (batch, new_rows, members_prev, affected, aff):
+            for df in (
+                batch, new_rows, members_prev, affected, aff,
+                keep_next, keep_prev_aff,
+            ):
                 df.unpersist()
 
         epochs = self.applied_epochs() + [epoch]

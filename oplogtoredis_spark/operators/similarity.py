@@ -126,6 +126,7 @@ def lsh_bucket_tables(
     n_planes: int,
     n_tables: int,
     carry_all: bool = False,
+    flat: bool = False,
 ) -> DataFrame:
     """(_id, _norm, tbl, bkt) for every (vector, table) — the RELATIONAL
     bucket formulation: posexplode the vector to (id, dim, x) rows, then ONE
@@ -140,7 +141,14 @@ def lsh_bucket_tables(
     pair-generation consumer can emit a colliding pair only in the FIRST
     table where the buckets agree (first-collision dedup) — replacing a
     post-join ``distinct`` over the full candidate set with a cheap scalar
-    filter (guide §2.4: remove the shuffle outright)."""
+    filter (guide §2.4: remove the shuffle outright).
+
+    ``flat=True`` skips the explode entirely: ONE row per id carrying every
+    table's bucket as ``_b0.._b{n_tables-1}`` (plus ``_norm``) — the
+    compact form a vectorized pair-verify consumer rebuilds its per-bucket
+    index from (r6: the bucket side crosses to the kernel once per id, not
+    once per (id, table)). Bucket values are bit-identical to the exploded
+    forms."""
     n_p = n_planes * n_tables
     # the guard lives INSIDE the generator's input: a NULL/empty vector
     # explodes to zero rows, so a check in a sibling column would never
@@ -172,6 +180,10 @@ def lsh_bucket_tables(
             f"IF(_pr{t * n_planes + p} > 0, {1 << p}, 0)" for p in range(n_planes)
         )
 
+    if flat:
+        return g.selectExpr(
+            "_id", "_norm", *[f"({bucket_of(t)}) AS _b{t}" for t in range(n_tables)]
+        )
     if not carry_all:
         structs = ", ".join(
             f"named_struct('tbl', {t}, 'bkt', {bucket_of(t)})"

@@ -81,19 +81,21 @@ def get_spark(
         )
     except Exception:
         pass  # conf removed in a future Spark: coalescing stays default
-    # Spark 4.1 no longer honors the deprecated minPartitionNum floor
-    # (measured r6: an 8 MB post-shuffle stage coalesced to 4 tasks with the
-    # floor set — the pair-verify stage of embedding_dup_pairs ran 77.7 M
-    # interpreted cosines on 4 of 32 cores). With parallelismFirst=true the
-    # coalesce target is max(totalBytes/defaultParallelism, minPartitionSize),
-    # so the 1 MB minPartitionSize default is what serializes small-bytes/
-    # CPU-heavy stages. 256k keeps those stages at ~defaultParallelism tasks
-    # while large shuffles still target totalBytes/parallelism — i.e. this
-    # only changes stages whose total post-shuffle bytes are < parallelism
-    # × 1 MB, exactly the ones the dead floor was protecting. Scale-adaptive:
-    # both terms derive from data size and core count, not constants.
+    # AQE coalesce floor history (Spark 4.1 ignores the deprecated
+    # minPartitionNum floor set above): r6.1 lowered minPartitionSize to
+    # 256k so small-bytes/CPU-heavy JVM stages (the embedding pair-verify's
+    # 77.7 M interpreted cosines coalesced onto 4 of 32 cores) kept
+    # ~defaultParallelism tasks. r6.2 moved those pair-verify stages into
+    # vectorized kernels driven by explicitly repartitioned work-unit
+    # frames (repartition(n) is never AQE-coalesced), after which the 256k
+    # floor only ADDED task-launch overhead to the many small epoch jobs of
+    # the lake/incremental-view family — measured at sf1.0/local[32]:
+    # index_view_lake 13.9 -> 9.4 s, lake_point_lookup 6.5 -> 5.4 s,
+    # schema_evolution 5.0 -> 4.4 s going back to the 1m default. Kept
+    # parameterized for clusters whose task-launch cost differs.
     spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get("OTR_AQE_MIN_PARTITION_SIZE", "1m"),
     )
     _ship_package(spark)
     return spark

@@ -2184,8 +2184,24 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(blooms, f)
         os.replace(tmp, os.path.join(self._manifest_dir, name))
-        _BLOOM_SIDECAR_CACHE[(self.path, name)] = blooms
+        self._cache_sidecar(name, blooms)
         return name
+
+    def _cache_sidecar(self, name: str, blooms: dict) -> None:
+        """Memoize ``name`` as this table's LIVE sidecar and evict the
+        table's older entries: a long-lived streaming driver mints a new
+        uuid sidecar on every rewrite/bloom-dropping merge, and an
+        unbounded cache would grow by MBs per rewrite forever (ADVICE r5).
+        One live index per table; a time-travel read of an older version
+        just re-loads its sidecar from disk."""
+        stale = [
+            k
+            for k in _BLOOM_SIDECAR_CACHE
+            if k[0] == self.path and k[1] != name
+        ]
+        for k in stale:
+            del _BLOOM_SIDECAR_CACHE[k]
+        _BLOOM_SIDECAR_CACHE[(self.path, name)] = blooms
 
     def _load_blooms(self, m: dict) -> dict:
         """The manifest's bloom index: the referenced sidecar (memoized —
@@ -2196,7 +2212,8 @@ class LakeTable:
         key = (self.path, ref)
         if key not in _BLOOM_SIDECAR_CACHE:
             with open(os.path.join(self._manifest_dir, ref)) as f:
-                _BLOOM_SIDECAR_CACHE[key] = json.load(f)
+                blooms = json.load(f)
+            self._cache_sidecar(ref, blooms)
         return _BLOOM_SIDECAR_CACHE[key]
 
     def _filtered_blooms_ref(self, m: dict, replaced_dirs: set) -> str:

@@ -129,6 +129,12 @@ def test_guards(spark):
         lm_score(df, lm_train(df), k=0.0)
     with pytest.raises(ValueError, match="collides"):
         lm_score(df.withColumn("ctx", F.lit("x")), lm_train(df))
+    # id_col must not shadow a model-side join output either: 'c'/'ctx_c'/
+    # 'v'/'_cost' would come out ambiguous after the broadcast joins
+    with pytest.raises(ValueError, match="model-side join output"):
+        lm_score(
+            df.withColumnRenamed("doc_id", "v"), lm_train(df), id_col="v"
+        )
 
 
 def test_empty_model_fails_loud(spark):

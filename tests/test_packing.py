@@ -68,6 +68,14 @@ def test_guards(spark):
         pack_chunks(df, id_cols=())
     with pytest.raises(ValueError, match="collide"):
         pack_chunks(df.withColumn("shard_id", F.lit(1)))
+    # a NEGATIVE token count would silently fold into the running window
+    # sum (well-formed but wrong offsets) — must fail loud like NULL does
+    bad = df.withColumn(
+        "n_tokens",
+        F.when(F.col("doc_id") == 1, F.lit(-5)).otherwise(F.col("n_tokens")),
+    )
+    with pytest.raises(Exception, match="NULL/negative n_tokens"):
+        pack_chunks(bad, budget=100).collect()
 
 
 def test_empty_input(spark):
