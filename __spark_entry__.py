@@ -927,7 +927,10 @@ def q_scd2_stream_history(spark, sf_dir):
     )
     base = tempfile.mkdtemp(prefix="otr_hist_")
     t = LakeTable.create(base + "/tbl", TARGET_SCHEMA, n_buckets=8)
-    applier = make_history_applier(t.path, base + "/hist")
+    # dense fixture: the batch's user_id keys cover every bucket, so the
+    # affected-bucket discovery pass prunes nothing (guide §2.4 — remove
+    # the shuffle/job outright; same rationale as bench.py merge_prune)
+    applier = make_history_applier(t.path, base + "/hist", prune=False)
     applier(env.where("rn <= 2").drop("rn"), 0)
     applier(env.where("rn > 2").drop("rn"), 1)
     out = read_history(spark, t.path, base + "/hist")
@@ -997,8 +1000,10 @@ def q_enrich_stream_events(spark, sf_dir):
     t = LakeTable.create(
         tempfile.mkdtemp(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
-    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 0)), 0)
-    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 1)), 1)
+    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 0)), 0,
+                  prune=False)
+    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 1)), 1,
+                  prune=False)
 
     clicks = ev.where(F.col("event_type") == "click").select(
         F.lit("users").alias("repo"),
@@ -1672,9 +1677,11 @@ def q_lake_changes(spark, sf_dir):
         n_buckets=8,
     )
     env_cols = ["repo", "path", "ts", "tx_idx", "op", "commit", "lang", "content"]
-    t.merge_batch(ev.where(F.col("event_id") % 2 == 0).select(env_cols), 0)
+    t.merge_batch(ev.where(F.col("event_id") % 2 == 0).select(env_cols), 0,
+                  prune=False)
     v1 = t.current_version()
-    t.merge_batch(ev.where(F.col("event_id") % 2 == 1).select(env_cols), 1)
+    t.merge_batch(ev.where(F.col("event_id") % 2 == 1).select(env_cols), 1,
+                  prune=False)
     return t.changes(spark, v1).select(
         "repo",
         "path",
@@ -1767,10 +1774,12 @@ def q_agg_view_lake(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     view.follow_lake(spark, t)
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     view.follow_lake(spark, t)
     return view.summary(spark)
 
@@ -1831,10 +1840,12 @@ def q_distinct_view_lake(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     view.follow_lake(spark, t)
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     view.follow_lake(spark, t)
     return view.read(spark)
 
@@ -1889,9 +1900,11 @@ def q_lake_read_clustered(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     t.rewrite_clustered(spark, ["lang"], files_per_bucket=4)
     return t.read_pruned(spark, "lang", "en", "en").select(
         "path",
@@ -1956,9 +1969,11 @@ def q_lake_point_lookup(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     t.rewrite_clustered(
         spark, ["lang"], files_per_bucket=4, bloom_cols=["path"]
     )
@@ -2029,7 +2044,8 @@ def q_rebucket_lake(spark, sf_dir):
     upserts = docs.where(
         (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0)
     )
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     return t.read(spark).select(
         "path",
         "lang",
@@ -2090,6 +2106,7 @@ def q_schema_evolution_lake(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
     b2 = (
@@ -2101,7 +2118,7 @@ def q_schema_evolution_lake(spark, sf_dir):
             )
         )
     )
-    t.merge_batch(b2, 1, extra_payload_cols=("stars",))
+    t.merge_batch(b2, 1, extra_payload_cols=("stars",), prune=False)
     return t.read(spark).select("path", "lang", "stars")
 
 
@@ -2163,10 +2180,12 @@ def q_lake_read_tagged(spark, sf_dir):
             1,
         ),
         0,
+        prune=False,
     )
     t.create_tag("pre_incident")
     # the incident: a bad job tombstones every even doc
-    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 2, op="d"), 1)
+    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 2, op="d"), 1,
+                  prune=False)
     t.rollback(t.resolve_ref("pre_incident"))
     # the real fix, applied on the restored state
     t.merge_batch(
@@ -2174,6 +2193,7 @@ def q_lake_read_tagged(spark, sf_dir):
             env(extras, 3, op="d")
         ),
         2,
+        prune=False,
     )
     t.expire_snapshots(keep_last=2)  # reclaims the incident; tag pins c1
     cols = lambda snap: [  # noqa: E731
@@ -2244,17 +2264,17 @@ def q_wap_publish_lake(spark, sf_dir):
     )
     evens = docs.where(F.col("doc_id") % 2 == 0)
     odds = docs.where(F.col("doc_id") % 2 == 1)
-    wap_merge(t, spark, env(evens, 1), 0, checks())
+    wap_merge(t, spark, env(evens, 1), 0, checks(), prune=False)
     poisoned = odds.withColumn(
         "lang",
         F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
     )
     try:
-        wap_merge(t, spark, env(poisoned, 2), 1, checks())
+        wap_merge(t, spark, env(poisoned, 2), 1, checks(), prune=False)
         raise AssertionError("poisoned epoch must fail its audit")
     except WriteAuditError:
         pass  # rolled back; tag still at epoch 0's snapshot
-    wap_merge(t, spark, env(odds, 2), 1, checks())
+    wap_merge(t, spark, env(odds, 2), 1, checks(), prune=False)
     return t.read(spark, tag="published").select(
         "path", "lang", F.length("content").cast("long").alias("n_chars")
     )
@@ -2299,12 +2319,14 @@ def q_lake_fsck(spark, sf_dir):
         tempfile.mkdtemp(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
         n_buckets=8,
     )
-    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 1), 0)
+    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 1), 0,
+                  prune=False)
     t.merge_batch(
         env(docs.where(F.col("doc_id") % 2 == 1), 2).unionByName(
             env(docs.where(F.col("doc_id") % 10 == 0), 2, op="d")
         ),
         1,
+        prune=False,
     )
     return t.fsck(spark)
 
@@ -2367,10 +2389,12 @@ def q_index_view_lake(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     view.follow_lake(spark, t)
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     view.follow_lake(spark, t)
     return view.stats(spark)
 
@@ -2427,10 +2451,12 @@ def q_follow_lake_corpus(spark, sf_dir):
         env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     corpus.follow_lake(spark, t, repo="docs")
     upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     corpus.follow_lake(spark, t, repo="docs")
     return corpus.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
 
@@ -4486,12 +4512,14 @@ def q_follow_lake_semdedup(spark, sf_dir):
         env(first.where(~is_draft).unionByName(drafts)
             .unionByName(extras), 1),
         0,
+        prune=False,
     )
     state.follow_lake(spark, t, repo="emb")
     upserts = emb.where(
         ((vid >= 256) & (vid % 3 != 0)) | ((vid % 3 == 0) & is_draft)
     )
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1)
+    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                  prune=False)
     state.follow_lake(spark, t, repo="emb")
     return state.kept(spark).select(F.col("doc_id").alias("vec_id"), "cid")
 
