@@ -931,8 +931,19 @@ def q_scd2_stream_history(spark, sf_dir):
     # affected-bucket discovery pass prunes nothing (guide §2.4 — remove
     # the shuffle/job outright; same rationale as bench.py merge_prune)
     applier = make_history_applier(t.path, base + "/hist", prune=False)
-    applier(env.where("rn <= 2").drop("rn"), 0)
-    applier(env.where("rn > 2").drop("rn"), 1)
+    # the rank-2 split feeds both epochs from ONE windowed pass: without
+    # the persist, each applier epoch re-runs the 1M-row ranking window
+    # (scan + full shuffle) just to slice its half (guide §2.4). Epochs run
+    # at data-scaled reduce width (the _epoch_shuffle_scale discipline —
+    # ~50 MB per epoch across 128 reduce tasks was pure task-launch
+    # overhead; scoped to the session's core count, never a constant).
+    env = env.persist()
+    try:
+        with _stream_state_parallelism(spark):
+            applier(env.where("rn <= 2").drop("rn"), 0)
+            applier(env.where("rn > 2").drop("rn"), 1)
+    finally:
+        env.unpersist()
     out = read_history(spark, t.path, base + "/hist")
     return out.select(
         F.col("path").alias("user_id"),
@@ -1000,23 +1011,28 @@ def q_enrich_stream_events(spark, sf_dir):
     t = LakeTable.create(
         tempfile.mkdtemp(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
-    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 0)), 0,
-                  prune=False)
-    t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 1)), 1,
-                  prune=False)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 0)), 0,
+                      prune=False)
+        t.merge_batch(env(purchases.where(F.col("event_id") % 2 == 1)), 1,
+                      prune=False)
 
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.lit("users").alias("repo"),
-        F.col("user_id").cast("string").alias("path"),
-        "user_id",
-        "event_id",
-        _ts_ms().alias("ts_ms"),
-    )
-    out = {}
-    applier = make_enrich_applier(
-        t.path, lambda df, bid: out.__setitem__(bid, df), on=["repo", "path"]
-    )
-    applier(clicks, 0)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.lit("users").alias("repo"),
+            F.col("user_id").cast("string").alias("path"),
+            "user_id",
+            "event_id",
+            _ts_ms().alias("ts_ms"),
+        )
+        out = {}
+        applier = make_enrich_applier(
+            t.path, lambda df, bid: out.__setitem__(bid, df), on=["repo", "path"]
+        )
+        applier(clicks, 0)
     return out[0].select(
         "user_id",
         "event_id",
@@ -1677,11 +1693,16 @@ def q_lake_changes(spark, sf_dir):
         n_buckets=8,
     )
     env_cols = ["repo", "path", "ts", "tx_idx", "op", "commit", "lang", "content"]
-    t.merge_batch(ev.where(F.col("event_id") % 2 == 0).select(env_cols), 0,
-                  prune=False)
-    v1 = t.current_version()
-    t.merge_batch(ev.where(F.col("event_id") % 2 == 1).select(env_cols), 1,
-                  prune=False)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(ev.where(F.col("event_id") % 2 == 0).select(env_cols), 0,
+                      prune=False)
+        v1 = t.current_version()
+        t.merge_batch(ev.where(F.col("event_id") % 2 == 1).select(env_cols), 1,
+                      prune=False)
     return t.changes(spark, v1).select(
         "repo",
         "path",
@@ -1770,17 +1791,22 @@ def q_agg_view_lake(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    view.follow_lake(spark, t)
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    view.follow_lake(spark, t)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        view.follow_lake(spark, t)
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        view.follow_lake(spark, t)
     return view.summary(spark)
 
 
@@ -1836,17 +1862,22 @@ def q_distinct_view_lake(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    view.follow_lake(spark, t)
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    view.follow_lake(spark, t)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        view.follow_lake(spark, t)
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        view.follow_lake(spark, t)
     return view.read(spark)
 
 
@@ -1896,16 +1927,21 @@ def q_lake_read_clustered(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    t.rewrite_clustered(spark, ["lang"], files_per_bucket=4)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        t.rewrite_clustered(spark, ["lang"], files_per_bucket=4)
     return t.read_pruned(spark, "lang", "en", "en").select(
         "path",
         "lang",
@@ -1965,29 +2001,34 @@ def q_lake_point_lookup(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    t.rewrite_clustered(
-        spark, ["lang"], files_per_bucket=4, bloom_cols=["path"]
-    )
-    skipped = 0
-    out = None
-    for i in _POINT_LOOKUP_IDS:
-        plan = t.prune_plan("path", eq=str(i), spark=spark)
-        skipped += plan["files_skipped"]
-        part = t.read_pruned(spark, "path", eq=str(i)).select(
-            "path", "lang", F.length("content").alias("content_len")
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
         )
-        out = part if out is None else out.unionByName(part)
-    if skipped == 0:
-        raise RuntimeError("bloom index never skipped a file")
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        t.rewrite_clustered(
+            spark, ["lang"], files_per_bucket=4, bloom_cols=["path"]
+        )
+        skipped = 0
+        out = None
+        for i in _POINT_LOOKUP_IDS:
+            plan = t.prune_plan("path", eq=str(i), spark=spark)
+            skipped += plan["files_skipped"]
+            part = t.read_pruned(spark, "path", eq=str(i)).select(
+                "path", "lang", F.length("content").alias("content_len")
+            )
+            out = part if out is None else out.unionByName(part)
+        if skipped == 0:
+            raise RuntimeError("bloom index never skipped a file")
     return out
 
 
@@ -2035,17 +2076,22 @@ def q_rebucket_lake(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(docs.where(F.col("doc_id") % 3 != 0).unionByName(extras), 1), 0
-    )
-    st = t.rebucket(spark, 16)
-    if not (st["rebucketed"] and st["from_n_buckets"] == 4 and st["n_buckets"] == 16):
-        raise RuntimeError(f"rebucket did not flip the modulus: {st}")
-    upserts = docs.where(
-        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0)
-    )
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(docs.where(F.col("doc_id") % 3 != 0).unionByName(extras), 1), 0
+        )
+        st = t.rebucket(spark, 16)
+        if not (st["rebucketed"] and st["from_n_buckets"] == 4 and st["n_buckets"] == 16):
+            raise RuntimeError(f"rebucket did not flip the modulus: {st}")
+        upserts = docs.where(
+            (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0)
+        )
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
     return t.read(spark).select(
         "path",
         "lang",
@@ -2102,23 +2148,28 @@ def q_schema_evolution_lake(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    b2 = (
-        env(upserts, 2)
-        .withColumn("stars", (F.col("tx_idx") % 5).cast("long"))
-        .unionByName(
-            env(extras, 2, op="d").withColumn(
-                "stars", F.lit(None).cast("long")
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        b2 = (
+            env(upserts, 2)
+            .withColumn("stars", (F.col("tx_idx") % 5).cast("long"))
+            .unionByName(
+                env(extras, 2, op="d").withColumn(
+                    "stars", F.lit(None).cast("long")
+                )
             )
         )
-    )
-    t.merge_batch(b2, 1, extra_payload_cols=("stars",), prune=False)
+        t.merge_batch(b2, 1, extra_payload_cols=("stars",), prune=False)
     return t.read(spark).select("path", "lang", "stars")
 
 
@@ -2172,36 +2223,41 @@ def q_lake_read_tagged(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(
-            docs.where(F.col("doc_id") % 5 != 0)
-            .unionByName(drafts)
-            .unionByName(extras),
-            1,
-        ),
-        0,
-        prune=False,
-    )
-    t.create_tag("pre_incident")
-    # the incident: a bad job tombstones every even doc
-    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 2, op="d"), 1,
-                  prune=False)
-    t.rollback(t.resolve_ref("pre_incident"))
-    # the real fix, applied on the restored state
-    t.merge_batch(
-        env(docs.where(F.col("doc_id") % 5 == 0), 3).unionByName(
-            env(extras, 3, op="d")
-        ),
-        2,
-        prune=False,
-    )
-    t.expire_snapshots(keep_last=2)  # reclaims the incident; tag pins c1
-    cols = lambda snap: [  # noqa: E731
-        F.lit(snap).alias("snapshot"),
-        F.col("path"),
-        F.col("lang"),
-        F.length("content").cast("long").alias("n_chars"),
-    ]
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(
+                docs.where(F.col("doc_id") % 5 != 0)
+                .unionByName(drafts)
+                .unionByName(extras),
+                1,
+            ),
+            0,
+            prune=False,
+        )
+        t.create_tag("pre_incident")
+        # the incident: a bad job tombstones every even doc
+        t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 2, op="d"), 1,
+                      prune=False)
+        t.rollback(t.resolve_ref("pre_incident"))
+        # the real fix, applied on the restored state
+        t.merge_batch(
+            env(docs.where(F.col("doc_id") % 5 == 0), 3).unionByName(
+                env(extras, 3, op="d")
+            ),
+            2,
+            prune=False,
+        )
+        t.expire_snapshots(keep_last=2)  # reclaims the incident; tag pins c1
+        cols = lambda snap: [  # noqa: E731
+            F.lit(snap).alias("snapshot"),
+            F.col("path"),
+            F.col("lang"),
+            F.length("content").cast("long").alias("n_chars"),
+        ]
     return t.read(spark).select(*cols("current")).unionByName(
         t.read(spark, tag="pre_incident").select(*cols("pre_incident"))
     )
@@ -2264,17 +2320,22 @@ def q_wap_publish_lake(spark, sf_dir):
     )
     evens = docs.where(F.col("doc_id") % 2 == 0)
     odds = docs.where(F.col("doc_id") % 2 == 1)
-    wap_merge(t, spark, env(evens, 1), 0, checks(), prune=False)
-    poisoned = odds.withColumn(
-        "lang",
-        F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
-    )
-    try:
-        wap_merge(t, spark, env(poisoned, 2), 1, checks(), prune=False)
-        raise AssertionError("poisoned epoch must fail its audit")
-    except WriteAuditError:
-        pass  # rolled back; tag still at epoch 0's snapshot
-    wap_merge(t, spark, env(odds, 2), 1, checks(), prune=False)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        wap_merge(t, spark, env(evens, 1), 0, checks(), prune=False)
+        poisoned = odds.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        try:
+            wap_merge(t, spark, env(poisoned, 2), 1, checks(), prune=False)
+            raise AssertionError("poisoned epoch must fail its audit")
+        except WriteAuditError:
+            pass  # rolled back; tag still at epoch 0's snapshot
+        wap_merge(t, spark, env(odds, 2), 1, checks(), prune=False)
     return t.read(spark, tag="published").select(
         "path", "lang", F.length("content").cast("long").alias("n_chars")
     )
@@ -2319,15 +2380,20 @@ def q_lake_fsck(spark, sf_dir):
         tempfile.mkdtemp(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
         n_buckets=8,
     )
-    t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 1), 0,
-                  prune=False)
-    t.merge_batch(
-        env(docs.where(F.col("doc_id") % 2 == 1), 2).unionByName(
-            env(docs.where(F.col("doc_id") % 10 == 0), 2, op="d")
-        ),
-        1,
-        prune=False,
-    )
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(env(docs.where(F.col("doc_id") % 2 == 0), 1), 0,
+                      prune=False)
+        t.merge_batch(
+            env(docs.where(F.col("doc_id") % 2 == 1), 2).unionByName(
+                env(docs.where(F.col("doc_id") % 10 == 0), 2, op="d")
+            ),
+            1,
+            prune=False,
+        )
     return t.fsck(spark)
 
 
@@ -2385,17 +2451,22 @@ def q_index_view_lake(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    view.follow_lake(spark, t)
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    view.follow_lake(spark, t)
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        view.follow_lake(spark, t)
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        view.follow_lake(spark, t)
     return view.stats(spark)
 
 
@@ -2447,17 +2518,22 @@ def q_follow_lake_corpus(spark, sf_dir):
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    t.merge_batch(
-        env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    corpus.follow_lake(spark, t, repo="docs")
-    upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    corpus.follow_lake(spark, t, repo="docs")
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(F.col("doc_id") % 5 != 0).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        corpus.follow_lake(spark, t, repo="docs")
+        upserts = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 == 0))
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        corpus.follow_lake(spark, t, repo="docs")
     return corpus.chunks(spark).select("doc_id", "split", "chunk_idx", "n_tokens")
 
 
@@ -4508,19 +4584,24 @@ def q_follow_lake_semdedup(spark, sf_dir):
     extras = emb.where(vid % 11 == 0).select(
         (vid + 1000000).alias("vec_id"), "v"
     )
-    t.merge_batch(
-        env(first.where(~is_draft).unionByName(drafts)
-            .unionByName(extras), 1),
-        0,
-        prune=False,
-    )
-    state.follow_lake(spark, t, repo="emb")
-    upserts = emb.where(
-        ((vid >= 256) & (vid % 3 != 0)) | ((vid % 3 == 0) & is_draft)
-    )
-    t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
-                  prune=False)
-    state.follow_lake(spark, t, repo="emb")
+    # data-scaled epoch width: MB-scale fixture epochs at the
+    # session's 128 analytics reduce width were pure task-launch
+    # overhead (the _epoch_shuffle_scale discipline; scoped to the
+    # core count, never a constant)
+    with _stream_state_parallelism(spark):
+        t.merge_batch(
+            env(first.where(~is_draft).unionByName(drafts)
+                .unionByName(extras), 1),
+            0,
+            prune=False,
+        )
+        state.follow_lake(spark, t, repo="emb")
+        upserts = emb.where(
+            ((vid >= 256) & (vid % 3 != 0)) | ((vid % 3 == 0) & is_draft)
+        )
+        t.merge_batch(env(upserts, 2).unionByName(env(extras, 2, op="d")), 1,
+                      prune=False)
+        state.follow_lake(spark, t, repo="emb")
     return state.kept(spark).select(F.col("doc_id").alias("vec_id"), "cid")
 
 

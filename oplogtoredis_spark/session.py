@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cached subtrees otherwise pin their exchanges at the static
+        # shuffle-partition count (AQE refuses to re-plan them,
+        # SPARK-35332 default): the epoch-driven operators persist small
+        # per-epoch frames, and every post-persist stage then ran at the
+        # full static width regardless of data size — pure task-launch
+        # overhead on MB-scale epochs. Letting AQE re-plan cached output
+        # partitioning is value-neutral (physical layout only).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # small single-file inputs must still parallelize across all cores

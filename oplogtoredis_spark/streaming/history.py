@@ -62,6 +62,7 @@ import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..operators.scd import scd2_history
 from .lake import LakeTable
@@ -138,19 +139,31 @@ def make_history_applier(
         # Mirror the merge's deadletter predicate (lake.py dl_reason):
         # rows without the identity can neither order nor route — the
         # lake quarantines them, so history must not record them either.
-        # Then collapse exact in-batch duplicate deliveries.
-        b = (
-            batch_df.select(*cols)
-            .where(
-                F.col("repo").isNotNull()
-                & F.col("path").isNotNull()
-                & F.col("ts").isNotNull()
-                & F.col("tx_idx").isNotNull()
-                & F.col("op").isNotNull()
-            )
-            .dropDuplicates([*KEYS, "ts", "tx_idx"])
+        b = batch_df.select(*cols).where(
+            F.col("repo").isNotNull()
+            & F.col("path").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("tx_idx").isNotNull()
+            & F.col("op").isNotNull()
         )
         joined = b.join(prev, on=list(KEYS), how="left")
+        # Collapse exact in-batch duplicate deliveries AFTER the key join:
+        # a row_number window keyed on (KEYS, ts, tx_idx) is satisfied by
+        # the join's (KEYS) hash partitioning (a clustering-superset), so
+        # the dedup costs a sort instead of the extra full batch shuffle a
+        # pre-join dropDuplicates paid (guide §2.4 — share one exchange).
+        # Duplicate deliveries are identical rows, so which copy survives
+        # is value-irrelevant (same contract as dropDuplicates).
+        joined = (
+            joined.withColumn(
+                "_dup_rn",
+                F.row_number().over(
+                    Window.partitionBy(*KEYS, "ts", "tx_idx").orderBy(*KEYS)
+                ),
+            )
+            .where(F.col("_dup_rn") == 1)
+            .drop("_dup_rn")
+        )
         newer = F.col("last_ts").isNull() | (
             (F.col("ts") > F.col("last_ts"))
             | (
