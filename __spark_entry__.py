@@ -93,6 +93,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _par(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for query fixtures (lake tables, stream checkpoints,
+    file sinks): prefer the fastest local storage. This sandbox's root disk
+    is shared and slow (~75-100 MB/s effective); /dev/shm stands in for the
+    local NVMe a real cluster would give scratch space (the same posture
+    bench.py/session.py take for spark.local.dir). Parameterised via
+    OTR_SCRATCH_DIR; falls back to the system tempdir."""
+    import tempfile
+
+    base = os.environ.get("OTR_SCRATCH_DIR")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/otr_scratch"
+    if base is None:
+        return tempfile.mkdtemp(prefix=prefix)
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _dump_split_stream_dir(
     df: DataFrame,
     base: str,
@@ -925,7 +943,7 @@ def q_scd2_stream_history(spark, sf_dir):
         ),
         rn.alias("rn"),
     )
-    base = tempfile.mkdtemp(prefix="otr_hist_")
+    base = _scratch_dir(prefix="otr_hist_")
     t = LakeTable.create(base + "/tbl", TARGET_SCHEMA, n_buckets=8)
     # dense fixture: the batch's user_id keys cover every bucket, so the
     # affected-bucket discovery pass prunes nothing (guide §2.4 — remove
@@ -1009,7 +1027,7 @@ def q_enrich_stream_events(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     # data-scaled epoch width: MB-scale fixture epochs at the
     # session's 128 analytics reduce width were pure task-launch
@@ -1644,7 +1662,7 @@ def q_incremental_corpus_pipeline(spark, sf_dir):
 
     docs = _docs(spark, sf_dir, par=True).select("doc_id", "text")
     state = IncrementalCorpus(
-        tempfile.mkdtemp(prefix="otr_inc_corpus_"),
+        _scratch_dir(prefix="otr_inc_corpus_"),
         min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",),
         chunk_tokens=40, overlap=8,
     )
@@ -1688,7 +1706,7 @@ def q_lake_changes(spark, sf_dir):
         F.col("event_id"),
     )
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_lake_changes_") + "/tbl",
+        _scratch_dir(prefix="otr_lake_changes_") + "/tbl",
         TARGET_SCHEMA,
         n_buckets=8,
     )
@@ -1777,10 +1795,10 @@ def q_agg_view_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_aggv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_aggv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     view = IncrementalAggView(
-        tempfile.mkdtemp(prefix="otr_aggv_v_"),
+        _scratch_dir(prefix="otr_aggv_v_"),
         group_cols=("lang",),
         value_expr="length(content)",
     )
@@ -1848,10 +1866,10 @@ def q_distinct_view_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_dv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_dv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     view = IncrementalDistinctView(
-        tempfile.mkdtemp(prefix="otr_dv_v_"),
+        _scratch_dir(prefix="otr_dv_v_"),
         group_cols=("lang",),
         distinct_expr="length(content)",
     )
@@ -1918,7 +1936,7 @@ def q_lake_read_clustered(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_clus_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_clus_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -1991,7 +2009,7 @@ def q_lake_point_lookup(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_bloom_") + "/tbl", TARGET_SCHEMA,
+        _scratch_dir(prefix="otr_bloom_") + "/tbl", TARGET_SCHEMA,
         n_buckets=8,
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
@@ -2070,7 +2088,7 @@ def q_rebucket_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_rebucket_") + "/tbl", TARGET_SCHEMA,
+        _scratch_dir(prefix="otr_rebucket_") + "/tbl", TARGET_SCHEMA,
         n_buckets=4,
     )
     extras = docs.where(F.col("doc_id") % 7 == 0).select(
@@ -2139,7 +2157,7 @@ def q_schema_evolution_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_evo_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_evo_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -2215,7 +2233,7 @@ def q_lake_read_tagged(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_tag_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_tag_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     drafts = docs.where(F.col("doc_id") % 5 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
@@ -2316,7 +2334,7 @@ def q_wap_publish_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_wap_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_wap_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     evens = docs.where(F.col("doc_id") % 2 == 0)
     odds = docs.where(F.col("doc_id") % 2 == 1)
@@ -2377,7 +2395,7 @@ def q_lake_fsck(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
+        _scratch_dir(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
         n_buckets=8,
     )
     # data-scaled epoch width: MB-scale fixture epochs at the
@@ -2441,9 +2459,9 @@ def q_index_view_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_idxv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_idxv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
-    view = IncrementalIndexView(tempfile.mkdtemp(prefix="otr_idxv_v_"))
+    view = IncrementalIndexView(_scratch_dir(prefix="otr_idxv_v_"))
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
@@ -2504,10 +2522,10 @@ def q_follow_lake_corpus(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_follow_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_follow_") + "/tbl", TARGET_SCHEMA, n_buckets=8
     )
     corpus = IncrementalCorpus(
-        tempfile.mkdtemp(prefix="otr_follow_c_"),
+        _scratch_dir(prefix="otr_follow_c_"),
         min_tokens=20, min_alpha_ratio=0.55, min_quality=0.5, langs=("en",),
         chunk_tokens=40, overlap=8,
     )
@@ -2808,12 +2826,11 @@ def q_stream_interval_join_events(spark, sf_dir):
     EXACTLY; tests pin the bounded-state/late-drop behavior under tight
     watermarks (tests/test_stream_joins.py)."""
     import tempfile
-    import uuid
 
     from oplogtoredis_spark.streaming.joins import interval_join
 
     ev = _ev(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="otr_ssj_")
+    base = _scratch_dir(prefix="otr_ssj_")
 
     clicks = _dump_split_stream_dir(
         ev.where(F.col("event_type") == "click").select(
@@ -2855,18 +2872,22 @@ def q_stream_interval_join_events(spark, sf_dir):
         lower_ms=0, upper_ms=6 * 3600 * 1000,
         watermark_delay="90 days", prefix="p_",
     )
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    # parquet file sink (guide §5): the memory sink collected every join
+    # match (~1M rows at sf1.0) into the driver per run; a file sink keeps
+    # the output distributed and the read-back is a plain scan — the same
+    # change stream_dedup_events got in r6.1
+    out_dir = f"{base}/out"
     with _stream_state_parallelism(spark):
         q = (
-            out.writeStream.format("memory")
-            .queryName(name)
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", f"{base}/ck")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    t = spark.table(name)
+    t = spark.read.parquet(out_dir)
     return t.select(
         "user_id",
         "event_id",
@@ -3684,7 +3705,7 @@ def q_funnel_stream_events(spark, sf_dir):
     from oplogtoredis_spark.streaming.stateful import funnel_stream
 
     ev = _ev(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="otr_fst_")
+    base = _scratch_dir(prefix="otr_fst_")
     src = _dump_split_stream_dir(
         ev.select("user_id", _ts_ms().alias("ts_ms"), "event_type"),
         base,
@@ -3741,7 +3762,7 @@ def q_heavy_hitters_stream_events(spark, sf_dir):
 
     from oplogtoredis_spark.streaming.stateful import heavy_hitters_stream
 
-    base = tempfile.mkdtemp(prefix="otr_hh_")
+    base = _scratch_dir(prefix="otr_hh_")
     # split on event_id (the r5 fixture's order); files carry the extra
     # event_id column, which the readStream schema projection drops
     src = _dump_split_stream_dir(
@@ -3796,7 +3817,7 @@ def q_stream_dedup_events(spark, sf_dir):
     import uuid
 
     ev = _ev(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="otr_sdd_")
+    base = _scratch_dir(prefix="otr_sdd_")
     feed = ev.select(
         "event_id", "user_id", "event_type", _ts_ms().alias("ts_ms")
     )
@@ -4506,7 +4527,7 @@ def q_incremental_semdedup(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     state = SemanticCorpus(
-        tempfile.mkdtemp(prefix="otr_semdedup_"),
+        _scratch_dir(prefix="otr_semdedup_"),
         threshold=0.4, n_centroids=8, sample_per_centroid=32,
     )
     vid = F.col("vec_id")
@@ -4569,11 +4590,11 @@ def q_follow_lake_semdedup(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        tempfile.mkdtemp(prefix="otr_flsem_") + "/tbl", TARGET_SCHEMA,
+        _scratch_dir(prefix="otr_flsem_") + "/tbl", TARGET_SCHEMA,
         n_buckets=8,
     )
     state = SemanticCorpus(
-        tempfile.mkdtemp(prefix="otr_flsem_c_"),
+        _scratch_dir(prefix="otr_flsem_c_"),
         threshold=0.4, n_centroids=8, sample_per_centroid=32,
     )
     first = emb.where((vid < 256) | (vid % 3 == 0))
