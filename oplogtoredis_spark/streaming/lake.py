@@ -1274,6 +1274,7 @@ class LakeTable:
         # and again for the write (measured 2x batch cost).
         t_plan = time.time()
         adaptive_dense = False
+        empty_table_dense = False
         if merge_mode == "mor":
             # merge-on-read: NO target read, NO discovery job — the batch's
             # collapsed winners append as a delta; the affected set is
@@ -1302,6 +1303,18 @@ class LakeTable:
             ):
                 affected = live
                 adaptive_dense = True
+            elif not live:
+                # EMPTY table (first epoch): there is nothing to prune and
+                # nothing to read, so the discovery job's only product —
+                # the affected set — is cheaper derived from the written
+                # partition dirs, exactly like dense mode (drops a 2-stage
+                # job + collect from every table's first merge; guide §2.4).
+                # Distinct from the adaptive-dense heuristic: this branch
+                # needs no history and holds at ANY bucket count (the write
+                # width is capped below, so a sparse first batch into a
+                # many-bucket table never fans out to n_buckets tasks).
+                affected = None
+                empty_table_dense = True
             else:
                 affected = sorted(
                     r.b for r in batch_ok.select(cx["bucket_b"]).distinct().collect()
@@ -1386,16 +1399,21 @@ class LakeTable:
         rel_dir = f"{prefix}/v{new_version:08d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, rel_dir)
         t_write0 = time.time()
-        if merge_mode == "mor" or affected or not prune:
+        if merge_mode == "mor" or affected or not prune or empty_table_dense:
+            write_n = (
+                len(affected)
+                if affected
+                else min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
+            )
             (
                 merged.withColumn("pb", F.col("bucket"))
-                .repartition(len(affected) if affected else n_buckets, F.col("pb"))
+                .repartition(write_n, F.col("pb"))
                 .write.partitionBy("pb")
                 .mode("overwrite")
                 .parquet(out_dir)
             )
             metrics = observed_row(obs)
-            if merge_mode == "mor" or not prune or adaptive_dense:
+            if merge_mode == "mor" or not prune or adaptive_dense or empty_table_dense:
                 affected = sorted(
                     int(d[3:]) for d in os.listdir(out_dir) if d.startswith("pb=")
                 )
