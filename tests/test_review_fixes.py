@@ -331,8 +331,13 @@ def test_pack_chunks_null_tokens_fails_loud_and_long_shards(spark):
     bad = spark.createDataFrame(
         [(1, 0, 10), (1, 1, None)], "doc_id long, chunk_idx int, n_tokens int"
     )
-    with pytest.raises(Exception, match="NULL n_tokens for 1\\|1"):
+    with pytest.raises(Exception, match="NULL/negative n_tokens for 1\\|1"):
         pack_chunks(bad, budget=16).collect()
+    neg = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, -3)], "doc_id long, chunk_idx int, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL/negative n_tokens for 1\\|1"):
+        pack_chunks(neg, budget=16).collect()
 
 
 def test_span_dedup_blank_docs_pass_through(spark):
