@@ -607,7 +607,10 @@ FROM p
 
 def q_parallelism_key(spark, sf_dir):
     """T9 + R1: sha256-LE int64 ordering key + non-negative shard."""
-    ev = _ev(spark, sf_dir).select("event_id", "event_type")
+    # par: 1M sha256 rows otherwise run inside the ONE scan task a
+    # single-row-group file allows (measured 3.1 s -> sub-second; the same
+    # §2.5 fix envelope_decode got in r6.1)
+    ev = _ev(spark, sf_dir, par=True).select("event_id", "event_type")
     return ev.select(
         "event_id",
         sha256_le_int64(F.col("event_type")).alias("pkey"),
