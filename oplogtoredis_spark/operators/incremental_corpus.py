@@ -362,12 +362,28 @@ class IncrementalCorpus:
         cdir = os.path.join(self._chunks_dir, f"e{epoch:06d}")
         try:
             # every job of this epoch (the persists materialize inside the
-            # first write) runs at data-scaled parallelism
+            # first write) runs at data-scaled parallelism. The two delta
+            # writes are independent sinks (the applied-epoch marker below
+            # is the only commit point), so they run CONCURRENTLY (guide
+            # §2.6 — overlap independent jobs): the second write's stages
+            # back-fill the cores the first write's tail leaves idle, and
+            # the shared persisted branches materialize exactly once
+            # (Spark serializes concurrent materialization of one cached
+            # plan internally).
             with self._epoch_shuffle_scale(spark):
-                member_delta.write.mode("overwrite").parquet(mdir)
-                chunk_adds.unionByName(chunk_dels).write.mode("overwrite").parquet(
-                    cdir
-                )
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f1 = pool.submit(
+                        lambda: member_delta.write.mode("overwrite").parquet(mdir)
+                    )
+                    f2 = pool.submit(
+                        lambda: chunk_adds.unionByName(chunk_dels)
+                        .write.mode("overwrite")
+                        .parquet(cdir)
+                    )
+                    f1.result()
+                    f2.result()
         finally:
             for df in (batch, members_prev, new_rows, affected, add_docs):
                 df.unpersist()

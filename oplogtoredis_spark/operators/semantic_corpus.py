@@ -403,9 +403,22 @@ class SemanticCorpus:
         mdir = os.path.join(self._members_dir, f"e{epoch:06d}")
         kdir = os.path.join(self._keep_dir, f"e{epoch:06d}")
         try:
+            # the two delta writes are independent sinks (the marker below
+            # is the only commit point) — run them concurrently so the
+            # second's stages back-fill the first's tail (guide §2.6);
+            # shared persisted branches materialize once
             with self._epoch_shuffle_scale(spark):
-                member_delta.write.mode("overwrite").parquet(mdir)
-                keep_delta.write.mode("overwrite").parquet(kdir)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f1 = pool.submit(
+                        lambda: member_delta.write.mode("overwrite").parquet(mdir)
+                    )
+                    f2 = pool.submit(
+                        lambda: keep_delta.write.mode("overwrite").parquet(kdir)
+                    )
+                    f1.result()
+                    f2.result()
         finally:
             for df in (
                 batch, new_rows, members_prev, affected, aff,
