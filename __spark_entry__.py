@@ -155,23 +155,49 @@ import contextlib as _contextlib  # noqa: E402
 
 
 @_contextlib.contextmanager
-def _stream_state_parallelism(spark: SparkSession):
-    """Scope shuffle partitions to the core count for an availableNow
-    stateful replay (set/restore — same discipline as SemanticCorpus's
+def _stream_state_parallelism(spark: SparkSession, width: int | None = None):
+    """Scope shuffle partitions to the core count — or an explicit
+    data-scaled ``width`` — for an availableNow stateful replay
+    (set/restore — same discipline as SemanticCorpus's
     _epoch_shuffle_scale). A fresh stream checkpoint pins its state-store
     partition count from this conf: the session's batch-analytics reduce
     width (128) would schedule 128 state tasks per micro-batch per
     stateful operator, ~4× task-launch overhead for identical results
     (state operators are keyed per row; partition count never affects
-    emitted rows). Parameterized by the session's core count — never a
-    constant — so cluster runs scale it with the executor fleet."""
+    emitted rows). Each stream-stream-join state partition additionally
+    carries ~4 state-store instances with a large FIXED load/commit cost
+    per micro-batch (measured on the interval join at sf1.0: 8 parts
+    3.7 s, 32 parts 10.7 s, 64 parts 20 s — near-linear in partition
+    count), so stateful fixtures pass ``width`` derived from their feed
+    size via :func:`_stateful_width`. Never a constant — core count and
+    feed rows both scale it."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(
+        key, str(width or spark.sparkContext.defaultParallelism)
+    )
     try:
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def _stateful_width(
+    spark: SparkSession, *dump_dirs: str, target_rows: int = 64_000
+) -> int:
+    """Data-scaled state-partition count for a stateful availableNow
+    replay: ceil(total feed rows / target_rows), clamped to [2, core
+    count]. Row totals come from the parquet footers of the already-
+    written stream fixture dirs — driver-side metadata, no Spark job."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for d in dump_dirs:
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    cores = spark.sparkContext.defaultParallelism
+    return max(2, min(cores, -(-total // target_rows)))
 
 
 # ---------------------------------------------------------------------------
@@ -2880,7 +2906,9 @@ def q_stream_interval_join_events(spark, sf_dir):
     # the output distributed and the read-back is a plain scan — the same
     # change stream_dedup_events got in r6.1
     out_dir = f"{base}/out"
-    with _stream_state_parallelism(spark):
+    with _stream_state_parallelism(
+        spark, width=_stateful_width(spark, clicks, purchases)
+    ):
         q = (
             out.writeStream.format("parquet")
             .option("path", out_dir)
@@ -3724,6 +3752,10 @@ def q_funnel_stream_events(spark, sf_dir):
         .parquet(src)
     )
     name = f"fst_{uuid.uuid4().hex[:8]}"
+    # core-count width, NOT the feed-scaled width the JVM state stores
+    # want: this stream's state lives in applyInPandasWithState Python
+    # workers, where width = fold parallelism (16 parts measured 8.7 s vs
+    # 6.5 s at 32 on the same host)
     with _stream_state_parallelism(spark):
         q = (
             funnel_stream(stream, stages)
@@ -3780,7 +3812,7 @@ def q_heavy_hitters_stream_events(spark, sf_dir):
         .parquet(src)
     )
     name = f"hh_{uuid.uuid4().hex[:8]}"
-    with _stream_state_parallelism(spark):
+    with _stream_state_parallelism(spark, width=_stateful_width(spark, src)):
         q = (
             heavy_hitters_stream(
                 stream, "event_type", capacity=8, n_partitions=4
@@ -3847,7 +3879,7 @@ def q_stream_dedup_events(spark, sf_dir):
     # surviving rows to the driver per run; a file sink on the scratch dir
     # keeps the output distributed and the read-back is a plain scan
     out_dir = f"{base}/out"
-    with _stream_state_parallelism(spark):
+    with _stream_state_parallelism(spark, width=_stateful_width(spark, src)):
         q = (
             stream.dropDuplicatesWithinWatermark(["event_id"])
             .writeStream.format("parquet")
