@@ -1380,8 +1380,30 @@ class LakeTable:
                 ).alias("_w"),
                 F.max("_had_src").alias("_had_src"),
             )
+            one_shuffle = False
         else:
-            p2 = u.groupBy(*key).agg(*cx["collapse_aggs"])
+            # Single-payload-shuffle plan (guide §8): ``bucket`` is a pure
+            # function of the key (pmod(xxhash64(repo,path), n_buckets) —
+            # the invariant fsck checks per file), so hash-partitioning by
+            # bucket co-locates each key, and a groupBy on (bucket, *key)
+            # is satisfied by that partitioning (subset rule) with NO
+            # second exchange — the bucketed write below then reuses the
+            # same layout, so the full payload crosses the wire ONCE
+            # instead of key-collapse + bucket-repartition. Only taken
+            # when the touched bucket count keeps reduce parallelism at or
+            # above the core count (a 100 TB table has thousands of
+            # buckets, so this IS the production branch); small-bucket
+            # fixtures keep the two-step plan whose collapse runs at full
+            # session width.
+            nb_eff = len(affected) if affected else n_buckets
+            cores = spark.sparkContext.defaultParallelism
+            if nb_eff >= cores:
+                u = u.repartition(min(nb_eff, 4 * cores), F.col("bucket"))
+                p2 = u.groupBy("bucket", *key).agg(*cx["collapse_aggs"])
+                one_shuffle = True
+            else:
+                p2 = u.groupBy(*key).agg(*cx["collapse_aggs"])
+                one_shuffle = False
         merged = p2.select(*cx["merged_cols"])
         # metrics ride the same pass via observe() — no second job
         # (reference metrics analogue, SURVEY.md §2 M1; lib/redispub/publisher.go:64-114)
@@ -1400,18 +1422,17 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         t_write0 = time.time()
         if merge_mode == "mor" or affected or not prune or empty_table_dense:
-            write_n = (
-                len(affected)
-                if affected
-                else min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
-            )
-            (
-                merged.withColumn("pb", F.col("bucket"))
-                .repartition(write_n, F.col("pb"))
-                .write.partitionBy("pb")
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
+            to_write = merged.withColumn("pb", F.col("bucket"))
+            if not one_shuffle:
+                write_n = (
+                    len(affected)
+                    if affected
+                    else min(n_buckets, 4 * spark.sparkContext.defaultParallelism)
+                )
+                to_write = to_write.repartition(write_n, F.col("pb"))
+            # (one_shuffle: already hash-partitioned by bucket — the
+            # partitionBy writer splits per dir within each task)
+            to_write.write.partitionBy("pb").mode("overwrite").parquet(out_dir)
             metrics = observed_row(obs)
             if merge_mode == "mor" or not prune or adaptive_dense or empty_table_dense:
                 affected = sorted(
