@@ -973,7 +973,14 @@ def q_scd2_stream_history(spark, sf_dir):
         rn.alias("rn"),
     )
     base = _scratch_dir(prefix="otr_hist_")
-    t = LakeTable.create(base + "/tbl", TARGET_SCHEMA, n_buckets=8)
+    # bucket count = core count (parameterised): at or above the epoch
+    # width it lets the merge take the single-payload-shuffle branch
+    # (lake.py one_shuffle) — and 1M rows over 8 buckets was an artificial
+    # width cap anyway
+    t = LakeTable.create(
+        base + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
+    )
     # dense fixture: the batch's user_id keys cover every bucket, so the
     # affected-bucket discovery pass prunes nothing (guide §2.4 — remove
     # the shuffle/job outright; same rationale as bench.py merge_prune)
@@ -1056,7 +1063,8 @@ def q_enrich_stream_events(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_enrich_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     # data-scaled epoch width: MB-scale fixture epochs at the
     # session's 128 analytics reduce width were pure task-launch
