@@ -1832,7 +1832,8 @@ def q_agg_view_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_aggv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_aggv_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     view = IncrementalAggView(
         _scratch_dir(prefix="otr_aggv_v_"),
@@ -1903,7 +1904,8 @@ def q_distinct_view_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_dv_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_dv_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     view = IncrementalDistinctView(
         _scratch_dir(prefix="otr_dv_v_"),
@@ -1973,7 +1975,8 @@ def q_lake_read_clustered(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_clus_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_clus_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -2047,7 +2050,7 @@ def q_lake_point_lookup(spark, sf_dir):
 
     t = LakeTable.create(
         _scratch_dir(prefix="otr_bloom_") + "/tbl", TARGET_SCHEMA,
-        n_buckets=8,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -2194,7 +2197,8 @@ def q_schema_evolution_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_evo_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_evo_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     first = docs.where(F.col("doc_id") % 3 != 0)
     drafts = first.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -2270,7 +2274,8 @@ def q_lake_read_tagged(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_tag_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_tag_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     drafts = docs.where(F.col("doc_id") % 5 == 0).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zz draft pending zz"))
@@ -2371,7 +2376,8 @@ def q_wap_publish_lake(spark, sf_dir):
         )
 
     t = LakeTable.create(
-        _scratch_dir(prefix="otr_wap_") + "/tbl", TARGET_SCHEMA, n_buckets=8
+        _scratch_dir(prefix="otr_wap_") + "/tbl", TARGET_SCHEMA,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     evens = docs.where(F.col("doc_id") % 2 == 0)
     odds = docs.where(F.col("doc_id") % 2 == 1)
@@ -2433,7 +2439,7 @@ def q_lake_fsck(spark, sf_dir):
 
     t = LakeTable.create(
         _scratch_dir(prefix="otr_fsck_") + "/tbl", TARGET_SCHEMA,
-        n_buckets=8,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
     # data-scaled epoch width: MB-scale fixture epochs at the
     # session's 128 analytics reduce width were pure task-launch
