@@ -491,27 +491,29 @@ the engine-attributable scaling; on discrete executors each node brings
 its own memory channels, so the inflation term does not exist. The raw
 wall numbers are reported unadjusted.
 
-Round-5 state (post reduce-parallelism-floor + adaptive bucket
-discovery): every 2->8 row clears or brushes the >= 0.8 bar on RAW walls
-— kernel 0.903, dense 0.804, big-epoch 0.807, batch 0.796, cold stream
-0.702 — with task CPU-seconds flat across levels (1.01-1.10x, the
-no-engine-serialization signature). The serial terms the round-4
-decomposition exposed are now directly SHRUNK, not just explained: the
-cold stream's measured serial term dropped ~27 s -> ~7 s at the narrow
-level (adaptive discovery skips the per-epoch bucket-discovery job on
-dense tables; the floor keeps reduce stages wave-balanced), and the batch
-serial term sits at ~1.6-1.9 s (listing/AQE/scheduling gaps). The
-contention-adjusted predictions close the remaining gap: batch predicted
-14.43 s vs 14.33 s observed, cold stream 29.57 s vs 29.24 s — within ~1%;
-nothing unexplained. The cold row remains the one sub-0.8 wall because a
-fresh table pays one-time JVM codegen/infra warm-up that the warm dense
-variants exclude by construction. Production epochs are orders of
-magnitude larger still (the serial term stays constant while compute
-grows), and the driver is a dedicated node.
-The engine-side serial cost: single-phase merge, schema-id fast-path
-read, no second batch scan, O(1) manifest commit, batch-invariant merge
-expressions cached across epochs; `merge_batch(prune=False)` additionally
-drops the bucket-discovery job for dense tables.
+Round-6 state (post single-shuffle merge + data-scaled epoch widths; all
+runs filtered to the current engine rev per the accumulate-and-filter
+discipline): ABSOLUTE walls dropped at every level versus the round-5
+table (e.g. big-epoch stream local[8] ~26 s -> ~21 s; batch local[8]
+~17.9 s -> ~14.8 s), which mechanically LOWERS the raw-wall efficiency
+ratios — the removed work (a full payload shuffle per merge, per-epoch
+discovery jobs) was parallel work, so the constant terms (JVM/codegen
+warm-up, driver scheduling, the shared-memory contention inflation) now
+weigh relatively more at the wide level. The decomposition still accounts
+for the gap: measured serial terms are flat across levels (batch
+~1.6-1.9 s, big-epoch stream ~1.5-1.8 s — the no-engine-serialization
+signature), task CPU-seconds stay flat (engine adds no lock/serial blowup
+at 4N), and the remainder is the measured per-task run-time inflation of
+6-19% that one shared memory subsystem imposes on 4x concurrent threads —
+a host property, absent on discrete executors with their own memory
+channels. Faster engine at both levels + unchanged fixed terms = lower
+ratio but strictly better walls; the raw numbers are reported unadjusted
+and the per-run load stamps ride in BENCH_scaling_2x8.json.
+The engine-side serial cost: single-phase merge (ONE payload shuffle on
+wide tables), schema-id fast-path read, no second batch scan, O(1)
+manifest commit, batch-invariant merge expressions cached across epochs;
+`merge_batch(prune=False)` additionally drops the bucket-discovery job
+for dense tables and empty-table first merges skip it automatically.
 
 Caveats: single shared machine — no network shuffle, shared memory
 bandwidth/page cache, foreign tenant load. Discrete executors on a real
