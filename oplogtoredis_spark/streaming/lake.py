@@ -2645,12 +2645,25 @@ class LakeTable:
                         orphans += 1
         # index sidecars referenced by any retained manifest must exist (a
         # missing one would silently disable point-lookup pruning — sound
-        # but a lost index is still corruption worth surfacing)
+        # but a lost index is still corruption worth surfacing). The ref is
+        # extracted with a key-anchored scan instead of a full json.load of
+        # every manifest: a long-lived stream commits one manifest per
+        # epoch, and before expire_metadata runs this check is O(epochs)
+        # driver-side — parsing MB-scale bucket maps per manifest was the
+        # dominant term (ADVICE r5). Manifests are engine-written json with
+        # a flat string value for this key, so the anchored regex is exact.
+        _ref_re = re.compile(r'"file_blooms_ref"\s*:\s*"([^"]*)"')
+
+        def _blooms_ref(name: str) -> str:
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                mm = _ref_re.search(f.read())
+            return mm.group(1) if mm else ""
+
         missing_sidecars = sum(
             1
             for name in os.listdir(self._manifest_dir)
             if name.startswith("v") and name.endswith(".json")
-            for ref in [self.manifest(int(name[1:-5])).get("file_blooms_ref")]
+            for ref in [_blooms_ref(name)]
             if ref
             and not os.path.isfile(os.path.join(self._manifest_dir, ref))
         )
